@@ -1,0 +1,86 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed with a count-style action that materializes
+the full result (no driver collect of big payloads), timed after a
+warm-up of the session (JVM + parquet footer caches are realistic to
+amortize; per-query JIT is not warmed — cold-ish numbers).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
+    REGISTRY,
+    load_all_operators,
+)
+from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+
+HEADLINE = [
+    "agg_multi",            # TPC-H Q1 shape: scan + hash agg
+    "join_shuffle_equi",    # large-large sort-merge join
+    "join_multiway_star",   # star joins, broadcast dims
+    "win_topk_per_group",   # window + rank-limit
+    "join_asof",            # as-of emulation: union + window
+    "join_range_theta",     # interval self-join
+    "agg_cube",             # multi-dimension totals
+    "sort_order_by",        # full range-partitioned sort
+    "set_distinct",         # shuffle dedup
+    "json_get_extract",     # JSON path extraction
+]
+
+# Extension headliners are appended once implemented (round 1+).
+OPTIONAL = [
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "vector_topk_similarity",
+    "text_tokenize_stats",
+    "stream_tumbling_count",
+]
+
+
+def sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return float(base.replace("sf", "")) if base.startswith("sf") else -1.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_operators()
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = HEADLINE + [q for q in OPTIONAL if q in REGISTRY]
+    # Warm the session (JVM classloading, codegen) on a trivial job.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # Materialize every row and column without collecting payloads.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Table loading for the driver's synthetic star schema.
+
+``load`` is the single scan entry point every registered query goes
+through — it reads parquet (predicate pushdown, column pruning and
+partition pruning all come for free from the DataSource V2 scan) and
+never caches, so each query's plan is exactly what Catalyst derives
+from the expression tree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+_NANOS_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table from the scale-factor directory.
+
+    ``events.ts`` is a parquet TIMESTAMP(NANOS) column, which Spark's
+    vectorized reader rejects (SPARK-40819). We read nanos as long
+    via the legacy conf and rebuild a microsecond TIMESTAMP_NTZ —
+    flooring ns→µs exactly like DuckDB's client does, so oracle
+    comparisons stay bit-identical.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        df = spark.read.parquet(path)
+    except Exception as e:  # driver sessions may lack the nanos conf
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set(_NANOS_CONF, "true")
+        df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts", F.expr("timestampadd(MICROSECOND, ts DIV 1000, "
+                         "TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for spark.sql queries."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

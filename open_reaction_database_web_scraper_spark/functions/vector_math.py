@@ -1,0 +1,28 @@
+"""Dense-vector column math using higher-order functions.
+
+All JVM-side (``zip_with`` / ``aggregate``) — no Python in the hot
+path, so similarity scans stay inside whole-stage codegen and scale
+linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Elementwise dot product of two array<numeric> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))

@@ -1,0 +1,211 @@
+"""Aggregation operators (SURVEY.md §2.4).
+
+Reference semantics: per-dataset reaction counts and conditional
+success counts (web_scrpaer_2.py:461-462), global totals
+(web_scraper.py:336-337), re-nesting via per-group list collection
+(web_scrpaer_2.py:541-543). All are hash aggregations with automatic
+partial (map-side) combine — the scalable default at 100 TB; rollup
+and cube add multi-dimension totals in a single shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import davg, davg_sql, dec, dsum, dsum_sql
+from ..registry import register
+
+
+@register(
+    "agg_multi",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+             AS sum_disc_price,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           MIN(l_quantity) AS min_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "flagship"),
+)
+def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: several aggregates per group.
+
+    The flagship query (``entry``). One shuffle; partial aggregation
+    map-side; decimal accumulators for cross-engine determinism.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+        .cast("double").alias("sum_disc_price"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+@register(
+    "agg_count_per_group",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS total_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows per group — the reference's ``total_reactions`` per
+    dataset (web_scrpaer_2.py:462)."""
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("total_orders")))
+
+
+@register(
+    "agg_conditional_sum",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big_qty_cnt,
+           COUNT(*) AS total_cnt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count rows satisfying a predicate per group — the reference's
+    ``successful_scrapes`` counter (web_scrpaer_2.py:461)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_quantity") > 25, 1).otherwise(0))
+        .alias("big_qty_cnt"),
+        F.count("*").alias("total_cnt"),
+    )
+
+
+@register(
+    "agg_global_totals",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           {dsum_sql('l_extendedprice')} AS total_price,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    """,
+    tags=("agg",),
+)
+def agg_global_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grand totals without grouping (web_scraper.py:336-337)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        dsum("l_extendedprice").alias("total_price"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg",),
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (reference dedups ids while
+    accumulating, web_scrpaer_2.py:262)."""
+    return (load(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(F.countDistinct("l_partkey").alias("distinct_parts")))
+
+
+@register("agg_approx_count_distinct", oracle=None, tags=("agg", "approx"))
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimate — the 100 TB path where exact
+    distinct's shuffle is prohibitive. Rows-only check (approximate,
+    but deterministic for a fixed input)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+    )
+
+
+@register(
+    "agg_collect_list",
+    oracle="""
+    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("agg", "nest"),
+)
+def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-nest: gather child records into a per-group array — the
+    reference's reactions-per-dataset rebuild (web_scrpaer_2.py:
+    541-543). Sorted for order-insensitive comparison."""
+    return (load(spark, sf_dir, "orders")
+            .groupBy("o_custkey")
+            .agg(F.sort_array(F.collect_list("o_orderkey"))
+                 .alias("order_keys")))
+
+
+@register(
+    "agg_collect_set",
+    oracle="""
+    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    FROM events GROUP BY user_id
+    """,
+    tags=("agg", "nest"),
+)
+def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unique values per group (reference's dedup-while-collecting,
+    web_scrpaer_2.py:422-423)."""
+    return (load(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_set("event_type")).alias("types")))
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group + subtotal + grand-total in one pass — the reference
+    computes group and global counts separately (web_scraper.py:290,
+    :336-337); ROLLUP fuses them into a single shuffle."""
+    return (load(spark, sf_dir, "lineitem")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("cnt"), dsum("l_quantity").alias("sum_qty")))
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("agg",),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-dimension totals (returnflag × linestatus)."""
+    return (load(spark, sf_dir, "lineitem")
+            .cube("l_returnflag", "l_linestatus")
+            .agg(F.count("*").alias("cnt"),
+                 dsum("l_extendedprice").alias("sum_price")))

@@ -1,0 +1,273 @@
+"""Joins (SURVEY.md §2.3).
+
+The reference's only join-like ops are constant-dict enum decodes
+(broadcast hash joins in disguise, web_scrpaer_2.py:108,131-148) and
+the requested-vs-returned id validation (web_scraper.py:219-220).
+The relational surface is [E] over the driver star schema.
+
+Scale notes: dimensions are explicitly ``broadcast()`` so the big
+fact side never shuffles; large-large joins go sort-merge with AQE
+skew splitting; semi/anti joins ship only the key column. The as-of
+join is the union+window emulation — one shuffle on (key, ts), no
+nested-loop explosion, which is the only shape that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import dsum, dsum_sql
+from ..registry import register
+
+
+@register(
+    "join_broadcast_lookup",
+    oracle="""
+    SELECT c.c_custkey, n.n_name AS nation_name
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+    tags=("join", "broadcast"),
+)
+def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tiny-dimension decode via broadcast hash join — the Spark form
+    of the reference's enum-dict ``.get`` joins (web_scrpaer_2.py:
+    108,131-144). The fact side streams; no shuffle."""
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    return (cust.join(F.broadcast(nation),
+                      cust.c_nationkey == nation.n_nationkey)
+            .select("c_custkey", F.col("n_name").alias("nation_name")))
+
+
+@register(
+    "join_validate_inner",
+    oracle="""
+    SELECT e.event_id, e.user_id
+    FROM events e
+    JOIN (SELECT DISTINCT user_id FROM events WHERE user_id % 2 = 0) req
+      ON e.user_id = req.user_id
+    """,
+    tags=("join",),
+)
+def join_validate_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Requested-ids ⋈ returned-payloads consistency check — the
+    reference rejects payloads whose id differs from the requested id
+    (web_scraper.py:219-220)."""
+    ev = load(spark, sf_dir, "events")
+    requested = (ev.filter(F.col("user_id") % 2 == 0)
+                 .select("user_id").distinct())
+    return (ev.join(F.broadcast(requested), "user_id")
+            .select("event_id", "user_id"))
+
+
+@register(
+    "join_shuffle_equi",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "shuffle"),
+)
+def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-large equi join (orders ⋈ lineitem) → sort-merge join,
+    both sides shuffled on the key once; AQE splits skewed keys."""
+    od = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (od.join(li, od.o_orderkey == li.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_items"),
+                 dsum("l_extendedprice").alias("revenue")))
+
+
+@register(
+    "join_multiway_star",
+    oracle=f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_orders,
+           {dsum_sql('o.o_totalprice')} AS revenue
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "star"),
+)
+def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema chain region⋈nation⋈customer⋈orders. Dimensions
+    broadcast; the fact table is touched once, never shuffled for
+    the joins themselves."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name", "n_name")
+            .agg(F.count("*").alias("n_orders"),
+                 dsum("o_totalprice").alias("revenue")))
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, COUNT(o.o_orderkey) AS order_cnt
+    FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep unmatched left rows — reference keeps datasets with zero
+    reactions as empty records (web_scrpaer_2.py:441-442)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, o.o_custkey == c.c_custkey, "left")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("order_cnt")))
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join",),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Existence filter (customers having orders). Left-semi ships
+    only the join key of the right side."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+    tags=("join",),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-existence — the reference's seen-set skip
+    (web_scrpaer_2.py:262,422) as a left-anti join."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name"))
+
+
+@register(
+    "join_range_theta",
+    oracle="""
+    SELECT e1.user_id, e1.event_id AS src_event,
+           COUNT(*) AS follows_within_hour
+    FROM events e1
+    JOIN events e2
+      ON e1.user_id = e2.user_id
+     AND e2.ts > e1.ts
+     AND e2.ts <= e1.ts + INTERVAL 1 HOUR
+    GROUP BY e1.user_id, e1.event_id
+    """,
+    tags=("join", "theta"),
+)
+def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi interval join: events followed by events of the same
+    user within one hour. The equi conjunct (user_id) keeps it a
+    hash/sort-merge join with a residual range predicate — never a
+    cartesian product, so it scales with per-key density."""
+    ev = load(spark, sf_dir, "events")
+    e1 = ev.alias("e1")
+    e2 = ev.alias("e2")
+    cond = ((F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e2.ts") > F.col("e1.ts"))
+            & (F.col("e2.ts") <= F.col("e1.ts") + F.expr("INTERVAL 1 HOUR")))
+    return (e1.join(e2, cond)
+            .groupBy(F.col("e1.user_id").alias("user_id"),
+                     F.col("e1.event_id").alias("src_event"))
+            .agg(F.count("*").alias("follows_within_hour")))
+
+
+@register(
+    "join_asof",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+    tags=("join", "asof"),
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest click at-or-before each purchase, per user.
+
+    Spark has no native as-of; the scalable emulation is the
+    union+window trick: tag both sides, sort once on (user, ts),
+    carry the last-seen click forward with ``last(ignorenulls)``.
+    One shuffle total — no range self-join blowup. Ties (click and
+    purchase at the same ts) resolve to the click, matching DuckDB
+    ASOF's ``>=`` semantics; duplicate clicks per (user, ts) are
+    pre-reduced to MAX(event_id) so both engines are deterministic.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"))
+              .select("user_id", "ts",
+                      F.lit(0).alias("is_purchase"),
+                      F.lit(None).cast("long").alias("event_id"),
+                      "click_id",
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.lit(1).alias("is_purchase"),
+                         "event_id",
+                         F.lit(None).cast("long").alias("click_id"),
+                         F.lit(None).cast(ev.schema["ts"].dataType)
+                         .alias("click_ts")))
+    unioned = clicks.unionByName(purchases)
+    # clicks sort before purchases at equal ts (is_purchase 0 < 1),
+    # so an equal-ts click is visible to the purchase — ASOF '>='.
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_purchase")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.select(
+        "user_id", "ts", "is_purchase", "event_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"))
+    return (carried.filter(F.col("is_purchase") == 1)
+            .select("event_id", "user_id", "ts", "click_id", "click_ts"))
+
+
+@register(
+    "join_cross_smallk",
+    oracle="""
+    SELECT r.r_name, n.n_name
+    FROM region r CROSS JOIN nation n
+    """,
+    tags=("join", "cross"),
+)
+def join_cross_smallk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded cartesian pair enumeration (both sides small —
+    broadcast nested loop, never a shuffled cartesian)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")

@@ -1,0 +1,123 @@
+"""Scans, sources and sinks (SURVEY.md §2.1).
+
+The reference's source is a crawled JSON document stream with a
+dead-letter side channel for failed records (web_scrpaer_2.py:
+369,380-385,505); its sink is a nested JSON document store keyed by
+dataset (:545-548). Here those become parquet/JSON DataSource scans
+(predicate pushdown + column pruning for free) and partitioned
+writers.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_brand, p_size FROM part",
+    tags=("scan",),
+)
+def scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar scan with projection — ReadSchema carries only the
+    four selected columns down to the parquet footer."""
+    return load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_size")
+
+
+@register(
+    "scan_json_nested",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+    FROM events
+    """,
+    tags=("scan", "json"),
+)
+def scan_json_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read JSON ingestion with malformed-row tolerance —
+    the reference's ``json.loads`` of scraped text
+    (web_scrpaer_2.py:369) with its try/except guard (:380-385).
+    ``from_json`` in PERMISSIVE mode yields null structs instead of
+    failing, reproducing the `.get(k, default)` semantics."""
+    ev = load(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.select(
+        "event_id",
+        F.from_json("props", schema, {"mode": "PERMISSIVE"}).alias("p"))
+    return parsed.select("event_id", F.col("p.k").alias("k"))
+
+
+@register(
+    "source_enumerate",
+    oracle="""
+    SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 10
+    """,
+    tags=("scan",),
+)
+def source_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enumerate work items with dedup + early stop — the reference's
+    paginated dataset-id crawl (web_scrpaer_2.py:209-289) with its
+    seen-set dedup (:262) and early-stop (:264-266). The limit is
+    pushed below the sort by TakeOrderedAndProject."""
+    return (load(spark, sf_dir, "events")
+            .select("user_id").distinct()
+            .orderBy("user_id").limit(10))
+
+
+@register("sink_json", oracle=None, tags=("sink",))
+def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON sink round-trip — the reference's ``json.dump`` of nested
+    per-dataset records (web_scrpaer_2.py:545-548). Writes nested
+    rows as JSON lines, re-reads them, and returns the re-read frame
+    so the driver verifies the round trip (rows-only)."""
+    nested = (load(spark, sf_dir, "orders")
+              .groupBy("o_custkey")
+              .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
+                   F.count("*").alias("n_orders")))
+    out = tempfile.mkdtemp(prefix="ordspark_sink_json_")
+    nested.coalesce(4).write.mode("overwrite").json(out)
+    schema = "o_custkey bigint, order_keys array<bigint>, n_orders bigint"
+    return spark.read.schema(schema).json(out).select(
+        "o_custkey", "order_keys", "n_orders")
+
+
+@register("sink_parquet_partitioned", oracle=None, tags=("sink",))
+def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink — the per-dataset keying of the
+    reference's output map (web_scrpaer_2.py:530-535) as a
+    ``partitionBy`` layout, so downstream reads get partition
+    pruning. Returns per-partition counts from the re-read."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    out = tempfile.mkdtemp(prefix="ordspark_sink_parquet_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    back = spark.read.parquet(out)
+    # Partition-pruned read: only the 'R' directory is listed.
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    return pruned.groupBy("l_returnflag").agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "error_side_channel",
+    oracle="""
+    SELECT event_id, event_type, value FROM events
+    WHERE event_type = 'error'
+    """,
+    tags=("scan", "quality"),
+)
+def error_side_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing: split failed records from good ones and
+    keep both flowing — the reference's failure records
+    (web_scrpaer_2.py:385,505) and success filter (:542). Returns the
+    dead-letter side; the good side is the complement filter."""
+    ev = load(spark, sf_dir, "events")
+    bad = ev.filter(F.col("event_type") == "error")
+    return bad.select("event_id", "event_type", "value")

@@ -1,0 +1,175 @@
+"""Window functions (SURVEY.md §2.5).
+
+Seeds in the reference: positional slicing (web_scrpaer_2.py:
+425-430) and first-identifier selection (web_scraper.py:533-534).
+Every window here orders by a total key (explicit tiebreakers) so
+results are deterministic across engines; running sums use the
+decimal accumulator for bit-exact oracle parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+
+@register(
+    "win_row_number_slice",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                              ORDER BY l_linenumber) AS rn
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def win_row_number_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinal — the reference's [start:end] slice seed
+    (web_scrpaer_2.py:425-430)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
+    return (load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber",
+                    F.row_number().over(w).alias("rn")))
+
+
+@register(
+    "win_rank_dense",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand
+                        ORDER BY p_retailprice DESC) AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand
+                              ORDER BY p_retailprice DESC) AS price_dense
+    FROM part
+    """,
+    tags=("window",),
+)
+def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank of retail price within brand [E]."""
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense"))
+
+
+@register(
+    "win_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer — reference's
+    first-identifier pick generalized (web_scraper.py:533-534).
+    row_number ≤ k prunes inside the window operator (rank-limit
+    pushdown), so only k rows per group survive the sort."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (load(spark, sf_dir, "orders")
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+@register(
+    "win_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           LAG(ts)  OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS prev_ts,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_ts
+    FROM events
+    """,
+    tags=("window",),
+)
+def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighboring-row access per user (event-to-event gaps) [E]."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"))
+
+
+@register(
+    "win_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative spend per customer; exact decimal accumulator →
+    identical doubles in any engine."""
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+        .cast("double").alias("running_spend"))
+
+
+@register(
+    "win_sliding_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, day_no,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                OVER w AS DOUBLE) / COUNT(*) OVER w AS sliding_avg_30d
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 date_diff('day', DATE '1990-01-01',
+                           CAST(o_orderdate AS DATE)) AS day_no
+          FROM orders)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window",),
+)
+def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 30-day average spend per customer (rangeBetween frame
+    on a numeric day ordinal). RANGE peers are identical in both
+    engines; decimal-sum/count keeps the division bit-exact."""
+    od = load(spark, sf_dir, "orders").withColumn(
+        "day_no",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")))
+    w = (Window.partitionBy("o_custkey").orderBy("day_no")
+         .rangeBetween(-30, Window.currentRow))
+    return od.select(
+        "o_custkey", "o_orderkey", "day_no",
+        (F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w)
+         .cast("double") / F.count("*").over(w)).alias("sliding_avg_30d"))
+
+
+@register(
+    "win_ntile",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+    tags=("window",),
+)
+def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing of account balances; (balance, key) order
+    is total so tile assignment is deterministic."""
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"))
