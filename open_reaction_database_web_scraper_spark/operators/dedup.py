@@ -1,1 +1,205 @@
-"""Placeholder — filled in incrementally."""
+"""Deduplication family (SURVEY.md §2.11 / north-star extensions).
+
+The LLM-training-data staples over the ``documents`` table:
+exact content-hash dedup, MinHash+LSH near-dup detection, SimHash,
+and exact n-gram Jaccard. All are pure DataFrame compositions — the
+only shuffles are the groupBys/joins the algorithms require, and all
+hashing is JVM-side ``xxhash64`` (no Python in the hot path).
+
+Scale notes (100 TB): exact dedup is one hash-aggregate on a 32-byte
+key; MinHash is explode→min-agg (shingle fan-out is bounded per doc)
+and the LSH band join only shuffles (band, hash) pairs, never text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+N_HASHES = 32          # minhash signature length
+N_BANDS = 8            # LSH bands (r = N_HASHES / N_BANDS = 4)
+SHINGLE_W = 3          # words per shingle
+
+
+def _tokens(col: str = "text") -> F.Column:
+    return F.split(F.col(col), " ")
+
+
+def _shingles(tokens: F.Column) -> F.Column:
+    """w-word shingles via a sequence of sliding slices (JVM-side).
+
+    Guarded for short docs: ``sequence(0, -1)`` in Spark generates a
+    DESCENDING array, not an empty one, so n ≤ 0 must short-circuit.
+    """
+    n = F.size(tokens) - (SHINGLE_W - 1)
+    return F.when(n >= 1, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, SHINGLE_W)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return (docs.select("doc_id",
+                        F.explode(_shingles(_tokens())).alias("shingle"))
+            .distinct())
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig array<long>[N_HASHES]) — min over per-seed
+    xxhash64 of each distinct shingle. One explode + one hash-agg."""
+    sh = doc_shingles(spark, sf_dir)
+    mins = sh.groupBy("doc_id").agg(*[
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        for i in range(N_HASHES)])
+    return mins.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig"))
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT MIN(doc_id) AS doc_id, sha256(text) AS content_sha,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+    tags=("dedup",),
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: SHA-256 the text, keep the lowest doc_id
+    per digest. A single hash aggregate — the content never shuffles
+    twice, only the 32-byte digest does."""
+    docs = load(spark, sf_dir, "documents")
+    return (docs.withColumn("content_sha", F.sha2("text", 256))
+            .groupBy("content_sha")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count("*").alias("n_copies"))
+            .select("doc_id", "content_sha", "n_copies"))
+
+
+@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    shingle → 32 minhashes → 8 bands of 4 → band-bucket self-join →
+    candidate pairs → estimated Jaccard = matching-minhash fraction,
+    kept at ≥ 0.5. Deterministic (xxhash64 with fixed per-row seeds).
+    Rows-only check: the minhash estimator is approximate by design;
+    tests pin its behavior on synthetic near-dups.
+    """
+    sig = minhash_signatures(spark, sf_dir).cache()
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: F.xxhash64(
+                F.slice("sig", b * (N_HASHES // N_BANDS) + 1,
+                        N_HASHES // N_BANDS).cast("string"))
+        )).alias("band_idx", "band_hash"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+                   & (F.col("a.band_hash") == F.col("b.band_hash"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sig").alias("sig_b"))
+    est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
+                                      lambda x, y: x == y),
+                           lambda eq: eq))
+           .cast("double") / F.lit(float(N_HASHES)))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard", est)
+            .filter(F.col("est_jaccard") >= 0.5)
+            .select("doc_a", "doc_b", "est_jaccard"))
+
+
+@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signature from token hashes
+    (bitwise majority vote), candidates via 16-bit chunk equality
+    (any doc pair within Hamming distance 3 shares ≥1 of 4 chunks),
+    verified with bit_count(xor) ≤ 3."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(_tokens()).alias("token")
+    ).withColumn("th", F.xxhash64("token"))
+    # Majority vote per bit: sum(+1/-1) over tokens, bit set if > 0.
+    votes = tok.groupBy("doc_id").agg(*[
+        F.sum(F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1))
+        .alias(f"v{i}") for i in range(64)])
+    sim = votes.select("doc_id", F.expr(
+        " + ".join(f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
+                   f" << {i})" for i in range(64))).alias("simhash"))
+    chunks = sim.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.expr(f"(simhash >> {16 * c}) & 65535") for c in range(4)
+        ])).alias("chunk_idx", "chunk_val"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("a.simhash").alias("sim_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("b.simhash").alias("sim_b"))
+            .distinct())
+    return (cand.withColumn(
+        "hamming", F.expr("bit_count(sim_a ^ sim_b)"))
+        .filter(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM tok a JOIN tok b ON a.word = b.word AND b.doc_id = a.doc_id + 1
+      GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(i.i AS DOUBLE) / (sa.n + sb.n - i.i) >= 0.3
+    """,
+    tags=("dedup",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact token-set Jaccard between adjacent doc ids (the
+    candidate-pair generator is pluggable; adjacent ids keep the
+    oracle exact while exercising the full set-similarity plumbing:
+    explode → distinct → pair join → intersection/union counts)."""
+    docs = load(spark, sf_dir, "documents")
+    tok = (docs.select("doc_id", F.explode(_tokens()).alias("word"))
+           .distinct())
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = tok.alias("a"), tok.alias("b")
+    inter = (a.join(b, (F.col("a.word") == F.col("b.word"))
+                    & (F.col("b.doc_id") == F.col("a.doc_id") + 1))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("i")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (F.col("i").cast("double")
+           / (F.col("na") + F.col("nb") - F.col("i")))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("jaccard", jac)
+            .filter(F.col("jaccard") >= 0.3)
+            .select("doc_a", "doc_b", "jaccard"))

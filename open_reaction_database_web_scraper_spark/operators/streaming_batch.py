@@ -1,1 +1,113 @@
-"""Placeholder — filled in incrementally."""
+"""Event-time windowed aggregations, batch mode (SURVEY.md §2.9).
+
+``F.window`` / ``F.session_window`` produce identical results in
+batch and streaming plans, so the oracled surface runs in batch; the
+genuinely stateful behaviors (watermark drops, streaming dedup,
+rate-limited ingest, foreachBatch retry) live in
+``streaming/jobs.py`` and register rows-only queries.
+
+Reference analogs: the incremental page-by-page crawl
+(web_scrpaer_2.py:250-281) and politeness rate limit (:459).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import dsum, dsum_sql
+from ..registry import register
+
+
+@register(
+    "stream_tumbling_count",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR
+             AS window_end,
+           event_type,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    tags=("streaming", "window"),
+)
+def stream_tumbling_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window counts per event type. The same expression under
+    ``readStream`` is an incremental stateful aggregation; in batch
+    it's a plain hash aggregate on the bucketed timestamp."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "cnt"))
+
+
+@register(
+    "stream_sliding_sum",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '15 minutes', ts)
+             - j * INTERVAL '15 minutes' AS window_start,
+           COUNT(*) AS cnt,
+           {dsum_sql('value')} AS sum_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS offs(j)
+    GROUP BY 1
+    """,
+    tags=("streaming", "window"),
+)
+def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping 1-hour windows sliding every 15 minutes. Spark
+    assigns each event to window/slide = 4 windows; the oracle
+    reproduces that with an explicit offset grid."""
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+            .agg(F.count("*").alias("cnt"), dsum("value").alias("sum_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    "cnt", "sum_value"))
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            + INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("streaming", "window", "session"),
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user (30-minute inactivity gap).
+
+    Spark's ``session_window`` merges an event into the session while
+    it starts strictly before last_ts + gap; an event exactly at the
+    boundary opens a new session. The oracle encodes the same strict
+    boundary (``ts >= prev + gap`` → new session) via lag-based
+    sessionization, so both sides agree on edge cases.
+    """
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                       "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id",
+                    F.col("w.start").alias("session_start"),
+                    F.col("w.end").alias("session_end"),
+                    "n_events"))

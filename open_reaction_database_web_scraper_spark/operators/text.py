@@ -1,1 +1,202 @@
-"""Placeholder — filled in incrementally."""
+"""Text analysis for training-data pipelines (SURVEY.md §2.11).
+
+Language ID (marker heuristic), quality scoring, token counting
+(whitespace + BPE-ish regex), n-grams, per-language token stats, and
+rolling-hash fingerprinting — all JVM-side expressions over the
+``documents`` table; the only Python is in the test suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
+
+# Keep regexes to constructs with identical semantics in Java
+# (Spark) and RE2-ish (DuckDB) dialects: plain char classes only.
+TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def _tokens() -> F.Column:
+    return F.split(F.col("text"), " ")
+
+
+@register(
+    "text_tokenize_stats",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ), kept AS (
+      SELECT * FROM tok WHERE word NOT IN {STOPWORDS!r}
+    )
+    SELECT lang,
+           COUNT(*) AS n_tokens,
+           COUNT(DISTINCT word) AS n_distinct,
+           COUNT(DISTINCT doc_id) AS n_docs
+    FROM kept GROUP BY lang
+    """,
+    tags=("text",),
+)
+def text_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize → stopword-filter → term statistics per language."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", "lang", F.explode(_tokens()).alias("word"))
+    kept = tok.filter(~F.col("word").isin(*STOPWORDS))
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.countDistinct("word").alias("n_distinct"),
+        F.countDistinct("doc_id").alias("n_docs"))
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             UNNEST(string_split(text, ' ')) AS word,
+             UNNEST(generate_series(1, len(string_split(text, ' ')))) AS pos
+      FROM documents
+    ), bi AS (
+      SELECT a.doc_id, a.word || ' ' || b.word AS bigram
+      FROM tok a JOIN tok b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT bigram, COUNT(*) AS cnt
+    FROM bi GROUP BY bigram HAVING COUNT(*) >= 10
+    """,
+    tags=("text",),
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram generation + frequency: sliding slices over the token
+    array (higher-order, no self-join on Spark's side — the oracle
+    does the positional self-join instead)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    n = F.size(toks) - 1  # number of bigrams
+    # sequence(0, -1) would generate a descending array → guard.
+    bigrams = F.when(n >= 1, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    return (docs.select(F.explode(bigrams).alias("bigram"))
+            .groupBy("bigram").agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") >= 10))
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN text LIKE '% der %' OR text LIKE '% und %' THEN 'de'
+                WHEN text LIKE '% el %'  OR text LIKE '% los %' THEN 'es'
+                WHEN text LIKE '% de %'  OR text LIKE '% le %'  THEN 'fr'
+                ELSE 'en' END AS lang_pred
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language-ID heuristic (n-gram-presence scoring
+    reduced to a deterministic rule chain; a real model slots in as
+    a pandas UDF without changing the plan shape)."""
+    docs = load(spark, sf_dir, "documents")
+    pred = (F.when(F.col("text").like("% der %")
+                   | F.col("text").like("% und %"), "de")
+            .when(F.col("text").like("% el %")
+                  | F.col("text").like("% los %"), "es")
+            .when(F.col("text").like("% de %")
+                  | F.col("text").like("% le %"), "fr")
+            .otherwise("en"))
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+             string_split(text, ' ') AS words
+      FROM documents
+    ), m AS (
+      SELECT doc_id, n_chars,
+             len(words) AS n_tokens,
+             len(list_filter(words,
+                 w -> list_contains({list(STOPWORDS)!r}, w)))
+               AS n_stop
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(n_chars AS DOUBLE) / n_tokens AS avg_token_len,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           (CAST(n_stop AS DOUBLE) / n_tokens) * 0.5
+             + (CASE WHEN n_tokens BETWEEN 20 AND 1000
+                     THEN 0.5 ELSE 0.0 END) AS quality_score
+    FROM m
+    """,
+    tags=("text",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / stopword-density signals — the
+    standard cheap pre-filter before expensive pipeline stages.
+    Pure integer counts + double ratios → bit-identical everywhere."""
+    docs = load(spark, sf_dir, "documents")
+    words = _tokens()
+    n_tokens = F.size(words)
+    n_stop = F.size(F.filter(
+        words, lambda w: w.isin(*STOPWORDS)))
+    avg_len = F.col("n_chars").cast("double") / n_tokens
+    stop_ratio = n_stop.cast("double") / n_tokens
+    score = (stop_ratio * 0.5
+             + F.when(n_tokens.between(20, 1000), 0.5).otherwise(0.0))
+    return docs.select(
+        "doc_id", n_tokens.cast("long").alias("n_tokens"),
+        avg_len.alias("avg_token_len"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"))
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '{TOKEN_RE}')) AS BIGINT)
+             AS bpe_ish_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace split and a BPE-ish
+    regex (letter runs / digit runs / single punctuation) — the
+    cheap proxy for LLM token budgeting."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("long").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(TOKEN_RE), 0))
+        .cast("long").alias("bpe_ish_tokens"))
+
+
+@register("text_fingerprint", oracle=None, tags=("text", "approx"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-style): hash all
+    8-token shingles, keep the minimum and the count of distinct
+    shingle hashes. Deterministic xxhash64; rows-only (hash values
+    are engine-specific)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    w = 8
+    n = F.greatest(F.size(toks) - (w - 1), F.lit(1))  # ≥1: short docs
+    shingle_hashes = F.transform(                     # hash whole doc
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, w))))
+    return docs.select(
+        "doc_id",
+        F.array_min(shingle_hashes).alias("fingerprint"),
+        F.size(F.array_distinct(shingle_hashes)).alias("n_shingles"))

@@ -65,3 +65,4 @@ def load_all_operators() -> None:
         vectors,
         windows,
     )
+    from .streaming import jobs  # noqa: F401

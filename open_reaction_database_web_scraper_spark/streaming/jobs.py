@@ -1,0 +1,175 @@
+"""True Structured Streaming jobs (SURVEY.md §2.9, stateful rows).
+
+Each job replays ``events`` as a file stream (the table split into
+time-ordered chunk files with staggered mtimes so micro-batch order
+is deterministic), runs a stateful streaming query to completion
+with ``availableNow``, and returns the final result as a DataFrame.
+These register rows-only driver checks — streaming semantics aren't
+SQL-expressible — but each is asserted against its batch twin in
+tests.
+
+Reference analogs: per-record retry loop (web_scrpaer_2.py:338-385),
+seen-set dedup (:422), politeness rate limit (:459).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Raw parquet schema of the chunk files we write (ts kept as NTZ —
+# we rewrite the chunks ourselves, so no nanos issue on re-read).
+_EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
+                  "event_type string, value double, props string")
+
+
+def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
+                        n_chunks: int = 4) -> str:
+    """Materialize events as n time-ordered chunk files for replay.
+
+    Chunk k holds the k-th quantile of event time; file mtimes are
+    staggered ascending so the file-stream source (which orders by
+    modification time) replays them in event-time order — a
+    deterministic stand-in for an arriving stream.
+    """
+    ev = load(spark, sf_dir, "events")
+    if copies > 1:
+        dup = ev
+        for _ in range(copies - 1):
+            dup = dup.unionByName(ev)
+        ev = dup
+    chunk = F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    out = tempfile.mkdtemp(prefix="ordspark_stream_src_")
+    chunked = ev.withColumn("chunk", chunk)
+    for k in range(1, n_chunks + 1):
+        (chunked.filter(F.col("chunk") == k).drop("chunk")
+         .coalesce(1).write.mode("append").parquet(out))
+    # Stagger mtimes in chunk order (append wrote them in order, but
+    # make it explicit and strictly increasing).
+    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+    now = time.time()
+    for i, f in enumerate(files):
+        os.utime(os.path.join(out, f), (now + i, now + i))
+    return out
+
+
+def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Drain an availableNow stream into a memory sink, return it."""
+    name = "s" + uuid.uuid4().hex[:12]
+    q = (stream_df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register("stream_watermark_late", oracle=None, tags=("streaming", "stateful"))
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling aggregation in append mode: state for a
+    window is finalized (and late rows dropped) once the watermark
+    passes its end. Replayed over 4 time-ordered micro-batches; the
+    returned frame is every finalized window."""
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    # Watermarks require TIMESTAMP (with zone); NTZ → LTZ cast.
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("cnt"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "cnt"))
+    return _run_to_memory(agg, "append")
+
+
+@register("stream_dedup_stateful", oracle=None, tags=("streaming", "stateful"))
+def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once id dedup over a stream that delivers every event
+    twice — the reference's seen-set (web_scrpaer_2.py:422) as
+    ``dropDuplicates`` state. Result equals the batch distinct
+    counts: the duplicate deliveries are absorbed by state."""
+    src = _chunked_events_dir(spark, sf_dir, copies=2)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    deduped = (stream.withWatermark("ts", "1 hour")
+               .dropDuplicates(["event_id"])
+               .groupBy("event_type").agg(F.count("*").alias("n_unique")))
+    return _run_to_memory(deduped, "complete")
+
+
+@register("stream_rate_limit", oracle=None, tags=("streaming", "operational"))
+def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ingest rate — the reference's politeness sleep and
+    3-worker cap (web_scrpaer_2.py:459,470) as ``maxFilesPerTrigger``
+    source throttling. Returns (n_batches, total_rows): 4 batches of
+    one chunk file each."""
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    batches: list[tuple[int, int]] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batches.append((batch_id, batch_df.count()))
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.createDataFrame(
+        [(len(batches), sum(n for _, n in batches))],
+        "n_batches int, total_rows long")
+
+
+@register("stream_foreachbatch_retry", oracle=None,
+          tags=("streaming", "stateful"))
+def stream_foreachbatch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch sink with retry + dead-letter — the reference's
+    per-record retry loop (web_scrpaer_2.py:336-385, max_retries=3)
+    in ``foreachBatch``: a batch whose rows contain failures
+    ('error' events) is retried; rows still failing after 3 attempts
+    are routed to a dead-letter sink instead of poisoning the batch.
+    Returns (outcome, n_rows) counts across the whole stream."""
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    good_dir = tempfile.mkdtemp(prefix="ordspark_fb_good_")
+    dead_dir = tempfile.mkdtemp(prefix="ordspark_fb_dead_")
+    attempts: dict[int, int] = {}
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        max_retries = 3
+        for attempt in range(1, max_retries + 1):
+            attempts[batch_id] = attempt
+            try:
+                bad = batch_df.filter(F.col("event_type") == "error")
+                # Simulated transient failure: batches containing
+                # failed records fail wholesale until the last retry,
+                # mirroring the reference's retry-then-give-up.
+                if attempt < max_retries and bad.limit(1).count() > 0:
+                    raise RuntimeError("transient sink failure")
+                good = batch_df.filter(F.col("event_type") != "error")
+                good.write.mode("append").parquet(good_dir)
+                bad.write.mode("append").parquet(dead_dir)
+                return
+            except RuntimeError:
+                if attempt == max_retries:
+                    raise
+                continue
+
+    q = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ordspark_fb_ckpt_"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    good = spark.read.schema(_EVENTS_SCHEMA).parquet(good_dir)
+    dead = spark.read.schema(_EVENTS_SCHEMA).parquet(dead_dir)
+    return (good.select(F.lit("processed").alias("outcome"))
+            .unionByName(dead.select(F.lit("dead_letter").alias("outcome")))
+            .groupBy("outcome").agg(F.count("*").alias("n_rows")))
