@@ -60,8 +60,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = HEADLINE + [q for q in OPTIONAL if q in REGISTRY]
-    # Warm the session (JVM classloading, codegen) on a trivial job.
+    # Warm the session: JVM classloading, codegen, parquet reader +
+    # noop-sink init — so the first timed query doesn't pay one-time
+    # session costs that a long-lived cluster amortizes.
     spark.range(1000).count()
+    (spark.read.parquet(f"{sf_dir}/region.parquet")
+     .write.format("noop").mode("overwrite").save())
 
     timings: dict[str, float] = {}
     for name in names:

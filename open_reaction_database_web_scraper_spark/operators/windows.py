@@ -160,16 +160,19 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "win_ntile",
     oracle="""
-    SELECT c_custkey, c_acctbal,
-           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           NTILE(4) OVER (PARTITION BY c_nationkey
+                          ORDER BY c_acctbal, c_custkey) AS balance_quartile
     FROM customer
     """,
     tags=("window",),
 )
 def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quartile bucketing of account balances; (balance, key) order
-    is total so tile assignment is deterministic."""
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    """Quartile bucketing of account balances within each nation;
+    (balance, key) order is total so tile assignment is deterministic.
+    Partitioned window on purpose: a global NTILE is a single-partition
+    sort — unusable at scale — whereas per-nation quartiles distribute."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return load(spark, sf_dir, "customer").select(
-        "c_custkey", "c_acctbal",
+        "c_custkey", "c_nationkey", "c_acctbal",
         F.ntile(4).over(w).alias("balance_quartile"))

@@ -1,0 +1,121 @@
+"""Physical-plan shape assertions (SURVEY.md §4).
+
+Correctness says WHAT a query returns; these tests pin HOW Spark
+executes it — the properties that decide whether the same plan
+survives a 1000-executor / 100 TB scale-up:
+
+- small dimensions broadcast (no shuffle of the big side's rows),
+- filters and projections reach the parquet scan,
+- aggregates run partial (map-side combine) before the exchange,
+- hot-path queries stay inside whole-stage codegen (no Python eval).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+
+load_all_operators()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """region/nation/customer are tiny: every join in the star must be
+    a broadcast-hash join — zero shuffles of the orders fact side."""
+    plan = plan_of(spark, sf_dir, "join_multiway_star")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_enum_decode_broadcasts(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "join_broadcast_lookup")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_large_join_is_shuffle_on_key(spark, sf_dir):
+    """orders ⋈ lineitem is large-large: sort-merge (or shuffled hash)
+    on the join key is the right plan, not a nested loop. At sf0.001
+    both sides fit under the broadcast threshold, so disable it to see
+    the plan the query would get at scale."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "join_shuffle_equi")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Predicate on the scan must appear in PushedFilters, not only as
+    a post-scan Filter node."""
+    plan = plan_of(spark, sf_dir, "filter_eq")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m and m.group(1).strip(), f"no pushed filters:\n{plan}"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column projection over lineitem (16 cols) must read only
+    what it needs: ReadSchema lists the projected columns only."""
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m is not None
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_agg_is_partial_then_final(spark, sf_dir):
+    """groupBy aggregates must map-side combine (two HashAggregate
+    nodes around the exchange), shrinking the shuffle to one row per
+    (partition, group)."""
+    plan = plan_of(spark, sf_dir, "agg_count_per_group")
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_hot_paths_have_no_python_eval(spark, sf_dir):
+    """Core relational queries must stay JVM-side: no BatchEvalPython
+    (row-at-a-time Python UDF) anywhere in their plans. (The udf_*
+    queries exercise the escape hatch deliberately and are exempt.)"""
+    for name in ["agg_multi", "join_multiway_star", "win_topk_per_group",
+                 "dedup_exact_hash", "vector_topk_similarity",
+                 "text_tokenize_stats", "dedup_minhash_lsh"]:
+        plan = plan_of(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, f"{name} fell out of the JVM"
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a
+    per-partition top-k + merge, never a full global sort."""
+    plan = plan_of(spark, sf_dir, "topk_order_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_agg(spark, sf_dir):
+    """The pricing-summary agg must compile into ≥1 whole-stage-codegen
+    subtree (AQE's formatted plan hides them pre-execution, so ask the
+    codegen explain mode directly)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        df = REGISTRY["agg_multi"].fn(spark, sf_dir)
+        code = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen")
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    m = re.search(r"Found (\d+) WholeStageCodegen subtrees", code)
+    assert m and int(m.group(1)) >= 1, code.splitlines()[0]
