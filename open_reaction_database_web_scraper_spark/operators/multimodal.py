@@ -89,3 +89,85 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return back.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_BYTES = 256   # bytes per "frame" of the opaque payload
+FRAME_STRIDE = 4    # keep every 4th frame
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH assets AS (
+      SELECT doc_id AS asset_id, octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), idx AS (
+      SELECT asset_id, n_bytes,
+             UNNEST(generate_series(
+               0, CAST(ceil(n_bytes / {FRAME_BYTES}.0) AS BIGINT) - 1))
+               AS frame_idx
+      FROM assets WHERE n_bytes > 0
+    )
+    SELECT asset_id, frame_idx,
+           LEAST({FRAME_BYTES}, n_bytes - frame_idx * {FRAME_BYTES})
+             AS frame_len
+    FROM idx WHERE frame_idx % {FRAME_STRIDE} = 0
+    """,
+    tags=("multimodal",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque media payload — every
+    FRAME_STRIDE-th fixed-size byte window becomes its own row, the
+    video-keyframe pattern (last partial frame kept). Pure JVM
+    (sequence → transform → posexplode on binary substring): sampling
+    never leaves codegen; only an eventual decode of the kept frames
+    would drop to a pandas UDF. The oracle cross-checks frame count,
+    sampling pattern, and byte lengths (DuckDB can't slice blobs, so
+    it derives lengths arithmetically — the Spark side measures the
+    real sliced bytes)."""
+    assets = assets_frame(spark, sf_dir)
+    n_frames = F.ceil(F.col("meta.n_bytes") / F.lit(float(FRAME_BYTES)))
+    frames = (assets
+              .filter(F.col("meta.n_bytes") > 0)
+              .select(
+                  "asset_id",
+                  F.posexplode(F.transform(
+                      F.sequence(F.lit(0).cast("bigint"), n_frames - 1),
+                      lambda i: F.substring(
+                          F.col("payload"),
+                          (i * FRAME_BYTES + 1).cast("int"),
+                          FRAME_BYTES))).alias("frame_idx", "frame")))
+    return (frames.filter(F.col("frame_idx") % FRAME_STRIDE == 0)
+            .select("asset_id", F.col("frame_idx").cast("bigint"),
+                    F.octet_length("frame").cast("bigint")
+                    .alias("frame_len")))
+
+
+RESIZE_SCHEMA = ("asset_id bigint, fmt string, orig_bytes long, "
+                 "resized_bytes long, target_w int, target_h int")
+
+
+@register("multimodal_resize_stub", oracle=None, tags=("multimodal",))
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize pass: ``mapInPandas`` over Arrow batches, one Python
+    round-trip per partition — the batch shape a real pillow/opencv
+    resize would use. The codec is the deterministic stub (payload
+    resampled by byte-striding to a fixed budget); ``decode_real`` is
+    the marked integration point for a real library."""
+    assets = assets_frame(spark, sf_dir)
+    target_w, target_h, budget = 64, 64, 4096
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [p[:: max(1, len(p) // budget)] if p else b""
+                       for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "fmt": [m["fmt"] for m in pdf["meta"]],
+                "orig_bytes": [m["n_bytes"] for m in pdf["meta"]],
+                "resized_bytes": [len(r) for r in resized],
+                "target_w": pd.array([target_w] * len(pdf), dtype="int32"),
+                "target_h": pd.array([target_h] * len(pdf), dtype="int32"),
+            })
+
+    return assets.mapInPandas(resize, RESIZE_SCHEMA)

@@ -70,48 +70,136 @@ def vector_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "cosine"))
 
 
+N_TABLES = 4       # OR-amplification: candidate if ANY table collides
+BITS_PER_TABLE = 6
+
+
+def _hyperplane_bit(vec: F.Column, plane: int) -> F.Column:
+    """Sign bit of dot(vec, plane): plane components in [-0.5, 0.5)
+    are deterministic pseudo-randoms from xxhash64(plane, dim) —
+    reproducible with no RNG state, computable inline in codegen."""
+    return (F.aggregate(
+        F.zip_with(
+            vec,
+            F.transform(
+                F.sequence(F.lit(0), F.size(vec) - 1),
+                lambda d: (F.pmod(F.xxhash64(F.lit(plane), d), 1000)
+                           .cast("double") / 1000.0 - 0.5)),
+            lambda x, w: x * w),
+        F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
+
+
+def _lsh_tables(vec: F.Column) -> F.Column:
+    """array of N_TABLES bucket signatures, table t using planes
+    [t*BITS_PER_TABLE, (t+1)*BITS_PER_TABLE)."""
+    sigs = []
+    for t in range(N_TABLES):
+        sig = F.lit(0)
+        for i in range(BITS_PER_TABLE):
+            bit = _hyperplane_bit(vec, t * BITS_PER_TABLE + i)
+            sig = sig + bit * F.lit(2 ** i)
+        sigs.append(sig)
+    return F.array(*sigs)
+
+
 @register("vector_ann_lsh", oracle=None, tags=("vector", "approx"))
 def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate NN via random-hyperplane (sign) LSH.
+    """Approximate NN via multi-table random-hyperplane (sign) LSH.
 
-    Hyperplane components are deterministic pseudo-randoms derived
-    from xxhash64(plane, dim) — reproducible with no RNG state. Each
-    vector gets an 8-bit bucket signature; queries only score
-    vectors in their own bucket. This is the 100 TB shape: the
-    cross-join shrinks from |Q|×|C| to per-bucket volumes, and the
-    bucket join is a plain hash join on a byte."""
+    N_TABLES independent 6-bit signatures per vector; a corpus vector
+    is a candidate for a query if ANY table's buckets collide
+    (OR-amplification — the standard recall lever). Candidates are
+    deduped then exactly reranked by cosine. 100 TB shape: vectors
+    shuffle as (table, bucket) keys — |rows| × N_TABLES, never
+    |Q|×|C| — and the bucket join is a plain hash join."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-
-    def bucket(vec: F.Column) -> F.Column:
-        # sign bit per plane: dot(vec, plane) > 0, plane components
-        # in [-0.5, 0.5) from a hash of (plane index, dimension).
-        bits = [
-            (F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size(vec) - 1),
-                        lambda d: (F.pmod(F.xxhash64(F.lit(p), d), 1000)
-                                   .cast("double") / 1000.0 - 0.5)),
-                    lambda x, w: x * w),
-                F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
-            for p in range(N_PLANES)
-        ]
-        out = F.lit(0)
-        for i, b in enumerate(bits):
-            out = out + (b * F.lit(2 ** i))
-        return out
-
-    qb = queries.withColumn("bucket", bucket(F.col("q")))
-    cb = corpus.withColumn("bucket", bucket(F.col("c")))
-    scored = (qb.join(cb, "bucket")
+    qb = queries.select(
+        "query_id", "q",
+        F.posexplode(_lsh_tables(F.col("q"))).alias("table_id", "bucket"))
+    cb = corpus.select(
+        "neighbor_id",
+        F.posexplode(_lsh_tables(F.col("c"))).alias("table_id", "bucket"))
+    cand = (qb.join(cb, ["table_id", "bucket"])
+            .select("query_id", "q", "neighbor_id")
+            .dropDuplicates(["query_id", "neighbor_id"]))
+    scored = (cand.join(corpus, "neighbor_id")
               .withColumn("cosine",
                           cosine_similarity(F.col("q"), F.col("c"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "neighbor_id", "cosine", "bucket"))
+            .select("query_id", "neighbor_id", "cosine"))
+
+
+N_CELLS = 8        # IVF coarse cells
+N_PROBE = 2        # cells probed per query
+
+
+@register("vector_ann_ivf", oracle=None, tags=("vector", "approx"))
+def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via an IVF (inverted-file) coarse quantizer.
+
+    Train: seed centroids = the first N_CELLS corpus vectors (by
+    vec_id — deterministic), refined by one Lloyd iteration computed
+    distributively (posexplode dims → per-(cell, dim) mean → re-nest).
+    Index: each corpus vector is assigned to its nearest centroid —
+    a broadcast join against N_CELLS rows + ``min_by`` argmin, one
+    shuffle keyed by vec_id. Probe: each query scores only the
+    N_PROBE nearest cells' members.
+
+    100 TB shape: the index assignment is a linear scan with a
+    broadcast of K centroids; the probe join is an equi-join on
+    cell_id, so a query touches |corpus| * N_PROBE / N_CELLS rows
+    instead of the full corpus.
+    """
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+
+    # --- train: deterministic seeds + one distributed Lloyd step.
+    seeds = (corpus.orderBy("neighbor_id").limit(N_CELLS)
+             .withColumn("cell_id",
+                         F.row_number().over(
+                             Window.orderBy("neighbor_id")) - 1)
+             .select("cell_id", F.col("c").alias("centroid")))
+    assign0 = (corpus.crossJoin(F.broadcast(seeds))
+               .withColumn("dist", -dot(F.col("c"), F.col("centroid")))
+               .groupBy("neighbor_id")
+               .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
+               .select(F.col("m.cell_id").alias("cell_id"),
+                       F.col("m.c").alias("c")))
+    centroids = (assign0
+                 .select("cell_id", F.posexplode("c").alias("dim", "x"))
+                 .groupBy("cell_id", "dim").agg(F.avg("x").alias("mu"))
+                 .groupBy("cell_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+                 .select("cell_id",
+                         F.transform("dm", lambda s: s["mu"])
+                         .alias("centroid")))
+
+    # --- index: nearest refined centroid per corpus vector.
+    index = (corpus.crossJoin(F.broadcast(centroids))
+             .withColumn("dist", -dot(F.col("c"), F.col("centroid")))
+             .groupBy("neighbor_id")
+             .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
+             .select(F.col("m.cell_id").alias("cell_id"),
+                     F.col("neighbor_id"), F.col("m.c").alias("c")))
+
+    # --- probe: N_PROBE nearest cells per query, then exact rerank.
+    wq = Window.partitionBy("query_id").orderBy("qdist", "cell_id")
+    probes = (queries.crossJoin(F.broadcast(centroids))
+              .withColumn("qdist", -dot(F.col("q"), F.col("centroid")))
+              .withColumn("prb", F.row_number().over(wq))
+              .filter(F.col("prb") <= N_PROBE)
+              .select("query_id", "q", "cell_id"))
+    scored = (probes.join(index, "cell_id")
+              .withColumn("cosine",
+                          cosine_similarity(F.col("q"), F.col("c"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine", "cell_id"))
 
 
 @register(
