@@ -49,14 +49,19 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
     chunk = F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
     out = tempfile.mkdtemp(prefix="ordspark_stream_src_")
     chunked = ev.withColumn("chunk", chunk)
+    # Parquet part files get UUID names, so chunk order can't be
+    # recovered from filenames afterwards — record which file each
+    # chunk produced as it lands, then stagger mtimes in CHUNK order
+    # (the file source replays by ascending mtime).
+    ordered: list[str] = []
     for k in range(1, n_chunks + 1):
+        before = {f for f in os.listdir(out) if f.endswith(".parquet")}
         (chunked.filter(F.col("chunk") == k).drop("chunk")
          .coalesce(1).write.mode("append").parquet(out))
-    # Stagger mtimes in chunk order (append wrote them in order, but
-    # make it explicit and strictly increasing).
-    files = sorted(f for f in os.listdir(out) if f.endswith(".parquet"))
+        after = {f for f in os.listdir(out) if f.endswith(".parquet")}
+        ordered.extend(sorted(after - before))
     now = time.time()
-    for i, f in enumerate(files):
+    for i, f in enumerate(ordered):
         os.utime(os.path.join(out, f), (now + i, now + i))
     return out
 

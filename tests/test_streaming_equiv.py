@@ -1,0 +1,120 @@
+"""Streaming equivalence (SURVEY.md §5): the streamed result of a
+windowed aggregation over the file-replayed events table equals the
+batch result of the same query — micro-batching must not change
+semantics when no rows are late.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from open_reaction_database_web_scraper_spark.catalog import load
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+from open_reaction_database_web_scraper_spark.streaming.jobs import (
+    _chunked_events_dir,
+    _EVENTS_SCHEMA,
+    _run_to_memory,
+)
+
+load_all_operators()
+
+
+def _batch_tumbling(spark, sf_dir):
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp"))
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("cnt"))
+            .select(F.col("w.start").alias("window_start"),
+                    "event_type", "cnt"))
+
+
+def test_stream_tumbling_equals_batch(spark, sf_dir):
+    """Replay events in 4 time-ordered micro-batches with a watermark;
+    in-order replay means nothing is late, so every finalized window
+    matches the batch aggregation exactly."""
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("cnt"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "cnt"))
+    streamed = {(r.window_start, r.event_type): r.cnt
+                for r in _run_to_memory(agg, "append").collect()}
+    batch = {(r.window_start, r.event_type): r.cnt
+             for r in _batch_tumbling(spark, sf_dir).collect()}
+    # Append mode emits a window only once the watermark passes its
+    # end; windows newer than (max_ts - 10 min) are still open when
+    # the availableNow replay drains, so they are legitimately absent.
+    import datetime
+
+    max_ts = (load(spark, sf_dir, "events")
+              .agg(F.max(F.col("ts").cast("timestamp"))).collect()[0][0])
+    wm = max_ts - datetime.timedelta(minutes=10)
+    finalized = {k: v for k, v in batch.items()
+                 if k[0] + datetime.timedelta(hours=1) <= wm}
+    assert streamed == finalized
+    assert len(finalized) > 0.5 * len(batch)  # replay covers most windows
+
+
+def test_watermark_drops_late_rows(spark, sf_dir):
+    """Out-of-order replay: appending a chunk of the OLDEST events
+    after the watermark has advanced past them must not resurrect
+    closed windows — the late rows are dropped, so the result is the
+    batch aggregation of the on-time subset only."""
+    import os
+    import time
+
+    src = _chunked_events_dir(spark, sf_dir)
+    # Chunk order is mtime order (filenames are parquet UUIDs).
+    files = sorted((f for f in os.listdir(src) if f.endswith(".parquet")),
+                   key=lambda f: os.path.getmtime(os.path.join(src, f)))
+    # Replay order: chunks 2,3,4 then chunk 1 (oldest quartile last).
+    now = time.time()
+    for i, f in enumerate(files[1:]):
+        os.utime(os.path.join(src, f), (now + i, now + i))
+    os.utime(os.path.join(src, files[0]), (now + 10, now + 10))
+
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+           .agg(F.count("*").alias("cnt"))
+           .select(F.col("w.start").alias("window_start"),
+                   "event_type", "cnt"))
+    streamed = {(r.window_start, r.event_type): r.cnt
+                for r in _run_to_memory(agg, "append").collect()}
+    full_batch = {(r.window_start, r.event_type): r.cnt
+                  for r in _batch_tumbling(spark, sf_dir).collect()}
+    # The late chunk's windows are strictly before the advanced
+    # watermark: its rows must be missing or partial, never counted
+    # beyond the batch truth.
+    assert streamed != full_batch
+    assert all(cnt <= full_batch[k] for k, cnt in streamed.items())
+
+
+def test_embed_cosine_flags_planted_near_dups(spark):
+    """dedup_embed_cosine's candidate+verify machinery on planted
+    duplicates: identical and ε-perturbed vectors are found, an
+    orthogonal vector is not. (The sf tables are random vectors with
+    no true near-dups — 0 rows there is correct — so this test
+    plants its own.)"""
+    import tempfile
+
+    base = [1.0, 0.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5]
+    near = [x * 1.001 + (0.0001 if i == 0 else 0) for i, x in enumerate(base)]
+    ortho = [0.0, 5.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    rows = [(0, base), (1, near), (2, ortho)]
+    d = tempfile.mkdtemp(prefix="ordspark_embtest_")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = REGISTRY["dedup_embed_cosine"].fn(spark, d).collect()
+    pairs = {(r.vec_a, r.vec_b) for r in out}
+    assert (0, 1) in pairs
+    assert all(2 not in p for p in pairs)
