@@ -43,8 +43,10 @@ OPTIONAL = [
     "dedup_exact_hash",
     "dedup_minhash_lsh",
     "vector_topk_similarity",
+    "vector_ann_ivf",
     "text_tokenize_stats",
     "stream_tumbling_count",
+    "join_salted_skew",
 ]
 
 

@@ -209,3 +209,26 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cube("l_returnflag", "l_linestatus")
             .agg(F.count("*").alias("cnt"),
                  dsum("l_extendedprice").alias("sum_price")))
+
+
+@register(
+    "agg_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS cnt, {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("agg",),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (per-flag, per-status, grand total) —
+    the SQL surface of the engine; one Expand + one hash aggregate,
+    not three scans."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS cnt, {dsum_sql('l_extendedprice')} AS sum_price
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """)

@@ -271,3 +271,41 @@ def join_cross_smallk(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
+
+
+@register(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_items,
+           {dsum_sql('l.l_extendedprice')} AS revenue
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit key-salting for skewed joins (SURVEY.md §7: the ORD
+    corpus has one dataset with 100 reactions vs median 5 — 20× key
+    skew is real).
+
+    The skewed fact side appends a deterministic salt in [0, S) to
+    the join key; the other side is replicated S times (one row per
+    salt) so every (key, salt) pair still matches. The hot key's rows
+    now spread across S reducers instead of one straggler task.
+    Salting is correctness-neutral — the oracle is the plain join.
+    AQE's skew-join split handles this automatically when it can;
+    explicit salting is the hand tool for sources AQE can't rebalance
+    (e.g. skew appearing after a non-join stage).
+    """
+    n_salts = 8
+    li = load(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                       F.lit(n_salts)).cast("int"))
+    od = load(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return (od.join(li, (od.o_orderkey == li.l_orderkey)
+                    & (od.salt == li.salt))
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_items"),
+                 dsum("l_extendedprice").alias("revenue")))

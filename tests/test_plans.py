@@ -106,6 +106,39 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir):
+    """A filter on the partition column of a partitionBy layout must
+    become a PartitionFilter (directory pruning — the 100 TB lever
+    for per-dataset layouts), not a row-level filter."""
+    import tempfile
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity", "l_returnflag"))
+    out = tempfile.mkdtemp(prefix="ordspark_prune_")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    pruned = spark.read.parquet(out).filter(F.col("l_returnflag") == "R")
+    plan = pruned._sc._jvm.PythonSQLUtils.explainString(
+        pruned._jdf.queryExecution(), "formatted")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1), plan
+
+
+def test_salted_join_spreads_hot_keys(spark, sf_dir):
+    """The salted join must key the shuffle on (key, salt) — visible
+    as both columns in the join condition — and still produce the
+    plain join's totals (oracle parity covers values; here we pin
+    that the salt survives into the physical join keys)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "join_salted_skew")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    m = re.search(r"(?:SortMergeJoin|ShuffledHashJoin).*?\[([^\]]*salt[^\]]*)\]",
+                  plan, re.S)
+    assert m is not None, plan
+
+
 def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     """The pricing-summary agg must compile into ≥1 whole-stage-codegen
     subtree (AQE's formatted plan hides them pre-execution, so ask the
