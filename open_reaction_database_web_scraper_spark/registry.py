@@ -55,6 +55,7 @@ def load_all_operators() -> None:
         filters,
         joins,
         multimodal,
+        ord_queries,
         scalars,
         scans,
         setops,
