@@ -102,7 +102,32 @@ def ord_plan_uniform_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("reaction_ord").cast("long").alias("reaction_ord"))
 
 
-@register("ord_plan_single_target", oracle=None, tags=("ord", "plan"))
+@register(
+    "ord_plan_single_target",
+    oracle=f"""
+    WITH doc AS (
+      SELECT json(content) AS j FROM read_text('{GOLDEN_ONE}')
+    ), ds AS (
+      SELECT k AS dataset_id,
+             CAST(json_extract(j, '$.' || k || '.reactions') AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), ds_ord AS (
+      SELECT dataset_id, rx,
+             ROW_NUMBER() OVER (ORDER BY dataset_id) AS dataset_ord
+      FROM ds
+    ), flat AS (
+      SELECT dataset_id, dataset_ord,
+             UNNEST(rx) AS r,
+             UNNEST(generate_series(1, len(rx))) AS reaction_ord
+      FROM ds_ord WHERE dataset_ord = 50
+    )
+    SELECT dataset_id, CAST(dataset_ord AS INT) AS dataset_ord,
+           json_extract_string(r, '$.reaction_id') AS reaction_id,
+           CAST(reaction_ord AS INT) AS reaction_ord
+    FROM flat WHERE reaction_ord = 1
+    """,
+    tags=("ord", "plan"),
+)
 def ord_plan_single_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mode 5 (single target): dataset ordinal 50, reaction 1 —
     main()'s collapse of target mode into equal bounds

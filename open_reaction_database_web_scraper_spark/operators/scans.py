@@ -72,12 +72,22 @@ def source_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("user_id").limit(10))
 
 
-@register("sink_json", oracle=None, tags=("sink",))
+@register(
+    "sink_json",
+    oracle="""
+    SELECT o_custkey,
+           list_sort(list(o_orderkey)) AS order_keys,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_custkey
+    """,
+    tags=("sink",),
+)
 def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON sink round-trip — the reference's ``json.dump`` of nested
     per-dataset records (web_scrpaer_2.py:545-548). Writes nested
-    rows as JSON lines, re-reads them, and returns the re-read frame
-    so the driver verifies the round trip (rows-only)."""
+    rows as JSON lines, re-reads them, and returns the re-read frame;
+    the oracle checks the round-tripped values against the source —
+    a sink bug (lost rows, mangled arrays) breaks the hash match."""
     nested = (load(spark, sf_dir, "orders")
               .groupBy("o_custkey")
               .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
@@ -89,7 +99,14 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "order_keys", "n_orders")
 
 
-@register("sink_parquet_partitioned", oracle=None, tags=("sink",))
+@register(
+    "sink_parquet_partitioned",
+    oracle="""
+    SELECT l_returnflag, COUNT(*) AS cnt
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_returnflag
+    """,
+    tags=("sink",),
+)
 def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Partitioned parquet sink — the per-dataset keying of the
     reference's output map (web_scrpaer_2.py:530-535) as a

@@ -4,9 +4,10 @@ Each job replays ``events`` as a file stream (the table split into
 time-ordered chunk files with staggered mtimes so micro-batch order
 is deterministic), runs a stateful streaming query to completion
 with ``availableNow``, and returns the final result as a DataFrame.
-These register rows-only driver checks — streaming semantics aren't
-SQL-expressible — but each is asserted against its batch twin in
-tests.
+In-order replay makes every job's final state deterministic, so each
+registers a full DuckDB oracle (the batch-SQL statement of what the
+stream must converge to); micro-batch/watermark mechanics are
+additionally pinned by tests/test_streaming_equiv.py.
 
 Reference analogs: per-record retry loop (web_scrpaer_2.py:338-385),
 seen-set dedup (:422), politeness rate limit (:459).
@@ -75,7 +76,19 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     return stream_df.sparkSession.table(name)
 
 
-@register("stream_watermark_late", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_watermark_late",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events)
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events
+    GROUP BY 1, 2
+    HAVING window_start + INTERVAL 1 HOUR
+           <= (SELECT m FROM mx) - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling aggregation in append mode: state for a
     window is finalized (and late rows dropped) once the watermark
@@ -89,12 +102,19 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count("*").alias("cnt"))
-           .select(F.col("w.start").alias("window_start"),
-                   "event_type", "cnt"))
+           .select(F.col("w.start").cast("timestamp_ntz")
+                   .alias("window_start"), "event_type", "cnt"))
     return _run_to_memory(agg, "append")
 
 
-@register("stream_dedup_stateful", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_dedup_stateful",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-once id dedup over a stream that delivers every event
     twice — the reference's seen-set (web_scrpaer_2.py:422) as
@@ -110,7 +130,14 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "complete")
 
 
-@register("stream_rate_limit", oracle=None, tags=("streaming", "operational"))
+@register(
+    "stream_rate_limit",
+    oracle="""
+    SELECT CAST(4 AS INTEGER) AS n_batches, COUNT(*) AS total_rows
+    FROM events
+    """,
+    tags=("streaming", "operational"),
+)
 def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded ingest rate — the reference's politeness sleep and
     3-worker cap (web_scrpaer_2.py:459,470) as ``maxFilesPerTrigger``
@@ -132,8 +159,17 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_batches int, total_rows long")
 
 
-@register("stream_foreachbatch_retry", oracle=None,
-          tags=("streaming", "stateful"))
+@register(
+    "stream_foreachbatch_retry",
+    oracle="""
+    SELECT 'processed' AS outcome, COUNT(*) AS n_rows
+    FROM events WHERE event_type <> 'error'
+    UNION ALL
+    SELECT 'dead_letter' AS outcome, COUNT(*) AS n_rows
+    FROM events WHERE event_type = 'error'
+    """,
+    tags=("streaming", "stateful"),
+)
 def stream_foreachbatch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-batch sink with retry + dead-letter — the reference's
     per-record retry loop (web_scrpaer_2.py:336-385, max_retries=3)

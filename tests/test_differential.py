@@ -44,6 +44,17 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert len(df.columns) > 0
 
 
+def test_approx_count_distinct_within_rsd(spark, sf_dir):
+    """HLL++ estimate must land within ~3× the configured 2% relative
+    standard deviation of the exact distinct counts."""
+    est = REGISTRY["agg_approx_count_distinct"].fn(spark, sf_dir).collect()[0]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.agg(F.countDistinct("l_partkey").alias("p"),
+                   F.countDistinct("l_orderkey").alias("o")).collect()[0]
+    assert abs(est.approx_parts - exact.p) <= max(3, 0.06 * exact.p)
+    assert abs(est.approx_orders - exact.o) <= max(3, 0.06 * exact.o)
+
+
 def test_stream_dedup_representative(spark, sf_dir):
     """One true-streaming job in the fast suite: stateful dedup over a
     doubled replay equals the batch distinct counts."""
