@@ -214,3 +214,58 @@ def stream_foreachbatch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (good.select(F.lit("processed").alias("outcome"))
             .unionByName(dead.select(F.lit("dead_letter").alias("outcome")))
             .groupBy("outcome").agg(F.count("*").alias("n_rows")))
+
+
+@register(
+    "stream_custom_stateful",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: a
+    per-user running (count, sum) accumulator carried in explicit
+    group state across micro-batches — the escape hatch for stateful
+    logic Spark's built-in operators can't express (the reference's
+    per-dataset accumulators, web_scrpaer_2.py:461-462, if they had
+    to survive batch boundaries). Each batch emits the updated
+    running totals; the converged final row per user equals the
+    batch GROUP BY, which is the oracle."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def update(key, pdfs, state: GroupState):
+        # Exact accumulation: values are ≤2-decimal, so a 1e-4-scaled
+        # integer accumulator is the Python image of the engine's
+        # DECIMAL(18,4) idiom (functions/numeric.py) — order-free and
+        # bit-identical to the oracle after the final /1e4 division.
+        n, total_scaled = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total_scaled += int((pdf["value"] * 10000).round()
+                                .astype("int64").sum())
+        state.update((n, total_scaled))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_value": [total_scaled / 1e4]})
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, "
+                         "total_value double",
+        stateStructType="n bigint, total_scaled bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    drained = _run_to_memory(updates, "update")
+    # The memory sink holds one row per (user, batch) update; the
+    # converged total is the max-count row per user.
+    w_latest = F.max(F.struct("n_events", "total_value"))
+    return (drained.groupBy("user_id").agg(w_latest.alias("m"))
+            .select("user_id", F.col("m.n_events").alias("n_events"),
+                    F.col("m.total_value").alias("total_value")))
