@@ -138,3 +138,97 @@ def ord_plan_single_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert isinstance(plan, CrawlPlan) and plan.max_workers == 1
     return apply_plan(rx, plan).select(
         "dataset_id", "reaction_id", "dataset_ord", "reaction_ord")
+
+
+@register(
+    "ord_sample_report",
+    oracle=f"""
+    WITH doc AS (
+      SELECT json(content) AS j FROM read_text('{GOLDEN_ONE}')
+    ), ds AS (
+      SELECT k AS dataset_id,
+             CAST(json_extract(j, '$.' || k || '.reactions') AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), flat AS (
+      SELECT dataset_id, UNNEST(rx) AS r,
+             UNNEST(generate_series(1, len(rx))) AS pos
+      FROM ds
+    ), target AS (
+      SELECT * FROM flat
+      WHERE CAST(json_extract(r, '$.success') AS BOOLEAN)
+      ORDER BY dataset_id, pos LIMIT 1
+    ), pairs AS (
+      SELECT UNNEST(CAST(json_extract(r, '$.inputsMap') AS JSON[])) AS p
+      FROM target
+    ), comps AS (
+      SELECT json_extract_string(p, '$[0]') AS tab,
+             UNNEST(CAST(json_extract(p, '$[1].components') AS JSON[])) AS c
+      FROM pairs
+    ), inp AS (
+      SELECT 'input' AS section, tab,
+             json_extract_string(c, '$.identifiers[0].value') AS identifier,
+             json_extract_string(c, '$.reaction_role') AS reaction_role,
+             CASE WHEN json_extract(c, '$.amount.moles') IS NOT NULL
+                    THEN 'moles'
+                  WHEN json_extract(c, '$.amount.volume') IS NOT NULL
+                    THEN 'volume'
+                  ELSE 'N/A' END AS amount_kind,
+             COALESCE(
+               CAST(json_extract(c, '$.amount.moles.value') AS DOUBLE),
+               CAST(json_extract(c, '$.amount.volume.value') AS DOUBLE))
+               AS amount_value,
+             CAST(NULL AS BOOLEAN) AS is_desired
+      FROM comps WHERE json_array_length(c, '$.identifiers') > 0
+    ), prods AS (
+      SELECT 'product' AS section, CAST(NULL AS VARCHAR) AS tab,
+             json_extract_string(o, '$.identifiers[0].value') AS identifier,
+             CAST(NULL AS VARCHAR) AS reaction_role,
+             CAST(NULL AS VARCHAR) AS amount_kind,
+             CAST(NULL AS DOUBLE) AS amount_value,
+             COALESCE(CAST(json_extract(o, '$.is_desired_product')
+                           AS BOOLEAN), FALSE) AS is_desired
+      FROM (SELECT UNNEST(CAST(json_extract(r, '$.outcomes') AS JSON[]))
+              AS o FROM target)
+      WHERE json_array_length(o, '$.identifiers') > 0
+    )
+    SELECT * FROM inp UNION ALL SELECT * FROM prods
+    """,
+    tags=("ord", "report"),
+)
+def ord_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's only read query — v1's sample report
+    (web_scraper.py:512-561): first successful reaction of the first
+    dataset with successes → per input tab, each component's FIRST
+    identifier, its role, and the v1 amount rule (moles, else volume,
+    else N/A — v1 ignores mass); then products' first identifier +
+    desired flag. Printed strings become typed columns."""
+    rx = read_ord_documents(spark, GOLDEN_ONE)
+    target = (rx.filter(F.col("success")
+                        & F.col("reaction_id").isNotNull())
+              .orderBy("dataset_id", "reaction_pos").limit(1))
+    comps = (target
+             .select(F.explode("inputs").alias("tab", "inp"))
+             .select("tab", F.explode("inp.components").alias("c"))
+             .filter(F.size("c.identifiers") > 0))
+    inp = comps.select(
+        F.lit("input").alias("section"), "tab",
+        F.col("c.identifiers")[0]["value"].alias("identifier"),
+        F.col("c.reaction_role").alias("reaction_role"),
+        F.when(F.col("c.amount.moles").isNotNull(), "moles")
+        .when(F.col("c.amount.volume").isNotNull(), "volume")
+        .otherwise("N/A").alias("amount_kind"),
+        F.coalesce(F.col("c.amount.moles.value"),
+                   F.col("c.amount.volume.value")).alias("amount_value"),
+        F.lit(None).cast("boolean").alias("is_desired"))
+    prods = (target.select(F.explode("outcomes").alias("o"))
+             .filter(F.size("o.identifiers") > 0)
+             .select(
+                 F.lit("product").alias("section"),
+                 F.lit(None).cast("string").alias("tab"),
+                 F.col("o.identifiers")[0]["value"].alias("identifier"),
+                 F.lit(None).cast("string").alias("reaction_role"),
+                 F.lit(None).cast("string").alias("amount_kind"),
+                 F.lit(None).cast("double").alias("amount_value"),
+                 F.coalesce(F.col("o.is_desired_product"), F.lit(False))
+                 .alias("is_desired")))
+    return inp.unionByName(prods)

@@ -237,3 +237,19 @@ def test_silver_domain_stats(spark, golden_files):
     roll = ord_src.dataset_rollup(reactions)
     total = roll.agg(F.sum("total_reactions")).collect()[0][0]
     assert total == 237
+
+
+def test_corrupt_document_is_tolerated(spark, tmp_path):
+    """PERMISSIVE ingestion (the reference's try/except guard,
+    web_scrpaer_2.py:451-456): a malformed document store yields null
+    rows, never an exception; a valid file alongside it still parses."""
+    import shutil
+
+    bad = tmp_path / "bad.json"
+    bad.write_text("{this is not json")
+    good_src = "/root/reference/ord_formatted_data_single.json"
+    shutil.copy(good_src, tmp_path / "good.json")
+    df = ord_src.read_ord_documents(spark, str(tmp_path / "*.json"))
+    rows = df.collect()
+    # the good file contributes its 1 reaction; the bad one nothing
+    assert len([r for r in rows if r.reaction_id is not None]) == 1
