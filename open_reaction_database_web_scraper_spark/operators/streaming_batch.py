@@ -1,10 +1,11 @@
 """Event-time windowed aggregations, batch mode (SURVEY.md §2.9).
 
 ``F.window`` / ``F.session_window`` produce identical results in
-batch and streaming plans, so the oracled surface runs in batch; the
-genuinely stateful behaviors (watermark drops, streaming dedup,
-rate-limited ingest, foreachBatch retry) live in
-``streaming/jobs.py`` and register rows-only queries.
+batch and streaming plans, so these run in batch; the genuinely
+stateful behaviors (watermark drops, streaming dedup, rate-limited
+ingest, foreachBatch retry, applyInPandasWithState) live in
+``streaming/jobs.py`` as true readStream jobs, oracled on their
+deterministic converged state.
 
 Reference analogs: the incremental page-by-page crawl
 (web_scrpaer_2.py:250-281) and politeness rate limit (:459).
