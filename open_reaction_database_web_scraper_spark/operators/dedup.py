@@ -50,11 +50,17 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, sig array<long>[N_HASHES]) — min over per-seed
-    xxhash64 of each distinct shingle. One explode + one hash-agg."""
-    sh = doc_shingles(spark, sf_dir)
+    """(doc_id, sig array<long>[N_HASHES]) — one explode + one
+    hash-agg. Each shingle STRING is hashed once; the N_HASHES
+    per-seed values derive from that 8-byte hash (``xxhash64(seed,
+    h)``), the universal-hashing shortcut: one string traversal per
+    shingle instead of N_HASHES, identical uniformity. (At sf0.1 the
+    job is overhead-bound either way — this is a per-row CPU saving
+    for the 100 TB regime.)"""
+    sh = doc_shingles(spark, sf_dir).withColumn(
+        "h", F.xxhash64(F.col("shingle")))
     mins = sh.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}")
+        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
         for i in range(N_HASHES)])
     return mins.select(
         "doc_id", F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig"))
