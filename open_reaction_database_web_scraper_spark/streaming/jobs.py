@@ -269,3 +269,57 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (drained.groupBy("user_id").agg(w_latest.alias("m"))
             .select("user_id", F.col("m.n_events").alias("n_events"),
                     F.col("m.total_value").alias("total_value")))
+
+
+@register(
+    "stream_session_stateful",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                            + INTERVAL 30 MINUTE
+                       OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    ), sessions AS (
+      SELECT user_id,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM numbered GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sessions
+    WHERE session_end <= (SELECT m FROM mx) - INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "stateful", "session"),
+)
+def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True streaming session windows: gap-based sessions merged
+    across micro-batches in state, emitted (append mode) once the
+    watermark passes session_end. The oracle is lag-based batch
+    sessionization restricted to sessions closed before the final
+    watermark (max event time − 10 min) — in-order replay finalizes
+    exactly those."""
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                    "user_id")
+           .agg(F.count("*").alias("n_events"))
+           .select("user_id",
+                   F.col("w.start").cast("timestamp_ntz")
+                   .alias("session_start"),
+                   F.col("w.end").cast("timestamp_ntz")
+                   .alias("session_end"),
+                   "n_events"))
+    return _run_to_memory(agg, "append")
