@@ -200,3 +200,43 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_min(shingle_hashes).alias("fingerprint"),
         F.size(F.array_distinct(shingle_hashes)).alias("n_shingles"))
+
+
+@register(
+    "text_tfidf",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT t.doc_id, t.word,
+           ROUND(t.tf * ln((SELECT n_docs FROM n) / df.df), 6) AS tfidf
+    FROM tf t JOIN df ON t.word = df.word
+    WHERE df.df >= 5
+    """,
+    tags=("text",),
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, term): term frequency per doc × ln(N/df),
+    restricted to terms in ≥5 docs. Two hash aggregates + one join on
+    the term — the df side is tiny relative to the corpus (vocab ≪
+    rows) so Catalyst broadcasts it; at petabyte vocab scale it's a
+    shuffle join on the term, still linear. The score is rounded to 6
+    decimals on both sides: JVM Math.log and C libm differ by 1 ulp
+    on some inputs, the one transcendental in the engine."""
+    docs = load(spark, sf_dir, "documents")
+    n = docs.agg(F.count("*").alias("n_docs"))  # 1-row frame, stays lazy
+    tok = docs.select("doc_id", F.explode(_tokens()).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = (tok.groupBy("word")
+          .agg(F.countDistinct("doc_id").alias("df"))
+          .filter(F.col("df") >= 5))
+    return (tf.join(df, "word").crossJoin(F.broadcast(n))
+            .select("doc_id", "word",
+                    F.round(F.col("tf")
+                            * F.log(F.col("n_docs") / F.col("df")), 6)
+                    .alias("tfidf")))

@@ -176,3 +176,25 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal",
         F.ntile(4).over(w).alias("balance_quartile"))
+
+
+@register(
+    "win_percentile",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tags=("window",),
+)
+def win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist of account balance within nation —
+    distribution-position analytics; partitioned window, total order,
+    exact rational arithmetic (rank-1)/(n-1) in both engines."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
