@@ -139,6 +139,39 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     assert m is not None, plan
 
 
+def test_bucketed_join_avoids_shuffle(spark, sf_dir):
+    """Tables bucketed+sorted on the join key must join with ZERO
+    Exchange nodes — the bucketing layout SCALING.md prescribes for
+    repeated large-large joins. (Data lands in a temp path; only
+    table metadata goes through the in-memory catalog.)"""
+    import tempfile
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_quantity"))
+    od = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+          .select("o_orderkey", "o_orderstatus"))
+    d = tempfile.mkdtemp(prefix="ordspark_bucket_")
+    for name, df, key in [("li_b", li, "l_orderkey"),
+                          ("od_b", od, "o_orderkey")]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (df.write.bucketBy(8, key).sortBy(key)
+         .option("path", f"{d}/{name}").saveAsTable(name))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (spark.table("od_b").join(
+            spark.table("li_b"),
+            F.col("o_orderkey") == F.col("l_orderkey")))
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "formatted")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS od_b")
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan, plan
+
+
 def test_whole_stage_codegen_covers_agg(spark, sf_dir):
     """The pricing-summary agg must compile into ≥1 whole-stage-codegen
     subtree (AQE's formatted plan hides them pre-execution, so ask the
