@@ -209,3 +209,47 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("jaccard", jac)
             .filter(F.col("jaccard") >= 0.3)
             .select("doc_a", "doc_b", "jaccard"))
+
+
+@register("dedup_clusters", oracle=None, tags=("dedup", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: connected components over the
+    exact-duplicate pair graph, by iterative min-label propagation —
+    the step after pair detection in a real dedup pipeline (keep one
+    representative per cluster).
+
+    Each iteration is one join + one min-agg (label := min of own and
+    neighbors' labels), converging in O(graph diameter) rounds —
+    the standard large-graph CC shape on Spark. Dup-pair graphs have
+    tiny diameters (stars/cliques), so the fixed 5 rounds converge
+    with margin; production would loop until a convergence check.
+    Returns (doc_id, cluster_id, cluster_size) for docs in clusters
+    of ≥2. Iterative → not SQL-expressible → rows-only; planted-
+    cluster behavior is pinned in tests.
+    """
+    docs = load(spark, sf_dir, "documents")
+    sha = docs.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+    pairs = (sha.alias("a").join(sha.alias("b"),
+                                 (F.col("a.content_sha")
+                                  == F.col("b.content_sha"))
+                                 & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("src"),
+                     F.col("b.doc_id").alias("dst")))
+    edges = (pairs.unionByName(pairs.select(F.col("dst").alias("src"),
+                                            F.col("src").alias("dst")))
+             .cache())
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id")))
+    for _ in range(5):
+        neigh = (edges.join(labels, edges.src == labels.doc_id)
+                 .groupBy(F.col("dst").alias("doc_id"))
+                 .agg(F.min("label").alias("neigh_label")))
+        labels = (labels.join(neigh, "doc_id", "left")
+                  .select("doc_id",
+                          F.least("label", F.coalesce("neigh_label", "label"))
+                          .alias("label")))
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "label")
+            .filter(F.col("cluster_size") >= 2)
+            .select("doc_id", F.col("label").alias("cluster_id"),
+                    "cluster_size"))

@@ -118,3 +118,18 @@ def test_embed_cosine_flags_planted_near_dups(spark):
     pairs = {(r.vec_a, r.vec_b) for r in out}
     assert (0, 1) in pairs
     assert all(2 not in p for p in pairs)
+
+
+def test_dedup_clusters_planted(spark):
+    """Label propagation must merge a planted 3-doc duplicate chain
+    into one cluster and leave the unique doc out."""
+    import tempfile
+
+    rows = [(0, "aaa bbb ccc"), (1, "aaa bbb ccc"), (2, "aaa bbb ccc"),
+            (3, "zzz yyy xxx")]
+    d = tempfile.mkdtemp(prefix="ordspark_cctest_")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = REGISTRY["dedup_clusters"].fn(spark, d).collect()
+    got = {(r.doc_id, r.cluster_id, r.cluster_size) for r in out}
+    assert got == {(0, 0, 3), (1, 0, 3), (2, 0, 3)}
