@@ -298,3 +298,31 @@ def json_get_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object("props", "$.k").cast("int")
     return (ev.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))
             .filter(F.col("k") > 50))
+
+
+@register(
+    "date_arith_interval",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date,
+           CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           date_diff('day', DATE '1995-01-01',
+                     CAST(o_orderdate AS DATE)) AS days_since_95,
+           last_day(CAST(o_orderdate AS DATE)) AS month_end
+    FROM orders
+    """,
+    tags=("scalar", "date"),
+)
+def date_arith_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic on dates: fixed-day offsets, calendar-month
+    offsets (both engines clamp month-ends identically), day deltas,
+    and month boundaries."""
+    od = load(spark, sf_dir, "orders").withColumn(
+        "d", F.to_date("o_orderdate"))
+    return od.select(
+        "o_orderkey",
+        F.date_add("d", 90).alias("due_date"),
+        F.add_months("d", -1).alias("prior_month"),
+        F.datediff("d", F.lit("1995-01-01").cast("date"))
+        .alias("days_since_95"),
+        F.last_day("d").alias("month_end"))

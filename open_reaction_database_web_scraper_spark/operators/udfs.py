@@ -118,3 +118,38 @@ def udtf_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT t.doc_id, t.token "
         "FROM udtf_flatten_docs, LATERAL ord_tokenize(doc_id, text) t")
+
+
+@register(
+    "udf_pandas_grouped_map",
+    oracle="""
+    SELECT event_id, event_type,
+           CASE WHEN mx = mn THEN 0.5
+                ELSE (value - mn) / (mx - mn) END AS value_scaled
+    FROM (SELECT event_id, event_type, value,
+                 MIN(value) OVER (PARTITION BY event_type) AS mn,
+                 MAX(value) OVER (PARTITION BY event_type) AS mx
+          FROM events)
+    """,
+    tags=("udf", "pandas", "grouped-map"),
+)
+def udf_pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-MAP ``applyInPandas``: whole-group-in / rows-out — the
+    API for per-group transforms that need the full group in memory
+    (normalization, model scoring per key). Min-max scaling uses only
+    single IEEE ops on exact inputs, so pandas and the SQL window
+    twin are bit-identical."""
+
+    def scale(pdf: pd.DataFrame) -> pd.DataFrame:
+        mn, mx = pdf["value"].min(), pdf["value"].max()
+        scaled = (pdf["value"] - mn) / (mx - mn) if mx != mn \
+            else pd.Series(0.5, index=pdf.index)
+        return pd.DataFrame({"event_id": pdf["event_id"],
+                             "event_type": pdf["event_type"],
+                             "value_scaled": scaled})
+
+    return (load(spark, sf_dir, "events")
+            .select("event_id", "event_type", "value")
+            .groupBy("event_type")
+            .applyInPandas(scale, "event_id bigint, event_type string, "
+                                  "value_scaled double"))
