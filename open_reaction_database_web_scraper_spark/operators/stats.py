@@ -1,0 +1,118 @@
+"""Statistical aggregates (SURVEY.md §2.4 extension rows).
+
+The reference's only statistics are counts and success ratios
+(web_scrpaer_2.py:461-462, web_scraper.py:339-346); exact
+percentiles and second-moment statistics are [E] rows the driver
+tables exercise. Both are single-shuffle hash aggregates with
+map-side partials — the moments are computed from exact decimal
+power sums so the final double arithmetic is bit-identical across
+engines (same trick as ``functions/numeric.py``: decimal
+accumulation is order-insensitive, so neither partition count nor
+merge order can flake the oracle hash).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import dec
+from ..registry import register
+
+
+@register(
+    "agg_percentile_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact (interpolated) percentiles per group.
+
+    ``F.percentile`` sorts within the aggregation buffer — fine at
+    per-group scale; for 100 TB hot paths the engine's scale path is
+    ``F.approx_percentile`` (t-digest-style sketch, mergeable
+    map-side partials), which trades exactness for a bounded-memory
+    one-pass plan. Both share this query's shape; the exact form is
+    the oracled baseline.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.lit([0.25, 0.50, 0.75]))
+    return (li.groupBy("l_returnflag")
+            .agg(pct.alias("pcts"))
+            .select("l_returnflag",
+                    F.round(F.element_at("pcts", 1), 6).alias("p25"),
+                    F.round(F.element_at("pcts", 2), 6).alias("p50"),
+                    F.round(F.element_at("pcts", 3), 6).alias("p75")))
+
+
+# Both engines compute the SAME double expressions over the SAME
+# exact decimal power sums, so results match bit-for-bit; ROUND(…, 6)
+# is belt-and-braces only.
+_MOMENTS_ORACLE = """
+WITH sums AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(sx / n, 6) AS avg_qty,
+       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
+       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
+       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
+       ROUND((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
+         AS corr_qty_price
+FROM sums
+"""
+
+
+@register("agg_stats_moments", oracle=_MOMENTS_ORACLE, tags=("agg", "stats"))
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance / stddev / covariance / correlation per group, from
+    exact power sums.
+
+    Native ``F.var_samp``/``F.corr`` use streaming (Welford-merge)
+    accumulators whose float results depend on partition merge order
+    — unreproducible across cluster sizes. Power sums in exact
+    DECIMAL are order-insensitive and still map-side combined (six
+    decimal partials per group per partition), so the plan is the
+    same single shuffle but the answer is deterministic at any
+    parallelism — the property that matters when a 100 TB job's
+    output feeds a regression test.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    x, y = dec("l_quantity"), dec("l_extendedprice")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"))
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    return sums.select(
+        "l_returnflag",
+        F.round(sx / n, 6).alias("avg_qty"),
+        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
+        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+        .alias("stddev_qty"),
+        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
+        F.round((n * sxy - sx * sy)
+                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
+        .alias("corr_qty_price"))

@@ -56,10 +56,12 @@ def load_all_operators() -> None:
         joins,
         multimodal,
         ord_queries,
+        reshape,
         scalars,
         scans,
         setops,
         sorts,
+        stats,
         streaming_batch,
         text,
         udfs,

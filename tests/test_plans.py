@@ -99,6 +99,38 @@ def test_hot_paths_have_no_python_eval(spark, sf_dir):
         assert "BatchEvalPython" not in plan, f"{name} fell out of the JVM"
 
 
+def test_range_join_stays_equi(spark, sf_dir):
+    """The interval self-join must remain an equi join on (user,
+    time-bucket) with a range residual — never a nested-loop or
+    cartesian plan, whose pair generation is quadratic per key."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "join_range_theta")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_unpivot_is_expand_not_union(spark, sf_dir):
+    """unpivot must compile to a single Expand over one scan feeding
+    one partial+final aggregate — not N unioned scans."""
+    plan = plan_of(spark, sf_dir, "unpivot_long")
+    assert "Expand" in plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_pivot_is_single_aggregate(spark, sf_dir):
+    """Pivot with pinned values: one scan, one aggregate — no extra
+    job to discover the pivot domain."""
+    plan = plan_of(spark, sf_dir, "pivot_wide")
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
 def test_topk_uses_take_ordered(spark, sf_dir):
     """ORDER BY + LIMIT must compile to TakeOrderedAndProject — a
     per-partition top-k + merge, never a full global sort."""
