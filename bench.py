@@ -47,6 +47,7 @@ OPTIONAL = [
     "text_tokenize_stats",
     "stream_tumbling_count",
     "join_salted_skew",
+    "pipeline_training_data",
 ]
 
 

@@ -1,0 +1,107 @@
+"""End-to-end training-data pipeline (SURVEY.md §2.11 capstone).
+
+The reference's pipeline is discover → extract → normalize →
+aggregate → load (web_scrpaer_2.py:509-548). This operator is the
+LLM-data-curation version of the same composition, fused into ONE
+declarative plan: exact dedup → language ID → quality filter →
+per-language corpus rollup. Catalyst sees the whole thing, so
+column pruning, predicate ordering, and partial aggregation apply
+across stage boundaries — the win a pipeline of separate jobs
+forfeits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+from .text import STOPWORDS
+
+_STOP_LIST = list(STOPWORDS)
+
+
+@register(
+    "pipeline_training_data",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, lang,
+             CASE WHEN text LIKE '% der %' OR text LIKE '% und %' THEN 'de'
+                  WHEN text LIKE '% el %'  OR text LIKE '% los %' THEN 'es'
+                  WHEN text LIKE '% de %'  OR text LIKE '% le %'  THEN 'fr'
+                  ELSE 'en' END AS lang_pred,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_filter(string_split(text, ' '),
+                  w -> list_contains({_STOP_LIST!r}, w))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) = 1
+    ), scored AS (
+      SELECT lang, lang_pred, n_tokens,
+             stop_ratio * 0.5
+               + (CASE WHEN n_tokens BETWEEN 20 AND 1000
+                       THEN 0.5 ELSE 0.0 END) AS quality_score
+      FROM m
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_ws_tokens,
+           ROUND(AVG(quality_score), 6) AS avg_quality,
+           SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_pred_match
+    FROM scored
+    WHERE quality_score >= 0.5
+    GROUP BY lang
+    """,
+    tags=("pipeline", "dedup", "text", "flagship"),
+)
+def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curated-corpus rollup: dedup exactly, language-ID, drop
+    low-quality docs, report per-language doc/token totals plus
+    language-predictor agreement.
+
+    Scale shape: every per-document metric (predicted language,
+    token count, stopword ratio, quality) is computed map-side
+    BEFORE the dedup shuffle, and the shuffle key is the 32-byte
+    SHA-256 digest — the document text itself never moves.
+    ``min_by`` keeps the lowest doc_id per digest (identical text ⇒
+    identical metrics, so the choice only fixes which id survives).
+    One exchange for the dedup, one partial+final aggregate for the
+    rollup — two shuffles total for a four-stage pipeline,
+    independent of document size.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    words = F.split(F.col("text"), " ")
+    n_tokens = F.size(words)
+    stop_ratio = (F.size(F.filter(words, lambda w: w.isin(*STOPWORDS)))
+                  .cast("double") / n_tokens)
+    lang_pred = (F.when(F.col("text").like("% der %")
+                        | F.col("text").like("% und %"), "de")
+                 .when(F.col("text").like("% el %")
+                       | F.col("text").like("% los %"), "es")
+                 .when(F.col("text").like("% de %")
+                       | F.col("text").like("% le %"), "fr")
+                 .otherwise("en"))
+    score = (stop_ratio * F.lit(0.5)
+             + F.when(n_tokens.between(20, 1000), 0.5).otherwise(0.0))
+
+    metrics = docs.select(
+        "doc_id",
+        F.sha2("text", 256).alias("content_sha"),
+        F.col("lang"),
+        lang_pred.alias("lang_pred"),
+        n_tokens.cast("long").alias("n_tokens"),
+        score.alias("quality_score"))
+    kept = (metrics.groupBy("content_sha")
+            .agg(F.min_by(
+                F.struct("lang", "lang_pred", "n_tokens", "quality_score"),
+                "doc_id").alias("row"))
+            .select("row.lang", "row.lang_pred", "row.n_tokens",
+                    "row.quality_score"))
+    return (kept.filter(F.col("quality_score") >= 0.5)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("total_ws_tokens"),
+                 F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+                 F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
+                       .otherwise(0)).alias("n_pred_match")))

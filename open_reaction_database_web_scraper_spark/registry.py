@@ -56,6 +56,7 @@ def load_all_operators() -> None:
         joins,
         multimodal,
         ord_queries,
+        pipeline,
         reshape,
         scalars,
         scans,
