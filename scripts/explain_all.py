@@ -27,11 +27,14 @@ from open_reaction_database_web_scraper_spark.session import get_session  # noqa
 #   broadcasts a FIXED tiny side (8 query vectors / 8 centroids) —
 #   cost is linear in the corpus, never quadratic;
 # - udf_python_scalar / udtf_flatten: the Python escape hatch is the
-#   feature under test.
+#   feature under test;
+# - text_tfidf: crossJoin(broadcast(n)) of a 1-row aggregate — the
+#   scalar-subquery shape; broadcasting one row is always safe.
 ALLOW = {
     "BroadcastNestedLoopJoin": {"join_cross_smallk",
                                 "vector_topk_similarity",
-                                "vector_ann_ivf"},
+                                "vector_ann_ivf",
+                                "text_tfidf"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),
