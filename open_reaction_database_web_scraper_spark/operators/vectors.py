@@ -175,7 +175,11 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.collect_list(F.struct("dim", "mu"))).alias("dm"))
                  .select("cell_id",
                          F.transform("dm", lambda s: s["mu"])
-                         .alias("centroid")))
+                         .alias("centroid"))
+                 # used twice (index + probes): cache the 8 rows so
+                 # the train lineage (seed scan + Lloyd step) runs
+                 # once, not once per consumer.
+                 .cache())
 
     # --- index: nearest refined centroid per corpus vector.
     index = (corpus.crossJoin(F.broadcast(centroids))
