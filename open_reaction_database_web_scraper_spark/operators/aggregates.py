@@ -232,3 +232,23 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
     """)
+
+
+@register("agg_hll_sketch_merge", oracle=None, tags=("agg", "approx"))
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches, Spark 3.5+):
+    per-language distinct-token sketches plus an ALL row built by
+    UNIONING THE SKETCHES, not rescanning the data — the property
+    that makes 100 TB distinct-counting incremental (per-partition /
+    per-day sketches persist, any rollup is a cheap sketch merge).
+    Rows-only: estimates are approximate; the test pins them within
+    tolerance of the exact counts."""
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(F.split("text", " ")).alias("word"))
+    sk = tok.groupBy("lang").agg(F.hll_sketch_agg("word").alias("sk"))
+    per_lang = sk.select(
+        "lang", F.hll_sketch_estimate("sk").alias("est_distinct"))
+    merged = (sk.agg(F.hll_union_agg("sk").alias("sk"))
+              .select(F.lit("ALL").alias("lang"),
+                      F.hll_sketch_estimate("sk").alias("est_distinct")))
+    return per_lang.unionByName(merged)

@@ -253,3 +253,72 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("cluster_size") >= 2)
             .select("doc_id", F.col("label").alias("cluster_id"),
                     "cluster_size"))
+
+
+BLOCK_W = 8  # tokens per sub-document block
+
+
+@register(
+    "dedup_subdoc_blocks",
+    oracle=f"""
+    WITH blocks AS (
+      SELECT doc_id,
+             list_aggregate(toks[b*{BLOCK_W}+1 : b*{BLOCK_W}+{BLOCK_W}],
+                            'string_agg', ' ') AS block
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents) t,
+           UNNEST(range(len(toks) // {BLOCK_W})) AS u(b)
+    ), shared AS (
+      SELECT block FROM blocks GROUP BY block
+      HAVING COUNT(DISTINCT doc_id) > 1
+    ), per_doc AS (
+      SELECT b.doc_id, COUNT(*) AS n_blocks,
+             COUNT(s.block) AS n_shared_blocks
+      FROM blocks b LEFT JOIN shared s USING (block)
+      GROUP BY b.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_blocks, 0) AS n_blocks,
+           COALESCE(p.n_shared_blocks, 0) AS n_shared_blocks
+    FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("dedup", "pipeline"),
+)
+def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup at token-block granularity: split each doc
+    into consecutive non-overlapping 8-token blocks and count, per
+    doc, how many of its blocks also occur in some other document —
+    the C4/RefinedWeb-style repeated-boilerplate signal that
+    document-level hashing misses.
+
+    Spark side groups on the 64-bit block hash, never block text, so
+    the shuffle carries (8-byte hash, doc_id) pairs only; block
+    occurrence counting is one hash aggregate with map-side partial
+    (two distinct doc_ids suffice → ``count_distinct`` over a
+    bounded-cardinality key). The oracle groups on the block string —
+    identical up to 64-bit hash collisions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = _tokens()
+    nblk = F.size(toks).cast("long") / F.lit(BLOCK_W)
+    nblk = F.floor(nblk).cast("int")
+    block_arr = F.when(nblk >= 1, F.transform(
+        F.sequence(F.lit(0), nblk - 1),
+        lambda b: F.concat_ws(" ", F.slice(toks, b * BLOCK_W + 1, BLOCK_W)))
+    ).otherwise(F.array().cast("array<string>"))
+    blocks = (docs.select("doc_id", F.explode(block_arr).alias("block"))
+              .select("doc_id", F.xxhash64("block").alias("bh")))
+    shared = (blocks.groupBy("bh")
+              .agg(F.count_distinct("doc_id").alias("nd"))
+              .filter(F.col("nd") > 1)
+              .select("bh"))
+    per_doc = (blocks.join(shared.withColumn("is_shared", F.lit(1)),
+                           "bh", "left")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_blocks"),
+                    F.count("is_shared").alias("n_shared_blocks")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
+                    F.coalesce("n_shared_blocks", F.lit(0))
+                    .alias("n_shared_blocks")))

@@ -118,3 +118,37 @@ def sample_deterministic_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("sampled_orders"),
                  dsum("o_totalprice").alias("sampled_revenue")))
+
+
+STRATUM_PCT = {"en": 20, "*": 60}  # keep-rates per language, percent
+
+
+@register(
+    "sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           SUM(n_chars) AS sampled_chars
+    FROM documents
+    WHERE doc_id % 100 <
+          CASE WHEN lang = 'en' THEN {STRATUM_PCT['en']}
+               ELSE {STRATUM_PCT['*']} END
+    GROUP BY lang
+    """,
+    tags=("sample", "pipeline"),
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: downweight the dominant
+    language (en → 20%) while keeping 60% of every other stratum —
+    the language-rebalancing step of a training-data mix. Same
+    key-mod trick as ``sample_deterministic_mod`` so the sample is a
+    pure pushdown-eligible filter, reproducible at any cluster size;
+    the per-stratum rate is one CASE over the stratum column, no
+    per-stratum scans and no RNG."""
+    docs = load(spark, sf_dir, "documents")
+    rate = (F.when(F.col("lang") == "en", F.lit(STRATUM_PCT["en"]))
+            .otherwise(F.lit(STRATUM_PCT["*"])))
+    return (docs.filter(F.pmod(F.col("doc_id"), F.lit(100)) < rate)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_sampled"),
+                 F.sum("n_chars").alias("sampled_chars")))

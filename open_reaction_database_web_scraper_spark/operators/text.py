@@ -240,3 +240,109 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("tf")
                             * F.log(F.col("n_docs") / F.col("df")), 6)
                     .alias("tfidf")))
+
+
+# -- redaction + decontamination (LLM-pipeline hygiene ops) -----------------
+
+# One alternation shared verbatim by Spark (Java regex) and DuckDB
+# (RE2): email shape, long digit runs, and a denylist of terms (the
+# stand-in for a real PII/blocked-term list). Only constructs with
+# identical semantics in both dialects: classes, +/{n,}, \b, |.
+REDACT_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9._]+|[0-9]{7,}|\bcustomer\b|\bsupplier\b"
+
+
+@register(
+    "text_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           regexp_replace(text, '{REDACT_RE}', '[REDACTED]', 'g')
+             AS redacted,
+           len(regexp_extract_all(text, '{REDACT_RE}')) AS n_redactions
+    FROM documents
+    """,
+    tags=("text", "pipeline"),
+)
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII / denylist redaction: replace emails, long digit runs, and
+    blocked terms with a placeholder; count hits per document. Pure
+    per-row JVM regex — embarrassingly parallel, no shuffle at all,
+    the cheapest possible 100 TB pass (scan → project → write). The
+    oracle hash covers the full redacted text, pinning Java-vs-RE2
+    regex parity, not just the counts."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_replace("text", REDACT_RE, "[REDACTED]").alias("redacted"),
+        F.regexp_count("text", F.lit(REDACT_RE)).alias("n_redactions"))
+
+
+DECON_W = 5            # decontamination n-gram width
+DECON_BENCH_SRC = "src0"   # the 'held-out benchmark' slice of documents
+
+
+def _wgrams(toks: F.Column, w: int) -> F.Column:
+    """All w-token grams of a token array (empty when size < w)."""
+    n = F.size(toks) - (w - 1)
+    return F.when(n >= 1, F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, w)))
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "text_decontaminate_ngram",
+    oracle=f"""
+    WITH bench AS (
+      SELECT DISTINCT list_aggregate(toks[i+1:i+{DECON_W}], 'string_agg', ' ')
+               AS gram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE source = '{DECON_BENCH_SRC}') t,
+           UNNEST(range(len(toks) - {DECON_W - 1})) AS u(i)
+    ), corpus_grams AS (
+      SELECT DISTINCT doc_id,
+             list_aggregate(toks[i+1:i+{DECON_W}], 'string_agg', ' ') AS gram
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+            WHERE source <> '{DECON_BENCH_SRC}') t,
+           UNNEST(range(len(toks) - {DECON_W - 1})) AS u(i)
+    ), hits AS (
+      SELECT doc_id, COUNT(*) AS n_overlap
+      FROM corpus_grams JOIN bench USING (gram)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_overlap, 0) AS n_overlap,
+           COALESCE(h.n_overlap, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> '{DECON_BENCH_SRC}'
+    """,
+    tags=("text", "pipeline"),
+)
+def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    {w}-token gram with a held-out benchmark slice (source = src0) —
+    the standard eval-leakage check before LLM training.
+
+    Spark side joins on the 64-bit xxhash64 of the gram, never the
+    gram text, so only 8-byte keys shuffle; the benchmark side is a
+    DISTINCT over a tiny slice → Catalyst broadcasts it, making the
+    whole check a map-side semi-probe over the corpus (the 100 TB
+    shape: one scan, no corpus shuffle). The oracle joins on the gram
+    string itself — identical up to 64-bit hash collisions.
+    """
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = _wgrams(toks, DECON_W)
+    bench = (docs.filter(F.col("source") == DECON_BENCH_SRC)
+             .select(F.explode(grams).alias("gram"))
+             .select(F.xxhash64("gram").alias("gh"))
+             .distinct())
+    corpus = docs.filter(F.col("source") != DECON_BENCH_SRC)
+    cg = (corpus.select("doc_id", F.explode(grams).alias("gram"))
+          .select("doc_id", F.xxhash64("gram").alias("gh"))
+          .distinct())
+    hits = (cg.join(F.broadcast(bench), "gh")
+            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+    return (corpus.select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
+            .withColumn("contaminated", F.col("n_overlap") > 0))
