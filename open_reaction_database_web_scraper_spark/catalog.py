@@ -53,3 +53,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for spark.sql queries."""
     for t in TABLES:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def fanout(df: DataFrame) -> DataFrame:
+    """Spread a small-file scan across cores before heavy narrow work
+    (per-row gram/shingle/hash construction).
+
+    A table that arrives as fewer input splits than the session has
+    cores serializes its map work — at toy scale every driver table
+    is one single-row-group parquet file, so explode/transform
+    pipelines would run on 1 of 32 cores. This helper round-robins
+    such scans up to ``defaultParallelism``; when the scan already
+    has at least that many splits (any real 100 TB layout), it is a
+    no-op and no shuffle is added. The trade is explicit: a one-time
+    shuffle of the (small) input vs serial execution of every
+    downstream narrow stage — the same call AQE makes for shuffles
+    but cannot make for inputs (it can't split a row group).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout, load
 from ..registry import register
 
 N_HASHES = 32          # minhash signature length
@@ -43,7 +43,7 @@ def _shingles(tokens: F.Column) -> F.Column:
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct (doc_id, shingle) pairs."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
     return (docs.select("doc_id",
                         F.explode(_shingles(_tokens())).alias("shingle"))
             .distinct())
@@ -306,7 +306,7 @@ def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), nblk - 1),
         lambda b: F.concat_ws(" ", F.slice(toks, b * BLOCK_W + 1, BLOCK_W)))
     ).otherwise(F.array().cast("array<string>"))
-    blocks = (docs.select("doc_id", F.explode(block_arr).alias("block"))
+    blocks = (fanout(docs).select("doc_id", F.explode(block_arr).alias("block"))
               .select("doc_id", F.xxhash64("block").alias("bh")))
     shared = (blocks.groupBy("bh")
               .agg(F.count_distinct("doc_id").alias("nd"))

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load
+from ..catalog import fanout, load
 from ..registry import register
 
 STOPWORDS = ("the", "a", "an", "of", "and", "or", "to", "in", "is", "it")
@@ -326,22 +326,26 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram text, so only 8-byte keys shuffle; the benchmark side is a
     DISTINCT over a tiny slice → Catalyst broadcasts it, making the
     whole check a map-side semi-probe over the corpus (the 100 TB
-    shape: one scan, no corpus shuffle). The oracle joins on the gram
-    string itself — identical up to 64-bit hash collisions.
+    shape: one scan, no corpus shuffle). The corpus grams are NOT
+    pre-deduplicated — that would shuffle every gram of the corpus;
+    instead the broadcast probe drops non-matches map-side and the
+    per-doc DISTINCT runs over the (tiny) matched set, giving the
+    same overlap count. The oracle joins on the gram string itself —
+    identical up to 64-bit hash collisions.
     """
     docs = load(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     grams = _wgrams(toks, DECON_W)
-    bench = (docs.filter(F.col("source") == DECON_BENCH_SRC)
+    bench = (fanout(docs.filter(F.col("source") == DECON_BENCH_SRC))
              .select(F.explode(grams).alias("gram"))
              .select(F.xxhash64("gram").alias("gh"))
              .distinct())
     corpus = docs.filter(F.col("source") != DECON_BENCH_SRC)
-    cg = (corpus.select("doc_id", F.explode(grams).alias("gram"))
-          .select("doc_id", F.xxhash64("gram").alias("gh"))
-          .distinct())
+    cg = (fanout(corpus).select("doc_id", F.explode(grams).alias("gram"))
+          .select("doc_id", F.xxhash64("gram").alias("gh")))
     hits = (cg.join(F.broadcast(bench), "gh")
-            .groupBy("doc_id").agg(F.count("*").alias("n_overlap")))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("gh").alias("n_overlap")))
     return (corpus.select("doc_id").join(hits, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
