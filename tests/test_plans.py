@@ -217,3 +217,44 @@ def test_whole_stage_codegen_covers_agg(spark, sf_dir):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", code)
     assert m and int(m.group(1)) >= 1, code.splitlines()[0]
+
+
+def test_pii_redact_is_shuffle_free(spark, sf_dir):
+    """Redaction must stay a pure scan→project pass: no Exchange of
+    any kind, no Python eval — the cheapest possible 100 TB sweep."""
+    plan = plan_of(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_decontaminate_probes_broadcast(spark, sf_dir):
+    """The benchmark gram set must reach the corpus side as a
+    broadcast — the corpus' grams must NOT shuffle before the probe
+    (no Exchange between the corpus scan and the join)."""
+    plan = plan_of(spark, sf_dir, "text_decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_subdoc_blocks_shuffles_hashes_not_text(spark, sf_dir):
+    """The block aggregates must key on the 8-byte xxhash64, never
+    the block string: no 'block' column may appear in any Exchange's
+    output schema."""
+    plan = plan_of(spark, sf_dir, "dedup_subdoc_blocks")
+    for m in re.finditer(r"Exchange [^\n]*", plan):
+        assert "block#" not in m.group(0), m.group(0)
+
+
+def test_stratified_sample_filters_at_scan_stage(spark, sf_dir):
+    """The per-stratum mod filter must evaluate in the scan stage —
+    a Filter node on the map side, before the only Exchange (the agg
+    exchange) — so the sample is decided without moving any data
+    (the design point vs RNG df.sample)."""
+    plan = plan_of(spark, sf_dir, "sample_stratified")
+    assert re.search(r"Condition : .*pmod\(doc_id", plan)
+    # exactly one scan and one exchange (partial→final agg)
+    assert plan.count("Location: InMemoryFileIndex") == 1
+    assert len(re.findall(r"^\(\d+\) Exchange", plan, re.M)) == 1
+    # the filter node sits below the exchange in the tree (map side)
+    tree = plan.split("\n\n")[0]
+    assert tree.index("Exchange") < tree.index("Filter")  # deeper = later
