@@ -54,6 +54,7 @@ OPTIONAL = [
     "text_decontaminate_ngram",
     "dedup_subdoc_blocks",
     "sample_stratified",
+    "pipeline_corpus_curation",
 ]
 
 

@@ -105,3 +105,84 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.avg("quality_score"), 6).alias("avg_quality"),
                  F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
                        .otherwise(0)).alias("n_pred_match")))
+
+
+@register(
+    "pipeline_corpus_curation",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, lang,
+             len(string_split(text, ' ')) AS n_tokens,
+             string_split(text, ' ') AS toks
+      FROM documents
+      WHERE source <> 'src0'
+        AND doc_id % 100 <
+            CASE WHEN lang = 'en' THEN 20 ELSE 60 END
+    ), bench AS (
+      SELECT DISTINCT list_aggregate(toks[i+1:i+5], 'string_agg', ' ')
+               AS gram
+      FROM (SELECT string_split(text, ' ') AS toks FROM documents
+            WHERE source = 'src0') t,
+           UNNEST(range(len(toks) - 4)) AS u(i)
+    ), contaminated AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id,
+                   list_aggregate(toks[i+1:i+5], 'string_agg', ' ') AS gram
+            FROM corpus, UNNEST(range(len(toks) - 4)) AS u(i)) g
+      JOIN bench USING (gram)
+    )
+    SELECT lang,
+           COUNT(*) AS n_kept,
+           SUM(n_tokens) AS tokens_kept,
+           SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS n_contaminated
+    FROM corpus LEFT JOIN contaminated c USING (doc_id)
+    GROUP BY lang
+    """,
+    tags=("pipeline", "text", "sample"),
+)
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone #2 — corpus curation: stratified sample (en
+    downweighted to 20%, others 60%) → benchmark decontamination
+    (5-gram overlap vs the held-out src0 slice) → per-language
+    token-budget rollup with a contamination tally.
+
+    Scale shape: the sample is a scan-stage filter (no data moves to
+    decide it); the decontamination probe is a broadcast of the
+    benchmark gram hashes against the sampled corpus' grams
+    (map-side, corpus text never shuffles); the contaminated-id set
+    is a doc_id aggregate that AQE broadcasts back onto the corpus.
+    Three exchanges end-to-end — the benchmark-gram dedup (bounded by
+    the tiny held-out slice), the contaminated-id agg (proportional
+    to matches, not the corpus), and the final rollup — for a
+    three-stage pipeline, because Catalyst sees one plan and fuses
+    everything narrow in between; the corpus itself never shuffles.
+    """
+    from .text import DECON_BENCH_SRC, DECON_W, _wgrams
+
+    docs = load(spark, sf_dir, "documents")
+    rate = F.when(F.col("lang") == "en", 20).otherwise(60)
+    corpus = (docs.filter(F.col("source") != DECON_BENCH_SRC)
+              .filter(F.pmod(F.col("doc_id"), F.lit(100)) < rate)
+              .select("doc_id", "lang",
+                      F.split(F.col("text"), " ").alias("toks")))
+    bench = (docs.filter(F.col("source") == DECON_BENCH_SRC)
+             .select(F.explode(
+                 _wgrams(F.split(F.col("text"), " "), DECON_W))
+                 .alias("gram"))
+             .select(F.xxhash64("gram").alias("gh"))
+             .distinct())
+    contaminated = (corpus
+                    .select("doc_id",
+                            F.explode(_wgrams(F.col("toks"), DECON_W))
+                            .alias("gram"))
+                    .select("doc_id", F.xxhash64("gram").alias("gh"))
+                    .join(F.broadcast(bench), "gh")
+                    .select("doc_id").distinct()
+                    .withColumn("is_contaminated", F.lit(1)))
+    return (corpus
+            .join(contaminated, "doc_id", "left")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_kept"),
+                 F.sum(F.size("toks")).cast("long").alias("tokens_kept"),
+                 F.count("is_contaminated").alias("n_contaminated")))
