@@ -301,21 +301,40 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has one dataset with 100 reactions vs median 5 — 20× key
     skew is real).
 
-    The skewed fact side appends a deterministic salt in [0, S) to
-    the join key; the other side is replicated S times (one row per
-    salt) so every (key, salt) pair still matches. The hot key's rows
-    now spread across S reducers instead of one straggler task.
+    PARTIAL salting — only detected hot keys pay: a cheap
+    distinct-key aggregate over the fact side finds keys above a
+    row-count threshold (map-side partial agg collapses the shuffle
+    to one row per distinct key); that hot-key set broadcasts to both
+    sides. Hot fact rows get a deterministic salt in [0, S), hot dim
+    rows replicate S times (one per salt); the cold majority keeps
+    salt 0 and is never replicated. The hot key's rows spread across
+    S reducers instead of one straggler task, while total replication
+    stays ∝ |hot keys| — at 100 TB, replicating the whole dim S×
+    (naive full salting) is itself a scale bug.
     Salting is correctness-neutral — the oracle is the plain join.
     AQE's skew-join split handles this automatically when it can;
     explicit salting is the hand tool for sources AQE can't rebalance
     (e.g. skew appearing after a non-join stage).
     """
     n_salts = 8
-    li = load(spark, sf_dir, "lineitem").withColumn(
-        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
-                       F.lit(n_salts)).cast("int"))
-    od = load(spark, sf_dir, "orders").withColumn(
-        "salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    hot_threshold = 5  # TPC-H orders have ≤7 items; >4 exercises the path
+    li = load(spark, sf_dir, "lineitem")
+    hot = (li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
+           .filter(F.col("cnt") > hot_threshold)
+           .select(F.col("l_orderkey").alias("hot_key"))
+           .withColumn("is_hot", F.lit(True)))
+    li = (li.join(F.broadcast(hot),
+                  li.l_orderkey == F.col("hot_key"), "left")
+          .withColumn("salt", F.when(
+              F.col("is_hot"),
+              F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
+                     F.lit(n_salts)).cast("int")).otherwise(0)))
+    od = load(spark, sf_dir, "orders")
+    od = (od.join(F.broadcast(hot),
+                  od.o_orderkey == F.col("hot_key"), "left")
+          .withColumn("salt", F.explode(F.when(
+              F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1)))
+              .otherwise(F.array(F.lit(0))))))
     return (od.join(li, (od.o_orderkey == li.l_orderkey)
                     & (od.salt == li.salt))
             .groupBy("o_orderstatus")
