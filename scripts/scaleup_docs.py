@@ -31,7 +31,8 @@ from open_reaction_database_web_scraper_spark.session import get_session  # noqa
 COPIES = 10
 OPS = ["text_pii_redact", "text_decontaminate_ngram",
        "dedup_subdoc_blocks", "dedup_minhash_lsh",
-       "pipeline_training_data", "sample_stratified"]
+       "pipeline_training_data", "sample_stratified",
+       "pipeline_corpus_curation"]
 
 
 def time_op(spark, name: str, sf_dir: str) -> float:
