@@ -350,3 +350,46 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id",
                     F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"))
             .withColumn("contaminated", F.col("n_overlap") > 0))
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS cnt
+      FROM tok GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           SUM(cnt) AS n_tokens,
+           MAX(cnt) AS top_token_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6)
+             AS top_token_ratio
+    FROM tf GROUP BY doc_id
+    """,
+    tags=("text", "pipeline"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (Gopher/C4-style quality signal):
+    the fraction of a document's tokens taken by its single most
+    frequent token — high values flag boilerplate/spam for the
+    quality filter.
+
+    Two hash aggregates, both keyed by doc_id (the second reuses the
+    first's partitioning, so one real exchange): per-(doc, token)
+    counts, then per-doc max/sum. No token strings survive the first
+    aggregate; at 100 TB the shuffle carries (doc_id, token, count)
+    with map-side combine already applied."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (fanout(docs)
+          .select("doc_id", F.explode(_tokens()).alias("word"))
+          .groupBy("doc_id", "word").agg(F.count("*").alias("cnt")))
+    return (tf.groupBy("doc_id")
+            .agg(F.sum("cnt").alias("n_tokens"),
+                 F.max("cnt").alias("top_token_cnt"))
+            .select("doc_id", "n_tokens", "top_token_cnt",
+                    F.round(F.col("top_token_cnt")
+                            / F.col("n_tokens"), 6)
+                    .alias("top_token_ratio")))
