@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..catalog import load
+from ..functions.numeric import dsum, dsum_sql
 from ..registry import register
 
 
@@ -138,3 +139,37 @@ def error_side_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     bad = ev.filter(F.col("event_type") == "error")
     return bad.select("event_id", "event_type", "value")
+
+
+@register(
+    "sink_parquet_clustered",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt,
+           {dsum_sql('l_quantity')} AS qty
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1995-02-01'
+    """,
+    tags=("sink", "layout"),
+)
+def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered parquet layout: range-partition by the query-time
+    filter column (`l_shipdate`) and sort within files, so every
+    file's row-group min/max statistics cover a narrow key range and
+    a time-window read skips almost all files — the data-skipping
+    half of a 100 TB layout (partitionBy handles categorical keys,
+    clustering handles continuous ones). The returned frame is a
+    one-month window aggregate over the re-read: a layout bug that
+    drops or duplicates rows breaks the oracle hash."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_shipdate")
+    out = tempfile.mkdtemp(prefix="ordspark_sink_clustered_")
+    (li.repartitionByRange(8, "l_shipdate")
+     .sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    win = back.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-02-01"))
+    return win.agg(F.count("*").alias("cnt"),
+                   dsum("l_quantity").alias("qty"))

@@ -258,3 +258,29 @@ def test_stratified_sample_filters_at_scan_stage(spark, sf_dir):
     # the filter node sits below the exchange in the tree (map side)
     tree = plan.split("\n\n")[0]
     assert tree.index("Exchange") < tree.index("Filter")  # deeper = later
+
+
+def test_clustered_sink_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
+    """The clustered layout's value: every parquet file covers a
+    narrow l_shipdate range and files don't overlap, so min/max
+    stats skip files for any time-window read."""
+    import pyarrow.parquet as pq
+    from open_reaction_database_web_scraper_spark.catalog import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    out = str(tmp_path / "clustered")
+    (li.repartitionByRange(8, "l_shipdate")
+     .sortWithinPartitions("l_shipdate")
+     .write.mode("overwrite").parquet(out))
+    import glob
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = {md.schema.column(i).name: i
+               for i in range(md.schema.to_arrow_schema().__len__())}
+        st = md.row_group(0).column(idx["l_shipdate"]).statistics
+        ranges.append((st.min, st.max))
+    ranges.sort()
+    assert len(ranges) >= 4  # range partitioner actually split
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, (hi1, lo2)  # disjoint: skipping works
