@@ -1,0 +1,69 @@
+"""Degenerate-input behavior: empty tables and single-row tables.
+
+A 100 TB pipeline hits empty partitions, empty date windows, and
+filtered-to-nothing inputs constantly; operators must return empty
+(or identity) results with the SAME schema, never throw. One shared
+empty/tiny corpus per module run keeps session time sane.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+
+load_all_operators()
+
+# Ops that read only the documents table (the empty fixture provides
+# every column the ops touch).
+DOC_OPS = ["dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash",
+           "dedup_subdoc_blocks", "text_pii_redact",
+           "text_decontaminate_ngram", "text_tokenize_stats",
+           "text_quality_score", "text_token_count", "text_fingerprint",
+           "text_repetition_ratio", "text_tfidf", "sample_stratified",
+           "pipeline_training_data", "pipeline_corpus_curation",
+           "agg_hll_sketch_merge"]
+
+
+@pytest.fixture(scope="module")
+def empty_docs_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_docs")
+    spark.createDataFrame(
+        [], "doc_id bigint, text string, lang string, source string, "
+            "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_doc_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("one_doc")
+    spark.createDataFrame(
+        [(0, "one single document", "en", "src1", 19)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+def test_empty_documents_no_throw(spark, empty_docs_dir, name):
+    df = REGISTRY[name].fn(spark, empty_docs_dir)
+    rows = df.collect()
+    # aggregations without groupBy may legitimately return one
+    # null/zero row; everything else must be empty
+    assert len(rows) <= 1
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", DOC_OPS)
+def test_single_document_no_throw(spark, one_doc_dir, name):
+    df = REGISTRY[name].fn(spark, one_doc_dir)
+    rows = df.collect()
+    # one doc can never be a duplicate / contaminated pair
+    if name in ("dedup_minhash_lsh", "dedup_simhash"):
+        assert rows == []
+    assert len(df.columns) > 0
