@@ -10,7 +10,7 @@ of those re-shapes over the driver star schema.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
@@ -152,3 +152,37 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count("*").alias("n_sampled"),
                  F.sum("n_chars").alias("sampled_chars")))
+
+
+SAMPLE_K = 3           # rows kept per group
+MULT = 2654435761      # Knuth multiplicative-hash constant (fits i64)
+MOD = 1000000007
+
+
+@register(
+    "sample_per_group_topk",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM orders
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY (o_orderkey * {MULT}) % {MOD}, o_orderkey) <= {SAMPLE_K}
+    """,
+    tags=("sample", "window"),
+)
+def sample_per_group_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced per-group sample: exactly ≤k rows per customer,
+    chosen by ranking on a multiplicative hash of the key — plain
+    64-bit arithmetic both engines compute identically, so the
+    'random' choice is fully reproducible AND oracle-checkable
+    (xxhash64 would be engine-private). Uniform-ish within group,
+    stable across cluster sizes, one window over one shuffle — the
+    per-group quota RNG sampling can't guarantee (``df.sample``
+    draws globally; small groups can vanish)."""
+    od = load(spark, sf_dir, "orders")
+    rk = (F.col("o_orderkey") * F.lit(MULT)) % F.lit(MOD)
+    w = Window.partitionBy("o_custkey").orderBy(rk.asc(), "o_orderkey")
+    return (od.select("o_custkey", "o_orderkey", "o_totalprice",
+                      F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= SAMPLE_K)
+            .drop("rn"))

@@ -198,3 +198,33 @@ def win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_nationkey", "c_acctbal",
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"))
+
+
+@register(
+    "win_first_last",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           FIRST_VALUE(event_id) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS first_event,
+           LAST_VALUE(event_id) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS last_event
+    FROM events
+    """,
+    tags=("window",),
+)
+def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event per user alongside every row — the frame must
+    be the FULL partition (unbounded both ways): the default frame
+    stops at CURRENT ROW, which silently turns last_value into "this
+    row" in both engines; pinning the frame in both sides is the
+    test."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    return load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"))
