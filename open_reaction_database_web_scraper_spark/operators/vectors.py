@@ -242,3 +242,103 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
              .filter(F.col("cosine") >= 0.95))
     return pairs.select(F.col("a.vec_id").alias("vec_a"),
                         F.col("b.vec_id").alias("vec_b"), "cosine")
+
+
+PQ_M = 8           # subspaces (64 dims → 8 dims each)
+PQ_K = 16          # codewords per subspace (codes fit one byte)
+PQ_CAND = 64       # ADC candidates reranked exactly per query
+
+
+def _l2sq(a: F.Column, b: F.Column) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _subvectors(vec: F.Column, dim: int) -> F.Column:
+    """Array of PQ_M subvector slices of a dim-length vector."""
+    sub = dim // PQ_M
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_M - 1)),
+        lambda m: F.slice(vec, m * sub + 1, sub))
+
+
+@register("vector_ann_pq", oracle=None, tags=("vector", "approx"))
+def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via product quantization (PQ) with asymmetric
+    distance (ADC) and exact rerank.
+
+    Train: per subspace m of 8, codebook seeds = subvectors of the
+    first 16 corpus vectors (deterministic by vec_id), refined by one
+    distributed Lloyd step under L2 (quantization minimizes
+    reconstruction error; similarity is still exact-cosine at
+    rerank). Index: each corpus vector compresses to 8 one-byte
+    codes — a 64-dim float64 row (512 B) becomes 8 B, the ~64×
+    memory/IO shrink that keeps a 100 TB corpus' index in cluster
+    RAM. Probe: per query, a 4×16 lookup table of subspace dot
+    products (one broadcast of the codebook); candidate score =
+    sum of 8 LUT entries via an equi-join on (m, code) against the
+    CODES table (vectors never touched); the top PQ_CAND candidates
+    rerank with exact cosine against only their own full vectors.
+
+    Rows-only: quantization is approximate by design; the recall
+    floor vs the exact `vector_topk_similarity` baseline is pinned
+    in tests/test_vectors.py.
+    """
+    queries, corpus = _queries_and_corpus(spark, sf_dir)
+    dim = 64
+    sub = dim // PQ_M
+
+    # --- train: seeds (first PQ_K corpus vectors), one Lloyd step.
+    seeds = (corpus.orderBy("neighbor_id").limit(PQ_K)
+             .withColumn("code",
+                         F.row_number().over(Window.orderBy("neighbor_id")) - 1)
+             .select("code", F.posexplode(_subvectors(F.col("c"), dim))
+                     .alias("m", "cw")))
+    corpus_sub = corpus.select(
+        "neighbor_id", F.posexplode(_subvectors(F.col("c"), dim))
+        .alias("m", "sv"))
+    assign0 = (corpus_sub.join(F.broadcast(seeds), "m")
+               .withColumn("d", _l2sq(F.col("sv"), F.col("cw")))
+               .groupBy("neighbor_id", "m")
+               .agg(F.min_by(F.struct("code", "sv"), "d").alias("a")))
+    codebook = (assign0
+                .select("m", F.col("a.code").alias("code"),
+                        F.posexplode("a.sv").alias("dim", "x"))
+                .groupBy("m", "code", "dim").agg(F.avg("x").alias("mu"))
+                .groupBy("m", "code")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+                .select("m", "code",
+                        F.transform("dm", lambda s: s["mu"]).alias("cw"))
+                .cache())  # tiny (≤ M*K rows); reused by index + LUT
+
+    # --- index: PQ_M one-byte codes per corpus vector.
+    codes = (corpus_sub.join(F.broadcast(codebook), "m")
+             .withColumn("d", _l2sq(F.col("sv"), F.col("cw")))
+             .groupBy("neighbor_id", "m")
+             .agg(F.min_by("code", "d").alias("code")))
+
+    # --- probe: per-query LUT of subspace dots, ADC score, rerank.
+    qsub = queries.select(
+        "query_id", "q",
+        F.posexplode(_subvectors(F.col("q"), dim)).alias("m", "qv"))
+    lut = (qsub.join(F.broadcast(codebook), "m")
+           .select("query_id", "m", "code",
+                   dot(F.col("qv"), F.col("cw")).alias("pdot")))
+    adc = (codes.join(F.broadcast(lut), ["m", "code"])
+           .groupBy("query_id", "neighbor_id")
+           .agg(F.sum("pdot").alias("approx_dot")))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_dot"), F.asc("neighbor_id"))
+    cand = (adc.withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= PQ_CAND)
+            .select("query_id", "neighbor_id"))
+    rer = (cand.join(corpus, "neighbor_id")
+           .join(F.broadcast(queries), "query_id")
+           .withColumn("cosine", cosine_similarity(F.col("q"), F.col("c"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (rer.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "neighbor_id", "cosine"))

@@ -56,3 +56,21 @@ def test_ivf_returns_full_topk(spark, sf_dir):
     for r in rows:
         per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
     assert all(n == 5 for n in per_q.values()), per_q
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """PQ+ADC with exact rerank must recover a healthy fraction of
+    the true top-k (measured 0.75+ on the driver embeddings; floor
+    leaves margin for seed sensitivity)."""
+    exact = {(r.query_id, r.neighbor_id)
+             for r in REGISTRY["vector_topk_similarity"]
+             .fn(spark, sf_dir).collect()}
+    pq = {(r.query_id, r.neighbor_id)
+          for r in REGISTRY["vector_ann_pq"].fn(spark, sf_dir).collect()}
+    assert len(exact & pq) / len(exact) >= 0.6
+
+
+def test_pq_is_deterministic(spark, sf_dir):
+    a = REGISTRY["vector_ann_pq"].fn(spark, sf_dir).collect()
+    b = REGISTRY["vector_ann_pq"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
