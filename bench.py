@@ -55,6 +55,7 @@ OPTIONAL = [
     "dedup_subdoc_blocks",
     "sample_stratified",
     "pipeline_corpus_curation",
+    "vector_ann_pq",
 ]
 
 
