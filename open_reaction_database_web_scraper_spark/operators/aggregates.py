@@ -77,7 +77,8 @@ def agg_count_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_conditional_sum",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS big_qty_cnt,
+           CAST(SUM(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+             AS big_qty_cnt,
            COUNT(*) AS total_cnt
     FROM lineitem GROUP BY l_returnflag
     """,
@@ -145,7 +146,8 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_collect_list",
     oracle="""
-    SELECT o_custkey, list_sort(list(o_orderkey)) AS order_keys
+    SELECT o_custkey,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys
     FROM orders GROUP BY o_custkey
     """,
     tags=("agg", "nest"),
@@ -153,27 +155,36 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-nest: gather child records into a per-group array — the
     reference's reactions-per-dataset rebuild (web_scrpaer_2.py:
-    541-543). Sorted for order-insensitive comparison."""
+    541-543). The array is sorted then serialized to a CSV string:
+    semantics are unchanged (order-insensitive nest), and the scalar
+    image survives the driver's pandas hasher, which cannot hash raw
+    list cells (round-1 ORACLE-ERR)."""
     return (load(spark, sf_dir, "orders")
             .groupBy("o_custkey")
-            .agg(F.sort_array(F.collect_list("o_orderkey"))
+            .agg(F.array_join(
+                F.transform(F.sort_array(F.collect_list("o_orderkey")),
+                            lambda x: x.cast("string")), ",")
                  .alias("order_keys")))
 
 
 @register(
     "agg_collect_set",
     oracle="""
-    SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+             AS types
     FROM events GROUP BY user_id
     """,
     tags=("agg", "nest"),
 )
 def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unique values per group (reference's dedup-while-collecting,
-    web_scrpaer_2.py:422-423)."""
+    web_scrpaer_2.py:422-423). Serialized like ``agg_collect_list``
+    so the driver's pandas hasher can compare it."""
     return (load(spark, sf_dir, "events")
             .groupBy("user_id")
-            .agg(F.sort_array(F.collect_set("event_type")).alias("types")))
+            .agg(F.array_join(F.sort_array(F.collect_set("event_type")),
+                              ",").alias("types")))
 
 
 @register(

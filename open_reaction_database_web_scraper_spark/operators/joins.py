@@ -54,11 +54,17 @@ def join_broadcast_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def join_validate_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Requested-ids ⋈ returned-payloads consistency check — the
     reference rejects payloads whose id differs from the requested id
-    (web_scraper.py:219-220)."""
+    (web_scraper.py:219-220).
+
+    The requested-id set covers ~half of all user_ids — it GROWS with
+    the data, so it must not be broadcast (a pinned broadcast here
+    OOMs the 100 TB target). A left-semi join ships only the key
+    column and lets AQE pick broadcast vs shuffle from the actual
+    runtime size; no ``distinct`` needed (semi-join semantics dedup
+    for free, saving that shuffle)."""
     ev = load(spark, sf_dir, "events")
-    requested = (ev.filter(F.col("user_id") % 2 == 0)
-                 .select("user_id").distinct())
-    return (ev.join(F.broadcast(requested), "user_id")
+    requested = ev.filter(F.col("user_id") % 2 == 0).select("user_id")
+    return (ev.join(requested, "user_id", "left_semi")
             .select("event_id", "user_id"))
 
 
@@ -99,14 +105,19 @@ def join_shuffle_equi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("join", "star"),
 )
 def join_multiway_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Star-schema chain region⋈nation⋈customer⋈orders. Dimensions
-    broadcast; the fact table is touched once, never shuffled for
-    the joins themselves."""
+    """Star-schema chain region⋈nation⋈customer⋈orders.
+
+    Only the FIXED-cardinality dimensions (region: 5 rows, nation:
+    25 rows — constants of the schema) are pinned broadcast.
+    customer scales with the data (billions of rows at the 100 TB
+    target), so its join is left unhinted: AQE broadcasts it while
+    it is small and falls back to a shuffled join once it isn't —
+    a hand-pinned ``broadcast(customer)`` is an OOM at scale."""
     r = load(spark, sf_dir, "region")
     n = load(spark, sf_dir, "nation")
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    return (o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    return (o.join(c, o.o_custkey == c.c_custkey)
             .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
             .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
             .groupBy("r_name", "n_name")
@@ -285,6 +296,59 @@ def join_cross_smallk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.crossJoin(F.broadcast(n)).select("r_name", "n_name")
 
 
+def hot_keys(fact: DataFrame, key: str,
+             skew_factor: int = 16) -> DataFrame:
+    """Detect skewed join keys: keys whose per-key row count exceeds
+    ``skew_factor ×`` the MEDIAN per-key count.
+
+    Distribution-relative (not absolute) thresholding is what keeps
+    the hot set BOUNDED: an absolute cutoff like ``cnt > 5`` marks a
+    constant *fraction* of all TPC-H orders hot, so the broadcast
+    hot-set grows linearly with data; ``> 16 × median`` marks only
+    genuine outliers — EMPTY on a skew-free distribution (TPC-H's
+    1-7 items/order never reaches 16× the median, at any SF; no
+    skew → no salting), and exactly the straggler keys on a
+    heavy-tailed one. The count aggregate is map-side combined,
+    shuffling one row per distinct key; at extreme scale compute it
+    on a block sample or reuse table statistics."""
+    counts = fact.groupBy(key).agg(F.count("*").alias("cnt"))
+    thr = counts.agg(
+        (F.expr("approx_percentile(cnt, 0.5)")
+         * skew_factor).alias("thr"))
+    return (counts.crossJoin(F.broadcast(thr))
+            .filter(F.col("cnt") > F.col("thr"))
+            .select(F.col(key).alias("hot_key"))
+            .withColumn("is_hot", F.lit(True)))
+
+
+def salted_equi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                     dim_key: str, salt_cols: list[str],
+                     n_salts: int = 8,
+                     tail_q: float = 0.999) -> DataFrame:
+    """PARTIAL salting — only detected hot keys pay. Hot fact rows get
+    a deterministic salt in [0, n_salts); hot dim rows replicate once
+    per salt; the cold majority keeps salt 0 and is never replicated.
+    Correctness-neutral: equivalent to the plain equi join."""
+    hot = hot_keys(fact, fact_key, tail_q)
+    fact = (fact.join(F.broadcast(hot),
+                      F.col(fact_key) == F.col("hot_key"), "left")
+            .withColumn("salt", F.when(
+                F.col("is_hot"),
+                F.pmod(F.xxhash64(*salt_cols),
+                       F.lit(n_salts)).cast("int")).otherwise(0))
+            .drop("hot_key", "is_hot"))
+    dim = (dim.join(F.broadcast(hot),
+                    F.col(dim_key) == F.col("hot_key"), "left")
+           .withColumn("salt", F.explode(F.when(
+               F.col("is_hot"),
+               F.sequence(F.lit(0), F.lit(n_salts - 1)))
+               .otherwise(F.array(F.lit(0)))))
+           .drop("hot_key", "is_hot"))
+    return (dim.join(fact, (dim[dim_key] == fact[fact_key])
+                     & (dim["salt"] == fact["salt"]))
+            .drop(dim["salt"]))
+
+
 @register(
     "join_salted_skew",
     oracle=f"""
@@ -301,42 +365,24 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus has one dataset with 100 reactions vs median 5 — 20× key
     skew is real).
 
-    PARTIAL salting — only detected hot keys pay: a cheap
-    distinct-key aggregate over the fact side finds keys above a
-    row-count threshold (map-side partial agg collapses the shuffle
-    to one row per distinct key); that hot-key set broadcasts to both
-    sides. Hot fact rows get a deterministic salt in [0, S), hot dim
-    rows replicate S times (one per salt); the cold majority keeps
-    salt 0 and is never replicated. The hot key's rows spread across
-    S reducers instead of one straggler task, while total replication
-    stays ∝ |hot keys| — at 100 TB, replicating the whole dim S×
-    (naive full salting) is itself a scale bug.
+    Uses :func:`salted_equi_join` / :func:`hot_keys`: the hot set is
+    the outlier tail of the per-key row-count distribution (> 16×
+    the median count), so |hot keys| stays bounded at any data
+    size — an absolute row-count cutoff would mark a constant
+    fraction of all orders hot and the broadcast would grow with the
+    data. On skew-free TPC-H the hot set is legitimately EMPTY (all
+    rows keep salt 0) and the query degenerates to the plain join;
+    the planted-skew unit test exercises the spreading path.
     Salting is correctness-neutral — the oracle is the plain join.
     AQE's skew-join split handles this automatically when it can;
     explicit salting is the hand tool for sources AQE can't rebalance
     (e.g. skew appearing after a non-join stage).
     """
-    n_salts = 8
-    hot_threshold = 5  # TPC-H orders have ≤7 items; >4 exercises the path
     li = load(spark, sf_dir, "lineitem")
-    hot = (li.groupBy("l_orderkey").agg(F.count("*").alias("cnt"))
-           .filter(F.col("cnt") > hot_threshold)
-           .select(F.col("l_orderkey").alias("hot_key"))
-           .withColumn("is_hot", F.lit(True)))
-    li = (li.join(F.broadcast(hot),
-                  li.l_orderkey == F.col("hot_key"), "left")
-          .withColumn("salt", F.when(
-              F.col("is_hot"),
-              F.pmod(F.xxhash64("l_orderkey", "l_linenumber"),
-                     F.lit(n_salts)).cast("int")).otherwise(0)))
     od = load(spark, sf_dir, "orders")
-    od = (od.join(F.broadcast(hot),
-                  od.o_orderkey == F.col("hot_key"), "left")
-          .withColumn("salt", F.explode(F.when(
-              F.col("is_hot"), F.sequence(F.lit(0), F.lit(n_salts - 1)))
-              .otherwise(F.array(F.lit(0))))))
-    return (od.join(li, (od.o_orderkey == li.l_orderkey)
-                    & (od.salt == li.salt))
-            .groupBy("o_orderstatus")
+    joined = salted_equi_join(
+        li, od, "l_orderkey", "o_orderkey",
+        salt_cols=["l_orderkey", "l_linenumber"])
+    return (joined.groupBy("o_orderstatus")
             .agg(F.count("*").alias("n_items"),
                  dsum("l_extendedprice").alias("revenue")))

@@ -43,10 +43,10 @@ def ord_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM doc, UNNEST(json_keys(j)) AS t(k)
     )
     SELECT dataset_id,
-           SUM(len(rx)) AS total_reactions,
-           SUM(len(list_filter(rx,
+           CAST(SUM(len(rx)) AS BIGINT) AS total_reactions,
+           CAST(SUM(len(list_filter(rx,
                x -> CAST(json_extract(x, '$.success') AS BOOLEAN))))
-             AS successful_scrapes
+             AS BIGINT) AS successful_scrapes
     FROM ds GROUP BY dataset_id
     """,
     tags=("ord", "agg"),

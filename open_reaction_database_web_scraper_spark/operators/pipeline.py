@@ -46,9 +46,11 @@ _STOP_LIST = list(STOPWORDS)
     )
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS total_ws_tokens,
-           ROUND(AVG(quality_score), 6) AS avg_quality,
-           SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS n_pred_match
+           CAST(SUM(n_tokens) AS BIGINT) AS total_ws_tokens,
+           ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_quality,
+           CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_match
     FROM scored
     WHERE quality_score >= 0.5
     GROUP BY lang
@@ -102,7 +104,12 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("total_ws_tokens"),
-                 F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+                 # decimal accumulator: order-insensitive avg (the
+                 # davg idiom at 12 dp, since quality is not a ≤4-dp
+                 # value) — bit-identical at any parallelism.
+                 F.round(F.sum(F.col("quality_score")
+                               .cast("decimal(18,12)")).cast("double")
+                         / F.count("*"), 6).alias("avg_quality"),
                  F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
                        .otherwise(0)).alias("n_pred_match")))
 
@@ -133,9 +140,9 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_kept,
-           SUM(n_tokens) AS tokens_kept,
-           SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
-             AS n_contaminated
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated
     FROM corpus LEFT JOIN contaminated c USING (doc_id)
     GROUP BY lang
     """,

@@ -128,7 +128,7 @@ STRATUM_PCT = {"en": 20, "*": 60}  # keep-rates per language, percent
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_sampled,
-           SUM(n_chars) AS sampled_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM documents
     WHERE doc_id % 100 <
           CASE WHEN lang = 'en' THEN {STRATUM_PCT['en']}

@@ -304,11 +304,14 @@ def json_get_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "date_arith_interval",
     oracle="""
     SELECT o_orderkey,
-           CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE) AS due_date,
-           CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE) AS prior_month,
+           CAST(CAST(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY AS DATE)
+                AS TIMESTAMP) AS due_date,
+           CAST(CAST(CAST(o_orderdate AS DATE) - INTERVAL 1 MONTH AS DATE)
+                AS TIMESTAMP) AS prior_month,
            date_diff('day', DATE '1995-01-01',
                      CAST(o_orderdate AS DATE)) AS days_since_95,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)
+             AS month_end
     FROM orders
     """,
     tags=("scalar", "date"),
@@ -316,13 +319,19 @@ def json_get_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 def date_arith_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval arithmetic on dates: fixed-day offsets, calendar-month
     offsets (both engines clamp month-ends identically), day deltas,
-    and month boundaries."""
+    and month boundaries.
+
+    Date-valued results are surfaced as midnight TIMESTAMPs on both
+    sides: pandas renders a Spark DATE as ``datetime.date`` but a
+    DuckDB DATE as a midnight datetime64, so bare DATE columns can
+    never hash-match under the driver's pandas comparison — the
+    arithmetic itself still happens in DATE space."""
     od = load(spark, sf_dir, "orders").withColumn(
         "d", F.to_date("o_orderdate"))
     return od.select(
         "o_orderkey",
-        F.date_add("d", 90).alias("due_date"),
-        F.add_months("d", -1).alias("prior_month"),
+        F.date_add("d", 90).cast("timestamp").alias("due_date"),
+        F.add_months("d", -1).cast("timestamp").alias("prior_month"),
         F.datediff("d", F.lit("1995-01-01").cast("date"))
         .alias("days_since_95"),
-        F.last_day("d").alias("month_end"))
+        F.last_day("d").cast("timestamp").alias("month_end"))

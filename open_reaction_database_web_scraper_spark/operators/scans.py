@@ -10,6 +10,9 @@ writers.
 
 from __future__ import annotations
 
+import atexit
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -19,6 +22,20 @@ from pyspark.sql import types as T
 from ..catalog import load
 from ..functions.numeric import dsum, dsum_sql
 from ..registry import register
+
+_SINK_ROOT: str | None = None
+
+
+def _sink_dir(name: str) -> str:
+    """Stable per-process output path for sink queries. One temp root
+    per session, one subdir per sink, removed at exit — repeated
+    invocations (bench warm-up runs every query twice; test reruns)
+    overwrite in place instead of accumulating orphan mkdtemp dirs."""
+    global _SINK_ROOT
+    if _SINK_ROOT is None:
+        _SINK_ROOT = tempfile.mkdtemp(prefix="ordspark_sinks_")
+        atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
+    return os.path.join(_SINK_ROOT, name)
 
 
 @register(
@@ -77,7 +94,7 @@ def source_enumerate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sink_json",
     oracle="""
     SELECT o_custkey,
-           list_sort(list(o_orderkey)) AS order_keys,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS order_keys,
            COUNT(*) AS n_orders
     FROM orders GROUP BY o_custkey
     """,
@@ -88,16 +105,23 @@ def sink_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-dataset records (web_scrpaer_2.py:545-548). Writes nested
     rows as JSON lines, re-reads them, and returns the re-read frame;
     the oracle checks the round-tripped values against the source —
-    a sink bug (lost rows, mangled arrays) breaks the hash match."""
+    a sink bug (lost rows, mangled arrays) breaks the hash match.
+    The round-tripped array is serialized to CSV in the RETURNED
+    frame only (the sink itself stays nested): raw list cells are
+    unhashable to the driver's pandas comparison."""
     nested = (load(spark, sf_dir, "orders")
               .groupBy("o_custkey")
               .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"),
                    F.count("*").alias("n_orders")))
-    out = tempfile.mkdtemp(prefix="ordspark_sink_json_")
+    out = _sink_dir("sink_json")
     nested.coalesce(4).write.mode("overwrite").json(out)
     schema = "o_custkey bigint, order_keys array<bigint>, n_orders bigint"
     return spark.read.schema(schema).json(out).select(
-        "o_custkey", "order_keys", "n_orders")
+        "o_custkey",
+        F.array_join(F.transform("order_keys",
+                                 lambda x: x.cast("string")), ",")
+        .alias("order_keys"),
+        "n_orders")
 
 
 @register(
@@ -115,7 +139,7 @@ def sink_parquet_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruning. Returns per-partition counts from the re-read."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag")
-    out = tempfile.mkdtemp(prefix="ordspark_sink_parquet_")
+    out = _sink_dir("sink_parquet_partitioned")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     back = spark.read.parquet(out)
     # Partition-pruned read: only the 'R' directory is listed.
@@ -163,7 +187,7 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops or duplicates rows breaks the oracle hash."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_shipdate")
-    out = tempfile.mkdtemp(prefix="ordspark_sink_clustered_")
+    out = _sink_dir("sink_parquet_clustered")
     (li.repartitionByRange(8, "l_shipdate")
      .sortWithinPartitions("l_shipdate")
      .write.mode("overwrite").parquet(out))
@@ -173,3 +197,61 @@ def sink_parquet_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < "1995-02-01"))
     return win.agg(F.count("*").alias("cnt"),
                    dsum("l_quantity").alias("qty"))
+
+
+@register(
+    "sink_bronze_mixed",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_records,
+           CAST(SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_formatted,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_failed,
+           CAST(SUM(LENGTH(props)) AS BIGINT) AS raw_bytes,
+           CAST(SUM(CAST(CASE WHEN event_type <> 'error' THEN value END
+                         AS DECIMAL(18,4))) AS DOUBLE) AS formatted_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("sink", "quality"),
+)
+def sink_bronze_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v1's mixed bronze sink (web_scraper.py:349-352): ONE output
+    keeping raw payloads, formatted records, AND failed records
+    together — `reaction_database_scrape.json` holds every scrape
+    result with its raw data, a `formatted_data` field only on
+    successes (web_scraper.py:283-285), and error info on failures.
+    SURVEY §3.3 calls it the engine's bronze-layer analog.
+
+    Here: every event becomes a bronze record carrying the raw
+    payload (`props`), a `formatted` struct (null for failures —
+    exactly v1's conditional `formatted_data`), and an `error` field
+    (null for successes). Written as one JSON-lines layout, re-read
+    with an explicit schema, and rolled up per user; the oracle
+    recomputes the rollup from the source table, so a sink that
+    drops a record class, mangles the raw payload, or loses
+    formatted values breaks the hash."""
+    ev = load(spark, sf_dir, "events")
+    ok = F.col("event_type") != "error"
+    bronze = ev.select(
+        "event_id", "user_id",
+        ok.alias("success"),
+        F.col("props").alias("raw"),
+        F.when(ok, F.struct(F.col("event_type").alias("kind"),
+                            F.col("value").alias("value")))
+        .alias("formatted"),
+        F.when(~ok, F.concat(F.lit("scrape failed: event "),
+                             F.col("event_id"))).alias("error"))
+    out = _sink_dir("sink_bronze_mixed")
+    bronze.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "event_id bigint, user_id bigint, success boolean, raw string, "
+        "formatted struct<kind:string, value:double>, error string"
+    ).json(out)
+    return (back.groupBy("user_id")
+            .agg(F.count("*").alias("n_records"),
+                 F.sum(F.when(F.col("success"), 1).otherwise(0))
+                 .alias("n_formatted"),
+                 F.count("error").alias("n_failed"),
+                 F.sum(F.length("raw")).alias("raw_bytes"),
+                 dsum(F.col("formatted.value")).alias("formatted_value")))

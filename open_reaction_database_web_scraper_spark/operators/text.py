@@ -363,7 +363,7 @@ def text_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM tok GROUP BY doc_id, word
     )
     SELECT doc_id,
-           SUM(cnt) AS n_tokens,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
            MAX(cnt) AS top_token_cnt,
            ROUND(CAST(MAX(cnt) AS DOUBLE) / SUM(cnt), 6)
              AS top_token_ratio

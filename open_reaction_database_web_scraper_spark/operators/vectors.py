@@ -18,7 +18,6 @@ from ..registry import register
 
 N_QUERIES = 8      # vec_id < 8 are the query vectors
 TOP_K = 5
-N_PLANES = 8       # LSH hyperplanes → 256 buckets
 
 
 def _queries_and_corpus(spark: SparkSession, sf_dir: str):
@@ -72,31 +71,56 @@ def vector_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_TABLES = 4       # OR-amplification: candidate if ANY table collides
 BITS_PER_TABLE = 6
+MAX_DIM = 64       # driver embeddings dimensionality (upper bound)
+
+# plane -> 64 precomputed weights (driver-side constants).
+_PLANE_W: dict[int, list[float]] = {}
+
+
+def _plane_weights(spark: SparkSession, planes: list[int]) -> None:
+    """Materialize hyperplane weight constants for `planes`.
+
+    Weights are the same xxhash64(plane, dim)-derived pseudo-randoms
+    in [-0.5, 0.5) as always (bit-identical ANN output), but computed
+    ONCE on the driver over a 64-row range and baked into the plan as
+    array literals. The previous form re-derived every weight inside
+    a nested HOF lambda PER ROW — interpreted, non-codegen hash calls
+    ~dim×planes times per vector, pure waste at 100 TB. The one-off
+    job is O(planes×64) — constant metadata, not a data collect."""
+    todo = [p for p in planes if p not in _PLANE_W]
+    if not todo:
+        return
+    rows = (spark.range(MAX_DIM).orderBy("id").select(
+        *[(F.pmod(F.xxhash64(F.lit(p), F.col("id").cast("int")), 1000)
+           .cast("double") / 1000.0 - 0.5).alias(f"p{p}")
+          for p in todo]).collect())
+    for p in todo:
+        _PLANE_W[p] = [r[f"p{p}"] for r in rows]
 
 
 def _hyperplane_bit(vec: F.Column, plane: int) -> F.Column:
-    """Sign bit of dot(vec, plane): plane components in [-0.5, 0.5)
-    are deterministic pseudo-randoms from xxhash64(plane, dim) —
-    reproducible with no RNG state, computable inline in codegen."""
+    """Sign bit of dot(vec, plane) against the precomputed constant
+    plane (sliced to the runtime vector length, so ≤64-dim planted
+    test vectors work unchanged)."""
+    w = F.array(*[F.lit(x) for x in _PLANE_W[plane]])
     return (F.aggregate(
-        F.zip_with(
-            vec,
-            F.transform(
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda d: (F.pmod(F.xxhash64(F.lit(plane), d), 1000)
-                           .cast("double") / 1000.0 - 0.5)),
-            lambda x, w: x * w),
+        F.zip_with(vec, F.slice(w, F.lit(1), F.size(vec)),
+                   lambda x, wv: x * wv),
         F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
 
 
-def _lsh_tables(vec: F.Column) -> F.Column:
-    """array of N_TABLES bucket signatures, table t using planes
-    [t*BITS_PER_TABLE, (t+1)*BITS_PER_TABLE)."""
+def _lsh_tables(spark: SparkSession, vec: F.Column,
+                n_tables: int = N_TABLES,
+                bits: int = BITS_PER_TABLE,
+                plane_base: int = 0) -> F.Column:
+    """array of n_tables bucket signatures, table t using planes
+    [base + t*bits, base + (t+1)*bits)."""
+    _plane_weights(spark, [plane_base + i for i in range(n_tables * bits)])
     sigs = []
-    for t in range(N_TABLES):
+    for t in range(n_tables):
         sig = F.lit(0)
-        for i in range(BITS_PER_TABLE):
-            bit = _hyperplane_bit(vec, t * BITS_PER_TABLE + i)
+        for i in range(bits):
+            bit = _hyperplane_bit(vec, plane_base + t * bits + i)
             sig = sig + bit * F.lit(2 ** i)
         sigs.append(sig)
     return F.array(*sigs)
@@ -115,10 +139,12 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     qb = queries.select(
         "query_id", "q",
-        F.posexplode(_lsh_tables(F.col("q"))).alias("table_id", "bucket"))
+        F.posexplode(_lsh_tables(spark, F.col("q")))
+        .alias("table_id", "bucket"))
     cb = corpus.select(
         "neighbor_id",
-        F.posexplode(_lsh_tables(F.col("c"))).alias("table_id", "bucket"))
+        F.posexplode(_lsh_tables(spark, F.col("c")))
+        .alias("table_id", "bucket"))
     cand = (qb.join(cb, ["table_id", "bucket"])
             .select("query_id", "q", "neighbor_id")
             .dropDuplicates(["query_id", "neighbor_id"]))
@@ -206,6 +232,12 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id", "cosine", "cell_id"))
 
 
+DEDUP_TABLES = 4          # OR-amplified recall for near-dup pairs
+DEDUP_TARGET_BUCKET = 16  # target vectors per bucket
+DEDUP_MIN_BITS, DEDUP_MAX_BITS = 6, 24
+DEDUP_PLANE_BASE = 1000   # plane-id namespace separate from the ANN ops
+
+
 @register(
     "dedup_embed_cosine",
     oracle=None,
@@ -213,35 +245,46 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all pairs with cosine
-    ≥ 0.95 among vectors sharing an LSH bucket (candidate pruning),
-    the embedding-space analog of MinHash dedup."""
+    ≥ 0.95 among vectors sharing an LSH bucket in ANY of
+    ``DEDUP_TABLES`` independent tables — the embedding-space analog
+    of the banded MinHash dedup.
+
+    Scale shape (the round-1 version's fix): a single coarse table
+    (8 bits = 256 buckets) makes within-bucket all-pairs (N/256)² —
+    quadratic at 100 TB. Here the signature width ADAPTS to the
+    corpus: bits = log2(N / target-occupancy), clamped to [6, 24],
+    so buckets stay ~16 vectors each at any N and candidate pairs
+    grow ∝ N (per-bucket occupancy constant), while OR-ing
+    ``DEDUP_TABLES`` independent tables buys back the recall that
+    narrower buckets alone would lose. The corpus count that sizes
+    the signature is one cheap count job (at production scale, table
+    statistics)."""
+    import math
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-
-    dim = F.size(F.col("e"))
-    bits = [
-        (F.aggregate(
-            F.zip_with(
-                F.col("e"),
-                F.transform(F.sequence(F.lit(0), dim - 1),
-                            lambda d: (F.pmod(F.xxhash64(F.lit(p), d), 1000)
-                                       .cast("double") / 1000.0 - 0.5)),
-                lambda x, w: x * w),
-            F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
-        for p in range(N_PLANES)
-    ]
-    bucket = F.lit(0)
-    for i, b in enumerate(bits):
-        bucket = bucket + (b * F.lit(2 ** i))
-    bucketed = emb.withColumn("bucket", bucket)
-    a, b_ = bucketed.alias("a"), bucketed.alias("b")
-    pairs = (a.join(b_, (F.col("a.bucket") == F.col("b.bucket"))
+    n = emb.count()
+    bits = min(max(int(math.ceil(math.log2(max(n, 2)
+                                           / DEDUP_TARGET_BUCKET))),
+                   DEDUP_MIN_BITS), DEDUP_MAX_BITS)
+    banded = emb.select(
+        "vec_id", "e",
+        F.posexplode(_lsh_tables(spark, F.col("e"),
+                                 n_tables=DEDUP_TABLES, bits=bits,
+                                 plane_base=DEDUP_PLANE_BASE))
+        .alias("t", "bucket"))
+    a, b_ = banded.alias("a"), banded.alias("b")
+    pairs = (a.join(b_, (F.col("a.t") == F.col("b.t"))
+                    & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .withColumn("cosine", cosine_similarity(F.col("a.e"),
-                                                     F.col("b.e")))
+             .select(F.col("a.vec_id").alias("vec_a"),
+                     F.col("b.vec_id").alias("vec_b"),
+                     F.col("a.e").alias("ea"), F.col("b.e").alias("eb"))
+             .dropDuplicates(["vec_a", "vec_b"])
+             .withColumn("cosine", cosine_similarity(F.col("ea"),
+                                                     F.col("eb")))
              .filter(F.col("cosine") >= 0.95))
-    return pairs.select(F.col("a.vec_id").alias("vec_a"),
-                        F.col("b.vec_id").alias("vec_b"), "cosine")
+    return pairs.select("vec_a", "vec_b", "cosine")
 
 
 PQ_M = 8           # subspaces (64 dims → 8 dims each)
@@ -275,7 +318,7 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank). Index: each corpus vector compresses to 8 one-byte
     codes — a 64-dim float64 row (512 B) becomes 8 B, the ~64×
     memory/IO shrink that keeps a 100 TB corpus' index in cluster
-    RAM. Probe: per query, a 4×16 lookup table of subspace dot
+    RAM. Probe: per query, an 8×16 (PQ_M × PQ_K) lookup table of subspace dot
     products (one broadcast of the codebook); candidate score =
     sum of 8 LUT entries via an equi-join on (m, code) against the
     CODES table (vectors never touched); the top PQ_CAND candidates

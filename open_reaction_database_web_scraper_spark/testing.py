@@ -1,94 +1,117 @@
-"""Differential-oracle test harness.
+"""Differential-oracle test harness — driver-faithful pandas path.
 
 Mimics the driver's correctness gate: run a registered query on
 Spark and its oracle SQL on DuckDB over the same parquet tables,
-then compare row count, column names, and an order-insensitive
-canonical value multiset. Floats are compared bit-exactly — the
-engine's decimal-accumulator idiom (functions/numeric.py) is what
-makes that feasible.
+then compare row count, column names, and a value hash computed the
+way the driver computes it — BOTH results fetched as pandas frames
+(``DataFrame.toPandas()`` / duckdb ``fetchdf()``), columns sorted by
+name, rows sorted by all columns, then ``pd.util.hash_pandas_object``.
+
+Round-1 lesson: a ``fetchall()``-based harness reported green while
+the driver failed, because DuckDB renders HUGEINT (``SUM(int)``) as
+float64 only on the pandas path. The pandas fetch is therefore
+mandatory here — it reproduces every dtype-representation divergence
+(int vs float, date vs datetime64, Decimal objects) that the driver
+would flag, plus the unhashable-list failure mode for raw arrays.
 """
 
 from __future__ import annotations
 
-import datetime as _dt
-import math
-from decimal import Decimal
-
 import duckdb
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str) -> tuple[list[str], list[tuple]]:
+def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
+    """Run oracle SQL on DuckDB and fetch via pandas (driver path)."""
     con = duckdb.connect()
     try:
         for t in TABLES:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        cur = con.execute(sql)
-        cols = [d[0] for d in cur.description]
-        return cols, cur.fetchall()
+        return con.execute(sql).fetchdf()
     finally:
         con.close()
 
 
-def _canon(v):
-    """Canonical, hashable, engine-agnostic value image."""
-    if v is None:
-        return None
-    if isinstance(v, bool):
-        return bool(v)
-    if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(v))
-    if isinstance(v, int):
-        return ("i", int(v))
-    if isinstance(v, _dt.datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, _dt.date):
-        return ("d", v.isoformat())
-    if isinstance(v, (list, tuple)):
-        return ("arr", tuple(_canon(x) for x in v))
-    if isinstance(v, dict):
-        return ("map", tuple(sorted((k, _canon(x)) for k, x in v.items())))
-    if isinstance(v, (bytes, bytearray)):
-        return ("bin", bytes(v))
-    return ("s", str(v))
+def _canon_df(df: pd.DataFrame) -> pd.DataFrame:
+    """Driver-style canonical form: columns sorted by (lowercased)
+    name, rows sorted by every column, fresh index."""
+    df = df.rename(columns={c: c.lower() for c in df.columns})
+    df = df.reindex(sorted(df.columns), axis=1)
+    if len(df.columns) and len(df):
+        df = df.sort_values(list(df.columns), kind="mergesort")
+    return df.reset_index(drop=True)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
-    """Sort columns by name, canonicalize values, sort rows."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = [tuple(_canon(r[i]) for i in order) for r in rows]
-    out.sort(key=repr)
-    return out
+def _hash_df(df: pd.DataFrame) -> int:
+    """Order-insensitive value hash, driver-style. Raises TypeError
+    on unhashable cell values (lists/dicts) exactly like the driver
+    (the sort step factorizes object columns before any stringify).
+
+    The value image is the STRING rendering of each cell — the model
+    that reproduces every adjudicated round-1 outcome: float64
+    '9926.0' vs int64 '9926' mismatch (the HUGEINT FAILs), int32 vs
+    int64 match, datetime64[ns] vs [us] match (join_asof passed),
+    bit-exact float reprs. Consequently date objects
+    ('1995-04-01') vs midnight timestamps ('1995-04-01 00:00:00')
+    MISMATCH — oracled queries must not emit bare DATE columns.
+    Missing values are normalized first (None ≡ NaN ≡ NaT — Spark
+    renders null object cells as None, DuckDB as NaN, and the driver
+    passed nullable-column queries in r1, so its hash must too)."""
+    df = _canon_df(df)
+    df = df.astype(object).where(df.notna(), None)
+    h = pd.util.hash_pandas_object(df.astype(str), index=False)
+    return int(h.sum())
+
+
+def _first_diff(s: pd.DataFrame, o: pd.DataFrame) -> str:
+    """Human-readable first differing cell (after canon sort)."""
+    s, o = _canon_df(s), _canon_df(o)
+    for i in range(min(len(s), len(o))):
+        for c in s.columns:
+            a, b = s[c].iloc[i], o[c].iloc[i]
+            same = (a == b) or (pd.isna(a) and pd.isna(b))
+            try:
+                same = bool(same)
+            except (TypeError, ValueError):  # array-valued cells
+                same = repr(a) == repr(b)
+            if not same:
+                return (f"row {i} col {c}: spark={a!r} "
+                        f"({s[c].dtype}) oracle={b!r} ({o[c].dtype})")
+    return "no element-wise diff found (dtype-only hash divergence?)"
 
 
 def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
             name: str = "?") -> tuple[bool, str]:
     """Driver-style comparison. Returns (ok, message)."""
-    s_rows_raw = spark_df.collect()
-    s_cols = spark_df.columns
-    o_cols, o_rows_raw = run_oracle(oracle_sql, sf_dir)
+    s_pd = spark_df.toPandas()
+    o_pd = run_oracle_df(oracle_sql, sf_dir)
 
-    if sorted(s_cols) != sorted(c.lower() for c in o_cols) and \
-       sorted(c.lower() for c in s_cols) != sorted(c.lower() for c in o_cols):
-        return False, (f"{name}: column mismatch spark={sorted(s_cols)} "
-                       f"oracle={sorted(o_cols)}")
-    if len(s_rows_raw) != len(o_rows_raw):
-        return False, (f"{name}: row count spark={len(s_rows_raw)} "
-                       f"oracle={len(o_rows_raw)}")
-    s = canon_rows(s_cols, [tuple(r) for r in s_rows_raw])
-    o = canon_rows(o_cols, o_rows_raw)
-    if s != o:
-        diff_i = next(i for i, (a, b) in enumerate(zip(s, o)) if a != b)
-        return False, (f"{name}: value mismatch at sorted-row {diff_i}:\n"
-                       f"  spark : {s[diff_i]}\n  oracle: {o[diff_i]}")
-    return True, f"{name}: OK ({len(s)} rows)"
+    s_cols = sorted(c.lower() for c in s_pd.columns)
+    o_cols = sorted(c.lower() for c in o_pd.columns)
+    if s_cols != o_cols:
+        return False, (f"{name}: column mismatch spark={s_cols} "
+                       f"oracle={o_cols}")
+    if len(s_pd) != len(o_pd):
+        return False, (f"{name}: row count spark={len(s_pd)} "
+                       f"oracle={len(o_pd)}")
+    try:
+        hs, ho = _hash_df(s_pd), _hash_df(o_pd)
+    except TypeError as e:
+        return False, f"{name}: ORACLE-ERR unhashable value ({e})"
+    dtype_note = ""
+    s_dt = {c.lower(): str(s_pd[c].dtype) for c in s_pd.columns}
+    o_dt = {c.lower(): str(o_pd[c].dtype) for c in o_pd.columns}
+    mism = {c: (s_dt[c], o_dt[c]) for c in s_dt if s_dt[c] != o_dt[c]}
+    if mism:
+        dtype_note = f" [dtype divergence: {mism}]"
+    if hs != ho:
+        return False, (f"{name}: value-hash mismatch{dtype_note}\n"
+                       f"  {_first_diff(s_pd, o_pd)}")
+    return True, f"{name}: OK ({len(s_pd)} rows){dtype_note}"
 
 
 def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:

@@ -31,11 +31,20 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_star_join_broadcasts_dims(spark, sf_dir):
-    """region/nation/customer are tiny: every join in the star must be
-    a broadcast-hash join — zero shuffles of the orders fact side."""
-    plan = plan_of(spark, sf_dir, "join_multiway_star")
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    """The fixed-cardinality dims (region, nation) must be pinned
+    broadcast joins at ANY scale; customer grows with the data, so
+    its join must NOT be hard-pinned — with auto-broadcast off
+    (modelling a customer table too big to broadcast) the plan must
+    show exactly the two dim broadcasts plus a shuffled join for
+    customer. AQE still broadcasts customer while it is small."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "join_multiway_star")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 2, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
 
 
 def test_enum_decode_broadcasts(spark, sf_dir):
@@ -171,6 +180,42 @@ def test_salted_join_spreads_hot_keys(spark, sf_dir):
     assert m is not None, plan
 
 
+def test_salted_join_planted_skew_spreads_and_matches(spark):
+    """Planted skew: one key with 5000 rows among 400 one-row keys.
+    The quantile-tail detector must flag exactly that key, the hot
+    rows must land on >1 salt, and the salted join must equal the
+    plain join. On skew-free data the hot set must be EMPTY (no
+    replication) — the property an absolute threshold violates."""
+    from open_reaction_database_web_scraper_spark.operators.joins import (
+        hot_keys, salted_equi_join)
+
+    fact = spark.range(0, 5400).select(
+        F.when(F.col("id") < 5000, 7).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("row_id"))
+    dim = spark.range(0, 6000).select(
+        F.col("id").alias("dk"),
+        (F.col("id") % 3).alias("grp"))
+
+    hot = hot_keys(fact, "k").collect()
+    assert [r.hot_key for r in hot] == [7]
+
+    salted = salted_equi_join(fact, dim, "k", "dk",
+                              salt_cols=["k", "row_id"])
+    n_salts_used = (salted.filter(F.col("k") == 7)
+                    .select("salt").distinct().count())
+    assert n_salts_used > 1
+
+    plain = fact.join(dim, fact.k == dim.dk)
+    got = salted.groupBy("grp").count().collect()
+    want = plain.groupBy("grp").count().collect()
+    assert sorted((r.grp, r["count"]) for r in got) == \
+        sorted((r.grp, r["count"]) for r in want)
+
+    uniform = spark.range(0, 400).select(
+        F.col("id").alias("k"), F.col("id").alias("row_id"))
+    assert hot_keys(uniform, "k").count() == 0
+
+
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):
     """Tables bucketed+sorted on the join key must join with ZERO
     Exchange nodes — the bucketing layout SCALING.md prescribes for
@@ -278,8 +323,13 @@ def test_clustered_sink_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
         md = pq.ParquetFile(f).metadata
         idx = {md.schema.column(i).name: i
                for i in range(md.schema.to_arrow_schema().__len__())}
-        st = md.row_group(0).column(idx["l_shipdate"]).statistics
-        ranges.append((st.min, st.max))
+        # aggregate stats over EVERY row group — a file with several
+        # row groups would understate its true max from group 0 alone
+        # and overlap could go undetected
+        stats = [md.row_group(g).column(idx["l_shipdate"]).statistics
+                 for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats),
+                       max(s.max for s in stats)))
     ranges.sort()
     assert len(ranges) >= 4  # range partitioner actually split
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
