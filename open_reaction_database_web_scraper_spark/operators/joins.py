@@ -311,7 +311,12 @@ def hot_keys(fact: DataFrame, key: str,
     heavy-tailed one. The count aggregate is map-side combined,
     shuffling one row per distinct key; at extreme scale compute it
     on a block sample or reuse table statistics."""
-    counts = fact.groupBy(key).agg(F.count("*").alias("cnt"))
+    # cached: the counts feed BOTH the threshold aggregate and the
+    # hot filter — without it the fact is scanned+aggregated twice
+    # (Catalyst does not reuse the subplan across the two consumers).
+    # (key, cnt) is ~1% the fact's size; CacheManager keys on the
+    # logical plan, so repeated invocations share one entry.
+    counts = fact.groupBy(key).agg(F.count("*").alias("cnt")).cache()
     thr = counts.agg(
         (F.expr("approx_percentile(cnt, 0.5)")
          * skew_factor).alias("thr"))
