@@ -56,6 +56,10 @@ OPTIONAL = [
     "sample_stratified",
     "pipeline_corpus_curation",
     "vector_ann_pq",
+    # round 2 additions
+    "stream_stream_join",
+    "agg_heavy_hitters",
+    "dedup_embed_cosine",
 ]
 
 

@@ -116,3 +116,24 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((n * sxy - sx * sy)
                 / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
         .alias("corr_qty_price"))
+
+
+@register("agg_approx_percentile", oracle=None, tags=("agg", "stats",
+                                                      "approx"))
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via Spark's mergeable quantile sketch
+    (Greenwald-Khanna summaries) — the 100 TB path where the exact
+    variant's per-group sort buffer is prohibitive: each task builds
+    a bounded-size summary, merges are associative, and the shuffle
+    carries sketches instead of values. accuracy=10000 bounds rank
+    error at 1/10000 of the group. Rows-only (sketch output is
+    engine-specific); tests pin each estimate within rank tolerance
+    of the exact percentile."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.25), F.lit(10000))
+        .alias("p25"),
+        F.approx_percentile("l_extendedprice", F.lit(0.50), F.lit(10000))
+        .alias("p50"),
+        F.approx_percentile("l_extendedprice", F.lit(0.75), F.lit(10000))
+        .alias("p75"))

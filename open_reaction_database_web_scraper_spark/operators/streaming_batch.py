@@ -112,3 +112,55 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w.start").alias("session_start"),
                     F.col("w.end").alias("session_end"),
                     "n_events"))
+
+
+@register(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >  p.ts - INTERVAL 1 HOUR
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: every (purchase, click) pair of the
+    same user with the click in the hour before the purchase — click
+    attribution, the canonical stream-stream join. In Structured
+    Streaming the identical join condition plus watermarks on both
+    sides bounds the join state (clicks older than max_ts - 1h - wm
+    are evicted); tests/test_streaming_equiv.py runs that streaming
+    form and pins it to this batch result.
+
+    Batch scale shape: same hour-bucket tightening as
+    ``join_range_theta`` — joining on user_id alone would materialize
+    the full per-user click×purchase product before the range
+    residual; adding an hour-bucket equi key bounds generated pairs
+    to ~2× the true matches. A click matching ``(p.ts - 1h, p.ts]``
+    lives in the purchase's bucket or the previous one, each
+    candidate pair in exactly one."""
+    ev = load(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_timestamp("ts") / F.lit(3600))
+    p = (ev.filter(F.col("event_type") == "purchase")
+         .withColumn("bkt", F.explode(F.array(bucket - 1, bucket)))
+         .alias("p"))
+    c = (ev.filter(F.col("event_type") == "click")
+         .withColumn("bkt", bucket).alias("c"))
+    cond = ((F.col("p.user_id") == F.col("c.user_id"))
+            & (F.col("p.bkt") == F.col("c.bkt"))
+            & (F.col("c.ts") <= F.col("p.ts"))
+            & (F.col("c.ts") > F.col("p.ts") - F.expr("INTERVAL 1 HOUR")))
+    return (p.join(c, cond)
+            .select(F.col("p.event_id").alias("purchase_id"),
+                    F.col("c.event_id").alias("click_id"),
+                    F.col("p.user_id").alias("user_id"),
+                    F.col("p.ts").alias("purchase_ts"),
+                    F.col("c.ts").alias("click_ts")))

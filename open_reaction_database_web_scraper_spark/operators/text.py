@@ -393,3 +393,40 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("top_token_cnt")
                             / F.col("n_tokens"), 6)
                     .alias("top_token_ratio")))
+
+
+HH_TOP_K = 20
+
+
+@register(
+    "agg_heavy_hitters",
+    oracle=f"""
+    WITH tf AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents) t
+      GROUP BY word
+    )
+    SELECT word, cnt
+    FROM tf
+    QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, word) <= {HH_TOP_K}
+    """,
+    tags=("agg", "text", "topk"),
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide heavy hitters: the top-{K} most frequent tokens —
+    the vocabulary-head profile every corpus audit starts with.
+
+    Scale shape: the token-frequency aggregate partial-combines
+    map-side, so the exchange carries one (word, count) row per
+    distinct word per task, never the token stream; the global top-k
+    is ``orderBy().limit()`` which Spark executes as
+    TakeOrderedAndProject — each task keeps a k-row heap and the
+    driver merges |tasks|×k rows, no full sort of the vocabulary.
+    Ties break on the token itself for cross-engine determinism."""
+    docs = load(spark, sf_dir, "documents")
+    tf = (fanout(docs)
+          .select(F.explode(_tokens()).alias("word"))
+          .groupBy("word").agg(F.count("*").alias("cnt")))
+    return (tf.orderBy(F.desc("cnt"), F.asc("word")).limit(HH_TOP_K)
+            .select("word", "cnt"))

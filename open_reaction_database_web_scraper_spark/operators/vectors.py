@@ -101,8 +101,10 @@ def _plane_weights(spark: SparkSession, planes: list[int]) -> None:
 def _hyperplane_bit(vec: F.Column, plane: int) -> F.Column:
     """Sign bit of dot(vec, plane) against the precomputed constant
     plane (sliced to the runtime vector length, so ≤64-dim planted
-    test vectors work unchanged)."""
-    w = F.array(*[F.lit(x) for x in _PLANE_W[plane]])
+    test vectors work unchanged). One ``F.lit`` call for the whole
+    64-weight array — element-wise lit() would cost ~64 py4j round
+    trips per plane per query build, seconds of driver time."""
+    w = F.lit(_PLANE_W[plane])
     return (F.aggregate(
         F.zip_with(vec, F.slice(w, F.lit(1), F.size(vec)),
                    lambda x, wv: x * wv),

@@ -30,11 +30,14 @@ from open_reaction_database_web_scraper_spark.session import get_session  # noqa
 #   feature under test;
 # - text_tfidf: crossJoin(broadcast(n)) of a 1-row aggregate — the
 #   scalar-subquery shape; broadcasting one row is always safe.
+# - join_salted_skew: same 1-row scalar-subquery shape (the skew
+#   threshold aggregate broadcast onto the per-key counts).
 ALLOW = {
     "BroadcastNestedLoopJoin": {"join_cross_smallk",
                                 "vector_topk_similarity",
                                 "vector_ann_ivf",
-                                "text_tfidf"},
+                                "text_tfidf",
+                                "join_salted_skew"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),

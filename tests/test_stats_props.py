@@ -111,3 +111,28 @@ def test_moments_match_sf_data(spark, sf_dir):
         assert math.isclose(got["corr_qty_price"],
                             float(np.corrcoef(q, p)[0][1]),
                             rel_tol=1e-5, abs_tol=1e-5)
+
+
+def test_approx_percentile_within_tolerance(spark, sf_dir):
+    """The sketch estimate must sit within 1% (relative) of the exact
+    per-group percentile — far looser than the configured 1e-4 rank
+    error, so only a broken sketch merge fails this."""
+    import math
+
+    from open_reaction_database_web_scraper_spark.registry import (
+        REGISTRY,
+        load_all_operators,
+    )
+
+    load_all_operators()
+    approx = {r["l_returnflag"]: r
+              for r in REGISTRY["agg_approx_percentile"]
+              .fn(spark, sf_dir).collect()}
+    exact = {r["l_returnflag"]: r
+             for r in REGISTRY["agg_percentile_exact"]
+             .fn(spark, sf_dir).collect()}
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p25", "p50", "p75"):
+            assert math.isclose(a[col], e[col], rel_tol=0.01), \
+                (flag, col, a[col], e[col])

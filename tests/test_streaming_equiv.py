@@ -133,3 +133,42 @@ def test_dedup_clusters_planted(spark):
     out = REGISTRY["dedup_clusters"].fn(spark, d).collect()
     got = {(r.doc_id, r.cluster_id, r.cluster_size) for r in out}
     assert got == {(0, 0, 3), (1, 0, 3), (2, 0, 3)}
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """True stream-stream inner join (clicks ⋈ purchases, same user,
+    click within the hour before the purchase) with watermarks on
+    BOTH sides — the form whose join state Spark can bound and evict.
+    Inner joins emit a pair as soon as both rows have arrived, so the
+    in-order file replay must reproduce the batch interval join
+    exactly (nothing is late → nothing is dropped)."""
+    src = _chunked_events_dir(spark, sf_dir)
+
+    def side(event_type):
+        return (spark.readStream.schema(_EVENTS_SCHEMA)
+                .option("maxFilesPerTrigger", 1).parquet(src)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .filter(F.col("event_type") == event_type))
+
+    clicks = (side("click")
+              .select(F.col("event_id").alias("click_id"),
+                      "user_id", F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "10 minutes"))
+    purchases = (side("purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user_id"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "10 minutes"))
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") > F.col("purchase_ts")
+           - F.expr("INTERVAL 1 HOUR")))
+    streamed = {(r.purchase_id, r.click_id)
+                for r in _run_to_memory(joined, "append").collect()}
+    batch = {(r.purchase_id, r.click_id)
+             for r in REGISTRY["stream_stream_join"]
+             .fn(spark, sf_dir).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
