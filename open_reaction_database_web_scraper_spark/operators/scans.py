@@ -255,3 +255,29 @@ def sink_bronze_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("error").alias("n_failed"),
                  F.sum(F.length("raw")).alias("raw_bytes"),
                  dsum(F.col("formatted.value")).alias("formatted_value")))
+
+
+@register(
+    "scan_csv_typed",
+    oracle="""
+    SELECT p_partkey, p_brand, p_size
+    FROM part WHERE p_size >= 25
+    """,
+    tags=("scan", "csv"),
+)
+def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with an explicit schema: write a CSV image of
+    `part` once per session, re-read it typed (no inference pass —
+    at 100 TB schema inference is a full extra scan), filter on a
+    numeric column. PERMISSIVE mode + explicit schema is the same
+    malformed-row posture as the JSON scan; the oracle recomputes
+    from the parquet source, so a type-mangling round trip (string
+    size, lost header) breaks the hash."""
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size")
+    out = _sink_dir("scan_csv_typed")
+    part.write.mode("overwrite").option("header", True).csv(out)
+    back = spark.read.schema("p_partkey bigint, p_brand string, "
+                             "p_size int") \
+        .option("header", True).option("mode", "PERMISSIVE").csv(out)
+    return back.filter(F.col("p_size") >= 25)

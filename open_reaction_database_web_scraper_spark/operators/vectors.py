@@ -98,34 +98,40 @@ def _plane_weights(spark: SparkSession, planes: list[int]) -> None:
         _PLANE_W[p] = [r[f"p{p}"] for r in rows]
 
 
-def _hyperplane_bit(vec: F.Column, plane: int) -> F.Column:
-    """Sign bit of dot(vec, plane) against the precomputed constant
-    plane (sliced to the runtime vector length, so ≤64-dim planted
-    test vectors work unchanged). One ``F.lit`` call for the whole
-    64-weight array — element-wise lit() would cost ~64 py4j round
-    trips per plane per query build, seconds of driver time."""
-    w = F.lit(_PLANE_W[plane])
-    return (F.aggregate(
-        F.zip_with(vec, F.slice(w, F.lit(1), F.size(vec)),
-                   lambda x, wv: x * wv),
-        F.lit(0.0), lambda acc, v: acc + v) > 0).cast("int")
-
-
 def _lsh_tables(spark: SparkSession, vec: F.Column,
                 n_tables: int = N_TABLES,
                 bits: int = BITS_PER_TABLE,
                 plane_base: int = 0) -> F.Column:
     """array of n_tables bucket signatures, table t using planes
-    [base + t*bits, base + (t+1)*bits)."""
-    _plane_weights(spark, [plane_base + i for i in range(n_tables * bits)])
-    sigs = []
-    for t in range(n_tables):
-        sig = F.lit(0)
-        for i in range(bits):
-            bit = _hyperplane_bit(vec, plane_base + t * bits + i)
-            sig = sig + bit * F.lit(2 ** i)
-        sigs.append(sig)
-    return F.array(*sigs)
+    [base + t*bits, base + (t+1)*bits).
+
+    ONE nested-HOF expression over ONE 2-D (planes × 64) weight
+    literal: sig_t = fold over the table's planes of
+    ``acc*2 + (dot(vec, plane) > 0)``. Building n_tables×bits
+    separate fold-aggregate trees (the previous form) cost ~2.5 s of
+    driver-side plan construction + analysis PER QUERY BUILD at 28
+    planes; this tree is a few dozen nodes regardless of plane
+    count. Planes slice to the runtime vector length, so ≤64-dim
+    planted test vectors work unchanged. Which vectors share a
+    bucket is unchanged (same sign bits, MSB-first encoding)."""
+    planes = [plane_base + i for i in range(n_tables * bits)]
+    _plane_weights(spark, planes)
+    w2 = F.lit([_PLANE_W[p] for p in planes])  # (n_tables*bits) × 64
+
+    def plane_dot(w: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(vec, F.slice(w, F.lit(1), F.size(vec)),
+                       lambda x, wv: x * wv),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_tables - 1)),
+        lambda t: F.aggregate(
+            F.sequence(F.lit(0), F.lit(bits - 1)), F.lit(0),
+            lambda acc, i: acc * 2 + F.when(
+                plane_dot(F.element_at(
+                    w2, (t * bits + i + 1).cast("int"))) > 0,
+                1).otherwise(0)))
 
 
 @register("vector_ann_lsh", oracle=None, tags=("vector", "approx"))
@@ -263,12 +269,17 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics)."""
     import math
 
-    emb = load(spark, sf_dir, "embeddings").select(
+    from ..catalog import fanout
+
+    raw = load(spark, sf_dir, "embeddings")
+    n = raw.count()  # sizes the signature; counted pre-fanout (no shuffle)
+    emb = fanout(raw).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    n = emb.count()
     bits = min(max(int(math.ceil(math.log2(max(n, 2)
                                            / DEDUP_TARGET_BUCKET))),
                    DEDUP_MIN_BITS), DEDUP_MAX_BITS)
+    # fanout: the toy-scale table is one parquet row group — without
+    # the spread, the 4×bits signature folds per row run on 1 core.
     banded = emb.select(
         "vec_id", "e",
         F.posexplode(_lsh_tables(spark, F.col("e"),
@@ -276,17 +287,20 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  plane_base=DEDUP_PLANE_BASE))
         .alias("t", "bucket"))
     a, b_ = banded.alias("a"), banded.alias("b")
+    # score-then-dedup: a pair colliding in k≤4 tables recomputes the
+    # 64-dim cosine k times (cheap, JVM-side) but the dedup exchange
+    # then carries (id, id, cosine) instead of two full embeddings
+    # per candidate — the shuffle is what matters at scale.
     pairs = (a.join(b_, (F.col("a.t") == F.col("b.t"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+             .withColumn("cosine", cosine_similarity(F.col("a.e"),
+                                                     F.col("b.e")))
+             .filter(F.col("cosine") >= 0.95)
              .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"),
-                     F.col("a.e").alias("ea"), F.col("b.e").alias("eb"))
-             .dropDuplicates(["vec_a", "vec_b"])
-             .withColumn("cosine", cosine_similarity(F.col("ea"),
-                                                     F.col("eb")))
-             .filter(F.col("cosine") >= 0.95))
-    return pairs.select("vec_a", "vec_b", "cosine")
+                     F.col("b.vec_id").alias("vec_b"), "cosine")
+             .dropDuplicates(["vec_a", "vec_b"]))
+    return pairs
 
 
 PQ_M = 8           # subspaces (64 dims → 8 dims each)

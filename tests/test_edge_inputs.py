@@ -25,7 +25,7 @@ DOC_OPS = ["dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash",
            "text_quality_score", "text_token_count", "text_fingerprint",
            "text_repetition_ratio", "text_tfidf", "sample_stratified",
            "pipeline_training_data", "pipeline_corpus_curation",
-           "agg_hll_sketch_merge"]
+           "agg_hll_sketch_merge", "agg_heavy_hitters"]
 
 
 @pytest.fixture(scope="module")
@@ -67,3 +67,51 @@ def test_single_document_no_throw(spark, one_doc_dir, name):
     if name in ("dedup_minhash_lsh", "dedup_simhash"):
         assert rows == []
     assert len(df.columns) > 0
+
+
+@pytest.fixture(scope="module")
+def empty_events_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_events")
+    spark.createDataFrame(
+        [], "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{d}/events.parquet")
+    return str(d)
+
+
+def test_stream_stream_join_empty_events(spark, empty_events_dir):
+    """No clicks, no purchases → empty pair set, stable schema."""
+    df = REGISTRY["stream_stream_join"].fn(spark, empty_events_dir)
+    assert df.collect() == []
+    assert df.columns == ["purchase_id", "click_id", "user_id",
+                          "purchase_ts", "click_ts"]
+
+
+def test_stream_stream_join_click_without_purchase(spark, tmp_path):
+    """A click with no purchase in range must produce nothing; a
+    purchase exactly 1h after a click is OUTSIDE the (p-1h, p] bound's
+    open edge... (strictly greater than p-1h keeps it: boundary is
+    inclusive at p.ts, exclusive at p.ts - 1h)."""
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 7, "click", 1.0, "{}"),
+        # exactly 1h later: c.ts == p.ts - 1h -> excluded (strict >)
+        (2, t0 + datetime.timedelta(hours=1), 7, "purchase", 1.0, "{}"),
+        # 59 min later: included
+        (3, t0 + datetime.timedelta(minutes=59), 7, "purchase", 1.0,
+         "{}"),
+        # other user: never joined
+        (4, t0 + datetime.timedelta(minutes=5), 8, "purchase", 1.0,
+         "{}"),
+    ]
+    d = tmp_path / "ev"
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {(r.purchase_id, r.click_id)
+           for r in REGISTRY["stream_stream_join"].fn(spark, str(d))
+           .collect()}
+    assert got == {(3, 1)}
