@@ -281,3 +281,25 @@ def scan_csv_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
                              "p_size int") \
         .option("header", True).option("mode", "PERMISSIVE").csv(out)
     return back.filter(F.col("p_size") >= 25)
+
+
+@register(
+    "scan_orc_roundtrip",
+    oracle="""
+    SELECT l_orderkey, l_quantity, l_returnflag
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    tags=("scan", "orc"),
+)
+def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source round-trip (second columnar format besides
+    parquet): write a lineitem projection as ORC once per session,
+    re-read, filter. ORC carries the same pushdown machinery —
+    min/max stripe statistics serve the quantity predicate — and the
+    oracle recomputes from the parquet source, so any type or value
+    mangling in the ORC round trip breaks the hash."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    out = _sink_dir("scan_orc_roundtrip")
+    li.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).filter(F.col("l_quantity") > 45)

@@ -75,3 +75,46 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders").select(F.col("o_custkey").alias("id"))
     ev = load(spark, sf_dir, "events").select(F.col("user_id").alias("id"))
     return od.subtract(ev)  # EXCEPT DISTINCT semantics, matching the oracle
+
+
+@register(
+    "set_intersect_all",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25
+    INTERSECT ALL
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_discount > 0.05
+    """,
+    tags=("setop",),
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset intersection — each row kept min(count_left,
+    count_right) times, the bag semantics INTERSECT DISTINCT loses.
+    Spark plans it as a count-compare aggregate, not a join of the
+    duplicated rows."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25) \
+        .select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_discount") > 0.05) \
+        .select(F.col("l_returnflag").alias("flag"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    oracle="""
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_quantity > 25
+    EXCEPT ALL
+    SELECT l_returnflag AS flag FROM lineitem WHERE l_discount > 0.05
+    """,
+    tags=("setop",),
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset difference — each row kept max(0, count_left -
+    count_right) times (bag semantics for run-diffing where
+    multiplicity matters)."""
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") > 25) \
+        .select(F.col("l_returnflag").alias("flag"))
+    b = li.filter(F.col("l_discount") > 0.05) \
+        .select(F.col("l_returnflag").alias("flag"))
+    return a.exceptAll(b)
