@@ -142,3 +142,35 @@ def test_renest_explode_identity(spark, reactions):
     assert rec.total_reactions_scraped == len(reactions)
     assert [r.reaction_id for r in rec.reactions] == \
         [r["reactionId"] for r in reactions]
+
+
+# --- salted-join equivalence under arbitrary key skew -------------
+
+_key_lists = st.lists(
+    st.integers(min_value=0, max_value=20), min_size=1, max_size=300)
+
+
+@given(fact_keys=_key_lists, dim_keys=_key_lists)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_salted_join_equals_plain_join(spark, fact_keys, dim_keys):
+    """salted_equi_join must equal the plain inner join row-for-row
+    on ANY key multiset — arbitrary skew, duplicate dim keys,
+    disjoint keys, single-key degenerate inputs."""
+    from collections import Counter
+
+    from open_reaction_database_web_scraper_spark.operators.joins import (
+        salted_equi_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(fact_keys)], "fk bigint, row_id bigint")
+    dim = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(dim_keys)], "dk bigint, dim_id bigint")
+    salted = salted_equi_join(fact, dim, "fk", "dk",
+                              salt_cols=["fk", "row_id"])
+    got = Counter((r.row_id, r.dim_id) for r in salted.collect())
+    want = Counter((r.row_id, r.dim_id)
+                   for r in fact.join(dim, fact.fk == dim.dk).collect())
+    assert got == want
