@@ -42,9 +42,13 @@ ALLOW = {
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),
 }
-# Streaming jobs execute eagerly inside fn() and return memory-sink /
-# local results — their plans are not the job's dataflow; skip.
-SKIP_TAGS = {"streaming"}
+# True readStream jobs (streaming/jobs.py) execute eagerly inside
+# fn() and return memory-sink / local results — their plans are not
+# the job's dataflow; skip those BY NAME. The streaming_batch module's
+# window/join queries are ordinary batch plans and ARE audited.
+SKIP_NAMES = {"stream_watermark_late", "stream_dedup_stateful",
+              "stream_rate_limit", "stream_foreachbatch_retry",
+              "stream_custom_stateful", "stream_session_stateful"}
 
 
 def plan_of(df) -> str:
@@ -69,7 +73,7 @@ def main() -> int:
     n_flags = 0
     for name in sorted(REGISTRY):
         spec = REGISTRY[name]
-        if SKIP_TAGS & set(spec.tags):
+        if name in SKIP_NAMES:
             continue
         try:
             plan = plan_of(spec.fn(spark, sf_dir))
