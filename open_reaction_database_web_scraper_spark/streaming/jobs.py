@@ -323,3 +323,16 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .alias("session_end"),
                    "n_events"))
     return _run_to_memory(agg, "append")
+
+
+# NOTE: transformWithStateInPandas (Spark 4's StatefulProcessor API,
+# the successor to applyInPandasWithState with composite state, TTL
+# and timers) was evaluated and works at the API level, but its
+# driver worker requires the google.protobuf Python package, which
+# this environment does not ship (and installs are off-limits) — the
+# query crashes in state-schema validation
+# (transform_with_state_driver_worker.py -> ImportError). The
+# arbitrary-stateful surface is therefore covered by
+# applyInPandasWithState (stream_custom_stateful,
+# stream_session_stateful); port them to StatefulProcessor when the
+# runtime carries protobuf.
