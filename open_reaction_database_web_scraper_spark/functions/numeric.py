@@ -18,6 +18,14 @@ Oracle-side equivalents (DuckDB):
     dsum(c)  ->  CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE)
     davg(c)  ->  CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE)
                    / COUNT(c)
+
+One more rule for HIGHER-scale decimals (products, scale-8+; scale-12
+quality sums): reduce the exact sum's scale before the DOUBLE cast so
+its integer image stays below 2^53. DuckDB converts decimal→double as
+int128→double (a rounding when the image exceeds 2^53) then ÷10^scale
+(a second rounding); Spark's BigDecimal.doubleValue rounds once — a
+1-ULP data-dependent divergence otherwise. At scale 4 a money-sum's
+image converts exactly, so both engines round once and agree.
 """
 
 from __future__ import annotations

@@ -25,8 +25,9 @@ from ..registry import register
            COUNT(*) AS cnt,
            {dsum_sql('l_quantity')} AS sum_qty,
            {dsum_sql('l_extendedprice')} AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                    * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DECIMAL(38,4)) AS DOUBLE)
              AS sum_disc_price,
            {davg_sql('l_quantity')} AS avg_qty,
            {davg_sql('l_extendedprice')} AS avg_price,
@@ -48,8 +49,14 @@ def agg_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("cnt"),
         dsum("l_quantity").alias("sum_qty"),
         dsum("l_extendedprice").alias("sum_base_price"),
+        # scale-8 product sum reduced to scale 4 BEFORE the double
+        # cast: at scale 8 the sum's integer image exceeds 2^53, and
+        # DuckDB's int128→double→÷10^scale conversion double-rounds
+        # where Spark's BigDecimal rounds once — a 1-ULP, data-
+        # dependent hash flake (bit at sf0.1). At scale 4 the integer
+        # image is exact in a double, so both engines round once.
         F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
-        .cast("double").alias("sum_disc_price"),
+        .cast("decimal(38,4)").cast("double").alias("sum_disc_price"),
         davg("l_quantity").alias("avg_qty"),
         davg("l_extendedprice").alias("avg_price"),
         F.min("l_quantity").alias("min_qty"),

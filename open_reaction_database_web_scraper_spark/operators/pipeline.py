@@ -47,7 +47,8 @@ _STOP_LIST = list(STOPWORDS)
     SELECT lang,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS total_ws_tokens,
-           ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,12))) AS DOUBLE)
+           ROUND(CAST(CAST(SUM(CAST(quality_score AS DECIMAL(18,12)))
+                          AS DECIMAL(38,8)) AS DOUBLE)
                  / COUNT(*), 6) AS avg_quality,
            CAST(SUM(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END) AS BIGINT)
              AS n_pred_match
@@ -107,8 +108,11 @@ def pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
                  # decimal accumulator: order-insensitive avg (the
                  # davg idiom at 12 dp, since quality is not a ≤4-dp
                  # value) — bit-identical at any parallelism.
+                 # scale-12 sum reduced to scale 8 before the double
+                 # cast (2^53 single-rounding rule, see stats.py)
                  F.round(F.sum(F.col("quality_score")
-                               .cast("decimal(18,12)")).cast("double")
+                               .cast("decimal(18,12)"))
+                         .cast("decimal(38,8)").cast("double")
                          / F.count("*"), 6).alias("avg_quality"),
                  F.sum(F.when(F.col("lang_pred") == F.col("lang"), 1)
                        .otherwise(0)).alias("n_pred_match")))

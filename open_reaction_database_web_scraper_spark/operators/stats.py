@@ -54,19 +54,27 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Both engines compute the SAME double expressions over the SAME
 # exact decimal power sums, so results match bit-for-bit; ROUND(…, 6)
-# is belt-and-braces only.
+# is belt-and-braces only. The scale-8 power sums are reduced to
+# scale 4 BEFORE the double cast: their scale-8 integer image
+# exceeds 2^53, where DuckDB's int128→double→÷10^scale conversion
+# double-rounds while Spark's BigDecimal rounds once — a 1-ULP,
+# data-dependent divergence (the class that bit agg_multi at sf0.1).
+# At scale 4 the integer image converts exactly, single rounding.
 _MOMENTS_ORACLE = """
 WITH sums AS (
   SELECT l_returnflag,
          CAST(COUNT(*) AS DOUBLE) AS n,
          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sx,
          CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                  * CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-         CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
-                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
-         CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
-                  * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_quantity AS DECIMAL(19,4)))
+                   AS DECIMAL(38,4)) AS DOUBLE) AS sxx,
+         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4)))
+                   AS DECIMAL(38,4)) AS DOUBLE) AS syy,
+         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                       * CAST(l_extendedprice AS DECIMAL(19,4)))
+                   AS DECIMAL(38,4)) AS DOUBLE) AS sxy
   FROM lineitem GROUP BY l_returnflag
 )
 SELECT l_returnflag,
@@ -101,9 +109,9 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("double").alias("n"),
         F.sum(x).cast("double").alias("sx"),
         F.sum(y).cast("double").alias("sy"),
-        F.sum(x * x).cast("double").alias("sxx"),
-        F.sum(y * y).cast("double").alias("syy"),
-        F.sum(x * y).cast("double").alias("sxy"))
+        F.sum(x * x).cast("decimal(38,4)").cast("double").alias("sxx"),
+        F.sum(y * y).cast("decimal(38,4)").cast("double").alias("syy"),
+        F.sum(x * y).cast("decimal(38,4)").cast("double").alias("sxy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
     return sums.select(
