@@ -51,9 +51,11 @@ def load_all_operators() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import (  # noqa: F401
         aggregates,
+        curation,
         dedup,
         filters,
         joins,
+        maintenance,
         multimodal,
         ord_queries,
         pipeline,
