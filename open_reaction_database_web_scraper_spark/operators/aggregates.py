@@ -270,3 +270,79 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select(F.lit("ALL").alias("lang"),
                       F.hll_sketch_estimate("sk").alias("est_distinct")))
     return per_lang.unionByName(merged)
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey DESC)
+               AS rn_max,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice ASC, o_orderkey ASC)
+               AS rn_min
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           MAX(CASE WHEN rn_max = 1 THEN o_orderkey END) AS top_orderkey,
+           MAX(CASE WHEN rn_max = 1 THEN o_totalprice END) AS top_price,
+           MAX(CASE WHEN rn_min = 1 THEN o_orderkey END) AS bottom_orderkey,
+           MAX(CASE WHEN rn_min = 1 THEN o_totalprice END) AS bottom_price
+    FROM ranked GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin per group via ``max_by``/``min_by`` — "which
+    order was the most/least expensive per priority class" without a
+    self-join or a window over raw rows.
+
+    max_by's aggregation buffer carries ONE candidate row per group
+    per partition (map-side combined), so the plan is a plain
+    single-shuffle hash aggregate — strictly cheaper at 100 TB than
+    the window-rank formulation the oracle uses, which must shuffle
+    and sort every row. Ties on price are broken by orderkey by
+    ordering on a (price, key) struct (Spark compares structs
+    lexicographically), making the answer unique at any parallelism.
+    """
+    od = load(spark, sf_dir, "orders")
+    by_max = F.struct("o_totalprice", "o_orderkey")
+    return od.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", by_max).alias("top_orderkey"),
+        F.max("o_totalprice").alias("top_price"),
+        F.min_by("o_orderkey", by_max).alias("bottom_orderkey"),
+        F.min("o_totalprice").alias("bottom_price"))
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg",),
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct count via mergeable roaring-style bitmaps
+    (Spark 3.5+ bitmap functions): each (group, 2^15-key bucket)
+    builds a bitmap of key positions, bitmaps OR-merge map-side, and
+    the final count is the SUM of per-bucket popcounts.
+
+    This is the 100 TB alternative to both COUNT(DISTINCT) (whose
+    exact plan needs an Expand or a two-phase distinct shuffle of
+    every key occurrence) and HLL (approximate): the shuffle carries
+    at most one ≤4 KiB bitmap per (group, bucket) per task, the merge
+    is associative, and partial bitmaps can be persisted and
+    re-merged incrementally. The oracle is the plain COUNT(DISTINCT)
+    it must equal exactly.
+    """
+    ev = load(spark, sf_dir, "events")
+    per_bucket = (ev.groupBy(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"))
+        .agg(F.bitmap_construct_agg(
+            F.bitmap_bit_position("user_id")).alias("bmp")))
+    return (per_bucket.groupBy("event_type")
+            .agg(F.sum(F.bitmap_count("bmp")).alias("n_users")))

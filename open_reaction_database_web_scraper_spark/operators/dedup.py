@@ -322,3 +322,45 @@ def dedup_subdoc_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("n_blocks", F.lit(0)).alias("n_blocks"),
                     F.coalesce("n_shared_blocks", F.lit(0))
                     .alias("n_shared_blocks")))
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    WITH blocked AS (
+      SELECT c_custkey, c_name, substr(c_name, 1, 16) AS blk
+      FROM customer
+    )
+    SELECT a.c_name AS name_a, b.c_name AS name_b,
+           levenshtein(a.c_name, b.c_name) AS edit_dist
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tags=("dedup", "join"),
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy record-matching: edit-distance-1 name pairs, found via
+    BLOCKING (equi-join on a 16-char prefix) then levenshtein
+    verification — the classic entity-resolution shape.
+
+    All-pairs levenshtein is O(N²·L²) and unrunnable at scale; the
+    prefix block turns it into an equi-join (hash-partitionable,
+    AQE-skew-safe) whose candidate count is Σ|block|², bounded by
+    the blocking key's selectivity. This is the same
+    candidates-then-verify contract as dedup_minhash_lsh, with an
+    EXACT verifier instead of a probabilistic one, and it is
+    deterministic — hence oracled, where the sketch ops are
+    rows-only. The key < key predicate canonicalizes pair order.
+    """
+    cust = (load(spark, sf_dir, "customer")
+            .select("c_custkey", "c_name",
+                    F.substring("c_name", 1, 16).alias("blk")))
+    a, b = cust.alias("a"), cust.alias("b")
+    return (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                   & (F.col("a.c_custkey") < F.col("b.c_custkey")))
+            .select(F.col("a.c_name").alias("name_a"),
+                    F.col("b.c_name").alias("name_b"),
+                    F.levenshtein("a.c_name", "b.c_name")
+                    .alias("edit_dist"))
+            .filter(F.col("edit_dist") <= 1))

@@ -236,3 +236,57 @@ def date_spine_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("day",
                     F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
                     F.coalesce("revenue", F.lit(0.0)).alias("revenue")))
+
+
+@register(
+    "merge_upsert_scd2",
+    oracle="""
+    WITH chg AS (
+      SELECT o_orderkey, o_totalprice + 10.0 AS o_totalprice
+      FROM orders WHERE o_orderkey % 7 = 0
+    )
+    SELECT b.o_orderkey, b.o_totalprice, b.o_orderstatus,
+           1 AS version,
+           CASE WHEN c.o_orderkey IS NULL THEN TRUE ELSE FALSE END
+             AS is_current
+    FROM orders b LEFT JOIN chg c ON b.o_orderkey = c.o_orderkey
+    UNION ALL
+    SELECT c.o_orderkey, c.o_totalprice, b.o_orderstatus,
+           2 AS version, TRUE AS is_current
+    FROM orders b JOIN chg c ON b.o_orderkey = c.o_orderkey
+    """,
+    tags=("maintenance", "join"),
+)
+def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 MERGE: apply a change-set while KEEPING history — the
+    matched base row is retired (is_current=false) and a version-2
+    row is appended, unmatched rows stay current at version 1. The
+    reference's per-dataset overwrite (web_scrpaer_2.py:556-569)
+    destroys the old file; this is the audit-preserving form.
+
+    One left join on the merge key, then matched rows EXPLODE into
+    (retired, new) pairs via an inline array of structs — so the base
+    table is scanned and joined exactly once, not once per output
+    branch like the oracle's 2-scan UNION. At 100 TB the join is the
+    standard MERGE shuffle (AQE-skew-safe) and the explode is narrow.
+    """
+    base = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    chg = (base.filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey",
+                   (F.col("o_totalprice") + F.lit(10.0)).alias("new_price")))
+    joined = base.join(chg, "o_orderkey", "left")
+    row = lambda price, version, current: F.struct(  # noqa: E731
+        price.alias("o_totalprice"),
+        F.lit(version).alias("version"),
+        F.lit(current).alias("is_current"))
+    versions = F.when(
+        F.col("new_price").isNull(),
+        F.array(row(F.col("o_totalprice"), 1, True))).otherwise(
+        F.array(row(F.col("o_totalprice"), 1, False),
+                row(F.col("new_price"), 2, True)))
+    return (joined.select("o_orderkey", "o_orderstatus",
+                          F.explode(versions).alias("v"))
+            .select("o_orderkey", F.col("v.o_totalprice"),
+                    "o_orderstatus", F.col("v.version"),
+                    F.col("v.is_current")))

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.numeric import dec
+from ..functions.numeric import dec, dsum, dsum_sql
 from ..registry import register
 
 
@@ -145,3 +145,47 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p50"),
         F.approx_percentile("l_extendedprice", F.lit(0.75), F.lit(10000))
         .alias("p75"))
+
+
+# Both engines bucket with IDENTICAL double arithmetic (no
+# width_bucket: DuckDB lacks it, and hand-rolled floor keeps the
+# expression bit-identical). Bounds are fixed constants, so the
+# histogram is ONE pass — a data-dependent range would force a
+# min/max pre-pass or a sampled approximation.
+_HIST_LO, _HIST_WIDTH, _HIST_BINS = 0.0, 5000.0, 24
+
+_HIST_ORACLE = f"""
+SELECT LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_HIST_LO})
+                                 / {_HIST_WIDTH}) AS BIGINT),
+                      0), {_HIST_BINS - 1}) AS bin,
+       LEAST(GREATEST(CAST(FLOOR((l_extendedprice - {_HIST_LO})
+                                 / {_HIST_WIDTH}) AS BIGINT),
+                      0), {_HIST_BINS - 1}) * {_HIST_WIDTH} AS bin_lo,
+       COUNT(*) AS n_rows,
+       {dsum_sql('l_extendedprice')} AS sum_price
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+@register("num_histogram_fixed", oracle=_HIST_ORACLE, tags=("agg", "stats"))
+def num_histogram_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (equi-width bins over a constant range,
+    clamped at both ends) — the one-pass distribution profile every
+    ingest monitor wants.
+
+    Bin assignment is a per-row scalar expression, so the whole query
+    is scan → project → single hash aggregate with map-side partials:
+    at 100 TB it reads each value once and shuffles |bins| rows per
+    task. Compare ``win_ntile`` (equi-DEPTH bins), which must
+    globally sort; equi-width is the cheap, shuffle-light profile.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    raw = F.floor((F.col("l_extendedprice") - F.lit(_HIST_LO))
+                  / F.lit(_HIST_WIDTH))
+    bin_ = F.least(F.greatest(raw, F.lit(0)),
+                   F.lit(_HIST_BINS - 1)).cast("bigint")
+    return (li.select(bin_.alias("bin"), "l_extendedprice")
+            .withColumn("bin_lo", F.col("bin") * F.lit(_HIST_WIDTH))
+            .groupBy("bin", "bin_lo")
+            .agg(F.count("*").alias("n_rows"),
+                 dsum("l_extendedprice").alias("sum_price")))

@@ -228,3 +228,89 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "ts",
         F.first("event_id").over(w).alias("first_event"),
         F.last("event_id").over(w).alias("last_event"))
+
+
+@register(
+    "win_cume_dist",
+    oracle="""
+    SELECT c_mktsegment, c_custkey, c_acctbal,
+           PERCENT_RANK() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal, c_custkey) AS pct_rank,
+           CUME_DIST() OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS cume
+    FROM customer
+    """,
+    tags=("window",),
+)
+def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative standing within a group: percent_rank (fraction of
+    rows strictly below) and cume_dist (fraction at-or-below).
+
+    Both are rank-family functions, so one sort per partition serves
+    the pair; the custkey tiebreaker makes every rank unique, and the
+    outputs are ratios of exact integers — identical doubles in any
+    engine, no rounding guard needed. At scale this shuffles once on
+    the partition key like every window op; the partition-local sort
+    is where the cost lives, and AQE splits skewed segments.
+    """
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return load(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+@register(
+    "win_sessionize_gaps",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER w <= INTERVAL 30 MINUTE
+                  THEN 0 ELSE 1 END AS new_session
+      FROM events WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS session_no
+      FROM flagged
+    )
+    SELECT user_id, session_no,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("window", "agg"),
+)
+def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via gaps-and-islands: a session breaks
+    when >30 min passes between a user's consecutive events; the
+    running sum of break flags numbers the sessions, then a hash
+    aggregate emits one row per session.
+
+    The relational twin of ``stream_session_window`` (which uses
+    Spark's session_window aggregate): this form needs one shuffle on
+    user_id, and both window passes reuse the SAME (user_id,
+    ts, event_id) sort order, so Catalyst plans a single sort. The
+    tie-break on event_id makes LAG deterministic under duplicate
+    timestamps — without it the session count itself could flake.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("ts") - F.lag("ts").over(w)
+            <= F.expr("INTERVAL 30 MINUTE"), 0)
+        .otherwise(1).alias("new_session"))
+    numbered = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(w.rowsBetween(
+            Window.unboundedPreceding, Window.currentRow)))
+    return (numbered.groupBy("user_id", "session_no")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end")))
