@@ -8,7 +8,7 @@ rolling-hash fingerprinting — all JVM-side expressions over the
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
@@ -430,3 +430,92 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
           .groupBy("word").agg(F.count("*").alias("cnt")))
     return (tf.orderBy(F.desc("cnt"), F.asc("word")).limit(HH_TOP_K)
             .select("word", "cnt"))
+
+
+@register(
+    "text_vocab_topk",
+    oracle="""
+    WITH counts AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+            FROM documents)
+      WHERE word <> ''
+      GROUP BY word
+    ), ranked AS (
+      SELECT word, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, word)
+               AS vocab_id
+      FROM counts
+    )
+    SELECT CAST(vocab_id AS BIGINT) AS vocab_id, word, n_occurrences
+    FROM ranked WHERE vocab_id <= 100
+    """,
+    tags=("text", "agg"),
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build: global token frequencies, top-100
+    tokens assigned dense ids by rank — the first step of training
+    any tokenizer or embedding table over a scraped corpus.
+
+    Plan: explode → hash-aggregate (map-side combined, so the
+    shuffle carries |distinct tokens| per task, not |tokens|) →
+    global top-K. The final rank runs on an already-tiny aggregate
+    (TakeOrderedAndProject-scale); (count DESC, word) is a total
+    order so ids are stable. At 100 TB the only heavy stage is the
+    token count — exactly the shape Spark's partial aggregation is
+    built for; K never touches the big data.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = (fanout(docs)
+              .select(F.explode(F.split("text", " ")).alias("word"))
+              .filter(F.col("word") != "")
+              .groupBy("word")
+              .agg(F.count("*").alias("n_occurrences")))
+    w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
+    return (counts
+            .withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("vocab_id") <= 100)
+            .select("vocab_id", "word", "n_occurrences"))
+
+
+@register(
+    "text_entropy_quality",
+    oracle="""
+    WITH prep AS (
+      SELECT doc_id, string_split(text, '') AS chars,
+             CAST(length(text) AS DOUBLE) AS n
+      FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           ROUND(-list_sum(list_transform(list_distinct(chars),
+                 c -> (len(list_filter(chars, x -> x = c)) / n)
+                      * log2(len(list_filter(chars, x -> x = c)) / n))),
+                 6) AS char_entropy
+    FROM prep
+    """,
+    tags=("text", "quality"),
+)
+def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the
+    cheap perplexity proxy: gibberish/binary-noise docs score far
+    from natural text (English prose ≈ 4.0-4.3 bits), so a band
+    filter on this column is a standard corpus-quality gate.
+
+    Computed entirely WITHIN each row by higher-order functions
+    (array_distinct → per-char count via filter+size → Σ p·log2 p):
+    no explode, no shuffle — the whole query is scan → project, the
+    ideal 100 TB shape for a per-document signal. Both engines walk
+    the distinct-char list in first-occurrence order so the float
+    sum accumulates identically; ROUND(6) absorbs libm log2 ULP
+    differences between JVM and C.
+    """
+    docs = load(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    chars = F.split("text", "")
+    n = F.length("text").cast("double")
+    p_of = lambda c: F.size(F.filter(chars, lambda x: x == c)) / n  # noqa: E731
+    entropy = -F.aggregate(
+        F.transform(F.array_distinct(chars),
+                    lambda c: p_of(c) * F.log2(p_of(c))),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return (fanout(docs)
+            .select("doc_id", F.round(entropy, 6).alias("char_entropy")))

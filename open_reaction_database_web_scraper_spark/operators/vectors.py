@@ -401,3 +401,44 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (rer.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= TOP_K)
             .select("query_id", "neighbor_id", "cosine"))
+
+
+@register(
+    "vector_centroid_agg",
+    oracle="""
+    SELECT label, CAST(pos AS BIGINT) AS dim,
+           ROUND(CAST(CAST(SUM(CAST(CAST(e.embedding[pos] AS DOUBLE)
+                                    AS DECIMAL(18,15)))
+                           AS DECIMAL(38,8)) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid_v
+    FROM embeddings e,
+         UNNEST(generate_series(1, len(e.embedding))) AS t(pos)
+    GROUP BY label, pos
+    """,
+    tags=("vector", "agg"),
+)
+def vector_centroid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label mean embedding (class centroids), emitted long-form
+    (label, dim, value) so the driver can hash it — the building
+    block behind IVF coarse quantizers, nearest-class-mean
+    classifiers and embedding-drift monitors.
+
+    posexplode turns the N×64 corpus into (label, dim, v) rows that
+    hash-aggregate with map-side partials — at 100 TB the shuffle
+    carries |labels|×64 partial sums per task, independent of corpus
+    size. Floats are widened exactly to double, then summed in
+    DECIMAL(18,15) (the double→decimal rounding is deterministic and
+    engine-identical; accumulation order can't move an exact sum),
+    scale-reduced to 8 before the final double cast per the
+    sub-2^53 convention in functions/numeric.py.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    return (emb.select("label", F.posexplode("embedding")
+                       .alias("pos", "v"))
+            .select("label", (F.col("pos") + 1).cast("bigint").alias("dim"),
+                    F.col("v").cast("double")
+                    .cast("decimal(18,15)").alias("dv"))
+            .groupBy("label", "dim")
+            .agg(F.round(
+                (F.sum("dv").cast("decimal(38,8)").cast("double")
+                 / F.count("*")), 6).alias("centroid_v")))
