@@ -60,6 +60,12 @@ OPTIONAL = [
     "stream_stream_join",
     "agg_heavy_hitters",
     "dedup_embed_cosine",
+    "agg_bitmap_distinct",
+    "win_sessionize_gaps",
+    "dedup_fuzzy_levenshtein",
+    "text_vocab_topk",
+    "text_entropy_quality",
+    "vector_centroid_agg",
 ]
 
 

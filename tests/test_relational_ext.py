@@ -117,14 +117,22 @@ def test_scd2_versions_and_currency(spark, sf_dir):
     assert two.filter(F.col("p2") != F.col("p1") + 10.0).count() == 0
 
 
-def test_fuzzy_levenshtein_finds_single_digit_variants(spark, sf_dir):
+def test_fuzzy_levenshtein_matches_brute_force(spark, sf_dir):
     rows = run("dedup_fuzzy_levenshtein", spark, sf_dir).collect()
     assert rows, "sf0.001 customer names must yield distance-1 pairs"
+    got = {(r.name_a, r.name_b) for r in rows}
+    assert len(got) == len(rows), "pairs must be unique"
     for r in rows:
-        assert r.edit_dist <= 1
-        assert r.name_a != r.name_b
-        # blocking contract: pairs share the 16-char prefix
-        assert r.name_a[:16] == r.name_b[:16]
+        assert 1 <= r.edit_dist <= 1  # distinct names, one substitution
+        assert len(r.name_a) == len(r.name_b)
+    # exact recall: wildcard blocking finds every brute-force pair
+    names = [(r.c_custkey, r.c_name) for r in
+             load(spark, sf_dir, "customer")
+             .select("c_custkey", "c_name").collect()]
+    brute = {(na, nb) for ka, na in names for kb, nb in names
+             if ka < kb and len(na) == len(nb)
+             and sum(x != y for x, y in zip(na, nb)) <= 1}
+    assert got == brute
 
 
 def test_vocab_topk_ranks_are_dense_and_sorted(spark, sf_dir):
