@@ -459,11 +459,12 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: explode → hash-aggregate (map-side combined, so the
     shuffle carries |distinct tokens| per task, not |tokens|) →
-    global top-K. The final rank runs on an already-tiny aggregate
-    (TakeOrderedAndProject-scale); (count DESC, word) is a total
-    order so ids are stable. At 100 TB the only heavy stage is the
-    token count — exactly the shape Spark's partial aggregation is
-    built for; K never touches the big data.
+    orderBy+limit, which Spark executes as TakeOrderedAndProject
+    (per-task K-row heaps, merged on the driver) — the full
+    vocabulary is NEVER globally sorted, which matters because
+    |vocab| at 100 TB is itself huge. Only the K surviving rows see
+    the rank window (a one-partition sort of exactly K rows);
+    (count DESC, word) is a total order so ids are stable.
     """
     docs = load(spark, sf_dir, "documents")
     counts = (fanout(docs)
@@ -471,10 +472,10 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .filter(F.col("word") != "")
               .groupBy("word")
               .agg(F.count("*").alias("n_occurrences")))
+    top = counts.orderBy(F.desc("n_occurrences"), F.asc("word")).limit(100)
     w = Window.orderBy(F.desc("n_occurrences"), F.asc("word"))
-    return (counts
+    return (top
             .withColumn("vocab_id", F.row_number().over(w).cast("bigint"))
-            .filter(F.col("vocab_id") <= 100)
             .select("vocab_id", "word", "n_occurrences"))
 
 

@@ -334,3 +334,71 @@ def test_clustered_sink_files_have_disjoint_ranges(spark, sf_dir, tmp_path):
     assert len(ranges) >= 4  # range partitioner actually split
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, (hi1, lo2)  # disjoint: skipping works
+
+
+def test_bitmap_distinct_avoids_expand(spark, sf_dir):
+    """agg_bitmap_distinct's whole point: exact distinct WITHOUT the
+    Expand (row-multiplying) plan COUNT(DISTINCT) needs — two plain
+    hash aggregates whose shuffled payload is bitmaps, and both
+    levels partial-aggregated map-side."""
+    plan = plan_of(spark, sf_dir, "agg_bitmap_distinct")
+    assert "Expand" not in plan, plan
+    assert "partial" in plan.lower(), plan
+
+
+def test_histogram_is_single_aggregate(spark, sf_dir):
+    """Equi-width histogram must be scan → project → ONE hash
+    aggregate: a single exchange, partial map-side combine, and the
+    2-column projection pruned into the parquet scan."""
+    plan = plan_of(spark, sf_dir, "num_histogram_fixed")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "l_extendedprice" in plan.split("ReadSchema")[1][:200], plan
+
+
+def test_sessionize_reuses_one_sort(spark, sf_dir):
+    """Both window passes and the session aggregate share the
+    (user_id)-compatible clustering: exactly one exchange and one
+    sort in the whole plan — the property that keeps gaps-and-islands
+    a single-shuffle algorithm at any scale."""
+    plan = plan_of(spark, sf_dir, "win_sessionize_gaps")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Sort\b", plan)) == 1, plan
+
+
+def test_vocab_topk_never_sorts_full_vocabulary(spark, sf_dir):
+    """The top-K must run as TakeOrderedAndProject (per-task heaps),
+    never a global Sort of the whole vocabulary aggregate."""
+    plan = plan_of(spark, sf_dir, "text_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_min_max_by_is_plain_hash_agg(spark, sf_dir):
+    """max_by/min_by must stay a single partial-aggregated exchange —
+    one candidate row per group per partition — with no window or
+    join in the plan (the oracle's formulation, which sorts every
+    row, is exactly what this operator avoids)."""
+    plan = plan_of(spark, sf_dir, "agg_min_max_by")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_fuzzy_levenshtein_joins_on_wildcard_key(spark, sf_dir):
+    """Wildcard blocking must resolve to an EQUI join (hash or
+    sort-merge) — never BroadcastNestedLoop/cartesian, which is what
+    a naive inequality-pair formulation degenerates to."""
+    plan = plan_of(spark, sf_dir, "dedup_fuzzy_levenshtein")
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) \
+        or ("BroadcastHashJoin" in plan), plan
+    assert "NestedLoop" not in plan, plan
+    assert "Cartesian" not in plan, plan
+
+
+def test_centroid_agg_is_partial(spark, sf_dir):
+    """Per-(label, dim) decimal sums must partial-aggregate map-side
+    so the exchange carries |labels|x|dims| rows per task, not the
+    exploded corpus."""
+    plan = plan_of(spark, sf_dir, "vector_centroid_agg")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "partial" in plan.lower(), plan
