@@ -402,3 +402,19 @@ def test_centroid_agg_is_partial(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "vector_centroid_agg")
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both bucketed scans must feed the SortMergeJoin directly —
+    the ONLY exchange in the plan is the final small group-by; with
+    auto-broadcast off this is exactly the plan a 100 TB fact ⋈ fact
+    join gets, minus both shuffles."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
