@@ -14,6 +14,11 @@ nested-loop explosion, which is the only shape that survives 100 TB.
 
 from __future__ import annotations
 
+import os
+import re
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -422,12 +427,18 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     session, like the reference's per-dataset file cache,
     web_scrpaer_2.py:556-569).
     """
-    tag = abs(hash(sf_dir)) % (10 ** 8)
+    tag = re.sub(r"\W+", "_", sf_dir).strip("_")
     names = {}
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bkt_{tbl}_{tag}"
         names[tbl] = name
         if not spark.catalog.tableExists(name):
+            # a prior PROCESS may have left the managed location on
+            # disk without a catalog entry (in-memory catalog dies
+            # with the session); clear it or saveAsTable refuses
+            wh = urlparse(spark.conf.get(
+                "spark.sql.warehouse.dir", "spark-warehouse")).path
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
             (load(spark, sf_dir, tbl)
              .write.bucketBy(8, key).sortBy(key)
              .mode("overwrite").saveAsTable(name))
