@@ -231,33 +231,39 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "win_cume_dist",
+    "win_fill_forward",
     oracle="""
-    SELECT c_mktsegment, c_custkey, c_acctbal,
-           PERCENT_RANK() OVER (PARTITION BY c_mktsegment
-                                ORDER BY c_acctbal, c_custkey) AS pct_rank,
-           CUME_DIST() OVER (PARTITION BY c_mktsegment
-                             ORDER BY c_acctbal, c_custkey) AS cume
-    FROM customer
+    SELECT user_id, event_id, ts,
+           last_value(CASE WHEN event_type = 'purchase' THEN value END
+                      IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS last_purchase_value
+    FROM events
     """,
     tags=("window",),
 )
-def win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Relative standing within a group: percent_rank (fraction of
-    rows strictly below) and cume_dist (fraction at-or-below).
+def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill: every event carries the most recent 'purchase'
+    value seen so far for that user (NULL until the first one) — the
+    last-observation-carried-forward idiom behind feature
+    backfills, slowly-sampled sensor joins and "state as of this
+    event" columns.
 
-    Both are rank-family functions, so one sort per partition serves
-    the pair; the custkey tiebreaker makes every rank unique, and the
-    outputs are ratios of exact integers — identical doubles in any
-    engine, no rounding guard needed. At scale this shuffles once on
-    the partition key like every window op; the partition-local sort
-    is where the cost lives, and AQE splits skewed segments.
+    IGNORE NULLS turns the running last_value into a conditional
+    carry-forward without a self-join or a gaps-and-islands pass:
+    one window, one shuffle on user_id, running frame — Spark keeps
+    a single buffered value per partition stream, so the frame costs
+    O(1) memory per row at any scale. The tie-break on event_id
+    makes the carried value deterministic under equal timestamps.
     """
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
-    return load(spark, sf_dir, "customer").select(
-        "c_mktsegment", "c_custkey", "c_acctbal",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filtered = F.when(F.col("event_type") == "purchase", F.col("value"))
+    return load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.last(filtered, ignorenulls=True).over(w)
+        .alias("last_purchase_value"))
 
 
 @register(

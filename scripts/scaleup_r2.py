@@ -31,7 +31,7 @@ COPIES = 10
 # op -> table it scales with
 OPS = {
     "dedup_fuzzy_levenshtein": "customer",
-    "win_cume_dist": "customer",
+    "win_fill_forward": "events",
     "agg_bitmap_distinct": "events",
     "win_sessionize_gaps": "events",
     "agg_min_max_by": "orders",

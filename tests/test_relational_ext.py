@@ -61,20 +61,25 @@ def test_histogram_partitions_the_table(spark, sf_dir):
     assert all(r.bin_lo == r.bin * 5000.0 for r in rows)
 
 
-def test_cume_dist_bounds_and_extremes(spark, sf_dir):
-    df = run("win_cume_dist", spark, sf_dir)
-    n_bad = df.filter(~(F.col("pct_rank").between(0, 1)
-                        & (F.col("cume") > 0)
-                        & (F.col("cume") <= 1))).count()
-    assert n_bad == 0
-    # per group: exactly one row at pct_rank 0 and one at cume 1.0
-    # (total ordering via the custkey tiebreaker)
-    per_grp = (df.groupBy("c_mktsegment")
-               .agg(F.sum(F.when(F.col("pct_rank") == 0.0, 1)
-                          .otherwise(0)).alias("n_first"),
-                    F.sum(F.when(F.col("cume") == 1.0, 1)
-                          .otherwise(0)).alias("n_last")).collect())
-    assert all(r.n_first == 1 and r.n_last == 1 for r in per_grp)
+def test_fill_forward_carries_last_purchase(spark, tmp_path):
+    rows = [  # user 1: purchases at t2 and t4; views elsewhere
+        (0, 1, "2024-01-01 10:00:00", "view", 1.0),
+        (1, 1, "2024-01-01 10:05:00", "purchase", 42.0),
+        (2, 1, "2024-01-01 10:10:00", "view", 2.0),
+        (3, 1, "2024-01-01 10:15:00", "purchase", 7.0),
+        (4, 1, "2024-01-01 10:20:00", "click", 3.0),
+        (5, 2, "2024-01-01 09:00:00", "view", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string, "
+              "event_type string, value double") \
+        .select("event_id", "user_id", F.to_timestamp("ts_s").alias("ts"),
+                "event_type", "value", F.lit("{}").alias("props"))
+    d = str(tmp_path / "ff")
+    df.write.parquet(f"{d}/events.parquet")
+    got = {r.event_id: r.last_purchase_value for r in
+           run("win_fill_forward", spark, d).collect()}
+    assert got == {0: None, 1: 42.0, 2: 42.0, 3: 7.0, 4: 7.0, 5: None}
 
 
 def test_sessionize_breaks_on_gap(spark, tmp_path):
