@@ -115,3 +115,61 @@ def test_stream_stream_join_click_without_purchase(spark, tmp_path):
            for r in REGISTRY["stream_stream_join"].fn(spark, str(d))
            .collect()}
     assert got == {(3, 1)}
+
+
+# Round-2 extension ops reading documents
+DOC_OPS_R2 = ["text_vocab_topk", "text_entropy_quality"]
+
+
+@pytest.mark.parametrize("name", DOC_OPS_R2)
+def test_empty_documents_no_throw_r2(spark, empty_docs_dir, name):
+    df = REGISTRY[name].fn(spark, empty_docs_dir)
+    assert df.collect() == []
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", DOC_OPS_R2)
+def test_single_document_no_throw_r2(spark, one_doc_dir, name):
+    df = REGISTRY[name].fn(spark, one_doc_dir)
+    assert len(df.collect()) >= 1
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", ["agg_bitmap_distinct",
+                                  "win_sessionize_gaps",
+                                  "win_fill_forward"])
+def test_empty_events_no_throw_r2(spark, empty_events_dir, name):
+    df = REGISTRY[name].fn(spark, empty_events_dir)
+    assert df.collect() == []
+    assert len(df.columns) > 0
+
+
+@pytest.fixture(scope="module")
+def empty_customer_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_cust")
+    spark.createDataFrame(
+        [], "c_custkey bigint, c_name string, c_nationkey int, "
+            "c_acctbal double, c_mktsegment string") \
+        .write.mode("overwrite").parquet(f"{d}/customer.parquet")
+    return str(d)
+
+
+def test_fuzzy_levenshtein_empty_customer(spark, empty_customer_dir):
+    df = REGISTRY["dedup_fuzzy_levenshtein"].fn(spark, empty_customer_dir)
+    assert df.collect() == []
+    assert df.columns == ["name_a", "name_b", "edit_dist"]
+
+
+@pytest.fixture(scope="module")
+def empty_embeddings_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_emb")
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_centroid_agg_empty_embeddings(spark, empty_embeddings_dir):
+    df = REGISTRY["vector_centroid_agg"].fn(spark, empty_embeddings_dir)
+    assert df.collect() == []
+    assert df.columns == ["label", "dim", "centroid_v"]
