@@ -349,7 +349,8 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle brute-forces it — affordable only at oracle SF); a naive
     prefix block is data-dependent: Σ|block|² candidate pairs that
     all pay a full DP verify (an earlier prefix-16 draft spent 5.8 s
-    at sf0.1 on 740 k candidates for 195 k real pairs). Here the
+    at sf0.1 on ~740 k candidates, and its block could only see
+    last-2-char variants — incomplete recall on top). Here the
     shuffle carries L short keys per name (L ≈ 18), join output ≈
     |answer|, and the levenshtein call survives only as a per-pair
     assertion. Same candidates-then-verify contract as
