@@ -303,3 +303,45 @@ def scan_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_dir("scan_orc_roundtrip")
     li.write.mode("overwrite").orc(out)
     return spark.read.orc(out).filter(F.col("l_quantity") > 45)
+
+
+@register(
+    "sink_compact_small_files",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("sink", "maintenance"),
+)
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction: a fragmented table (64 tiny parquet
+    files — the classic streaming-ingest footprint) rewritten into a
+    handful of right-sized files, integrity-checked by re-reading
+    the compacted layout and rolling it up against the source table.
+
+    The compaction read->write is SHUFFLE-FREE: `coalesce` merges
+    input splits within tasks instead of `repartition`ing through an
+    exchange — at 100 TB, compaction jobs are pure IO and should
+    never pay a network pass over the data. File sizing is belt and
+    braces: coalesce bounds the file COUNT while
+    `maxRecordsPerFile` re-splits if a merged task would exceed the
+    target row budget (the local knob for the 128 MB-file target a
+    real lakehouse compactor aims at).
+    """
+    docs = load(spark, sf_dir, "documents")
+    frag = _sink_dir("sink_compact_fragmented")
+    docs.repartition(64).write.mode("overwrite").parquet(frag)
+
+    compacted = _sink_dir("sink_compact_compacted")
+    (spark.read.parquet(frag)
+     .coalesce(4)
+     .write.mode("overwrite")
+     .option("maxRecordsPerFile", 500_000)
+     .parquet(compacted))
+    return (spark.read.parquet(compacted)
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").alias("total_chars")))

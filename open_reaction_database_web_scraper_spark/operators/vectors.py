@@ -448,3 +448,75 @@ def vector_centroid_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(
                 (F.sum("dv").cast("decimal(38,8)").cast("double")
                  / F.count("*")), 6).alias("centroid_v")))
+
+
+KNN_Q_MOD = 25     # vec_id % 25 == 0 are knn-join probe vectors
+KNN_K = 3
+
+
+@register(
+    "vector_knn_join",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), q AS (
+      SELECT * FROM emb WHERE vec_id % {KNN_Q_MOD} = 0
+    ), c AS (
+      SELECT * FROM emb WHERE vec_id % {KNN_Q_MOD} <> 0
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS label,
+             c.vec_id AS neighbor_id,
+             list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.e, c.e)
+                   / (sqrt(list_dot_product(q.e, q.e))
+                      * sqrt(list_dot_product(c.e, c.e))) DESC,
+                 c.vec_id) AS rn
+      FROM q JOIN c ON q.label = c.label
+    )
+    SELECT query_id, label, neighbor_id, cosine
+    FROM scored WHERE rn <= {KNN_K}
+    """,
+    tags=("vector", "similarity", "join"),
+)
+def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked k-NN JOIN: every probe vector (a deterministic 1/25
+    slice — a set that GROWS with the corpus, unlike
+    vector_topk_similarity's 8 fixed queries) gets its k nearest
+    same-label neighbors by exact cosine.
+
+    The blocking key is what makes a knn JOIN (probe side ~ corpus
+    size) tractable: candidates per probe are bounded by its block,
+    so total pair work is sum(|q_b| x |c_b|) over blocks b — linear
+    in corpus size for a fixed block-size distribution, vs the
+    quadratic unblocked cross join. Both sides shuffle ONCE on the
+    block key (plain equi-join, nothing broadcast, nothing driver-
+    side), then the top-k window keys on query_id. At 100 TB the
+    block key would be an LSH/IVF cell id (vector_ann_* build
+    exactly those); `label` stands in as the domain-provided block.
+
+    Elements cast to double pre-fold so the sequential accumulation
+    matches DuckDB's list_dot_product bit-for-bit (same rule as
+    vector_topk_similarity).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    is_probe = F.pmod(F.col("vec_id"), F.lit(KNN_Q_MOD)) == 0
+    q = emb.filter(is_probe).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("e").alias("qe"))
+    c = emb.filter(~is_probe).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("c_label"), F.col("e").alias("ce"))
+    scored = (q.join(c, q["label"] == c["c_label"])
+              .withColumn("cosine",
+                          cosine_similarity(F.col("qe"), F.col("ce"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_K)
+            .select("query_id", "label", "neighbor_id", "cosine"))

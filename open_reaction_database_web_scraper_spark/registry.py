@@ -51,6 +51,7 @@ def load_all_operators() -> None:
     """Import every operator module so registration side effects run."""
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         curation,
         dedup,
         filters,
