@@ -66,6 +66,11 @@ OPTIONAL = [
     "text_vocab_topk",
     "text_entropy_quality",
     "vector_centroid_agg",
+    # round 2, tranche 2
+    "event_funnel",
+    "retention_cohorts",
+    "join_bloom_prefilter",
+    "vector_knn_join",
 ]
 
 

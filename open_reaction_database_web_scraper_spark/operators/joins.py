@@ -562,9 +562,14 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in words:
         image[r["w"]] = r["m"]
 
+    # literal array via ONE SQL expression string: pyspark's
+    # F.lit(list) issues a py4j call per element (~4 s at 8k words);
+    # the parsed foldable array(...) constant-folds to the same
+    # Literal JVM-side in ~0.3 s.
+    image_lit = F.expr("array(" + ",".join(f"{v}L" for v in image) + ")")
     li = (load(spark, sf_dir, "lineitem")
           .select("l_orderkey", "l_extendedprice")
-          .withColumn("bloom", F.lit(image)))
+          .withColumn("bloom", image_lit))
     hit = [
         F.expr(f"(shiftright(element_at(bloom, "
                f"CAST(pmod(xxhash64(l_orderkey, {i}), {m_bits}) / 64 AS INT)"

@@ -418,3 +418,65 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert "SortMergeJoin" in plan, plan
     assert plan.count("Bucketed: true") == 2, plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_funnel_three_windows_one_exchange(spark, sf_dir):
+    """event_funnel's three chained stage-MIN windows all partition
+    on user_id, so Catalyst must stack them on ONE exchange; the only
+    other exchange is the final 1-row global aggregate. A third
+    exchange would mean the funnel re-shuffles per stage — the shape
+    that dies at 100 TB."""
+    plan = plan_of(spark, sf_dir, "event_funnel")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_retention_reuses_window_partitioning(spark, sf_dir):
+    """retention_cohorts: one user_id window exchange + one aggregate
+    exchange for the (cohort, offset) distinct rollup — the window's
+    partitioning must not be re-shuffled a third time."""
+    plan = plan_of(spark, sf_dir, "retention_cohorts")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+    assert "Python" not in plan, plan
+
+
+def test_bloom_filter_sits_on_the_scan(spark, sf_dir):
+    """join_bloom_prefilter's membership test (shiftright over the
+    literal word image) must be the node DIRECTLY above the lineitem
+    scan — map-side, before any exchange — so only probable matches
+    ever enter the join shuffle."""
+    plan = plan_of(spark, sf_dir, "join_bloom_prefilter")
+    assert "shiftright" in plan, plan
+    nodes = re.findall(r"\((\d+)\) (\w+)", plan)
+    details = dict(
+        (int(m.group(1)), m.group(0))
+        for m in re.finditer(r"\((\d+)\) [^\n]*\n(?:[^\n(][^\n]*\n)*",
+                             plan))
+    # find the lineitem scan node id, assert the next node id is the
+    # bloom Filter (same stage: no Exchange can sit between adjacent
+    # parent/child ids in the formatted numbering of this branch)
+    scan_ids = [int(i) for i, k in nodes if k == "Scan"]
+    li_scan = None
+    for i in scan_ids:
+        if "lineitem" in details.get(i, ""):
+            li_scan = i
+    assert li_scan is not None, plan
+    nxt = details.get(li_scan + 1, "")
+    assert "Filter" in nxt and "shiftright" in nxt, nxt or plan
+
+
+def test_knn_join_is_blocked_equi_join(spark, sf_dir):
+    """vector_knn_join must plan a shuffled equi-join on the block
+    key — never a cartesian/nested-loop pair enumeration, and with
+    auto-broadcast off (probe side too big to ship at scale) still a
+    partitioned join."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(spark, sf_dir, "vector_knn_join")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
