@@ -505,6 +505,7 @@ def join_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BLOOM_K = 2              # hash functions per key
 BLOOM_BITS_PER_KEY = 16  # sizing rule: m = 16 bits/key -> ~3% FP at k=2
+BLOOM_MAX_WORDS = 1 << 20  # 8 MiB image cap; FP degrades past it
 
 
 @register(
@@ -522,22 +523,29 @@ BLOOM_BITS_PER_KEY = 16  # sizing rule: m = 16 bits/key -> ~3% FP at k=2
 def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Runtime Bloom-filter prefilter for a selective join: monthly
     revenue from lineitems of URGENT orders, with the fact side
-    thinned by a Bloom filter of the dim keys BEFORE the join
+    thinned by a Bloom image of the dim keys BEFORE the join
     exchange.
 
     This is the engine-level form of Spark's own InjectRuntimeFilter:
-    the dim side's join keys are compacted into an m-bit Bloom image
-    (~2 bytes/key at 16 bits/key + k=2 — vs 16+ bytes/key for a
-    broadcast hash set), shipped to every fact scan as a plan
-    literal, and applied map-side so only probable matches enter the
-    shuffle. With ~20% dim selectivity and ~3% false positives the
-    exchange carries ~5x fewer fact rows; the real equi-join then
-    discards the false positives, so the result stays EXACT — the
-    oracle is the plain join. The filter is built from one aggregate
-    over the dim side (|words| rows of OR-ed bits collected as
-    constant plan metadata, the same driver role as the LSH plane
-    weights); m scales with the dim key count, so the image stays
-    ~2 bytes/key at any SF while the shuffle saving stays ~1/selectivity.
+    the dim side's join keys are folded into an m-bit image (16
+    bits/key + k=2 hashes -> ~3% false positives; ~2 bytes/key vs
+    100+ bytes/key for broadcasting the dim rows), the image reaches
+    every fact scan task, and only probable matches enter the
+    shuffle — ~5x fewer exchanged rows at ~20% dim selectivity. The
+    real equi-join then discards the false positives, so the result
+    stays EXACT; the oracle is the plain join.
+
+    The image is never materialized on the driver: the 64-bit words
+    live in a (word_index, bits) DataFrame built by one map-side-
+    combined aggregate, and each of the k probes is a broadcast hash
+    join on word_index + a bit-test filter, all sitting on the fact
+    scan stage. (A first cut collected the words into a plan-literal
+    array — at 10x scale that cost ~7 s of driver collect + analysis
+    of a 1.3 MB literal, vs ~0 for the broadcast form. Keeping filter
+    state distributed is the difference between a runtime filter and
+    a driver bottleneck.) The only driver action is the dim-key
+    COUNT that sizes m; the image caps at 8 MiB like Spark's own
+    runtime-bloom limit, trading FP rate instead of memory past it.
     """
     orders = load(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderdate", "o_orderpriority")
@@ -546,6 +554,7 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_keys = dim.count()
     n_words = max(512, 1 << max(0, (n_keys * BLOOM_BITS_PER_KEY // 64 - 1)
                                 .bit_length()))
+    n_words = min(n_words, BLOOM_MAX_WORDS)
     m_bits = n_words * 64
 
     def positions(key: str) -> list[F.Column]:
@@ -554,35 +563,22 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     words = (dim.select(F.explode(F.array(*positions("o_orderkey")))
                         .alias("pos"))
-             .groupBy((F.col("pos") / 64).cast("int").alias("w"))
+             .groupBy((F.col("pos") / 64).cast("int").alias("word_idx"))
              .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), "
-                         "CAST(pmod(pos, 64) AS INT)))").alias("m"))
-             .collect())
-    image = [0] * n_words
-    for r in words:
-        image[r["w"]] = r["m"]
+                         "CAST(pmod(pos, 64) AS INT)))").alias("bits")))
 
-    # literal array via ONE SQL expression string: pyspark's
-    # F.lit(list) issues a py4j call per element (~4 s at 8k words);
-    # the parsed foldable array(...) constant-folds to the same
-    # Literal JVM-side in ~0.3 s.
-    image_lit = F.expr("array(" + ",".join(f"{v}L" for v in image) + ")")
-    li = (load(spark, sf_dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice")
-          .withColumn("bloom", image_lit))
-    hit = [
-        F.expr(f"(shiftright(element_at(bloom, "
-               f"CAST(pmod(xxhash64(l_orderkey, {i}), {m_bits}) / 64 AS INT)"
-               f" + 1), CAST(pmod(pmod(xxhash64(l_orderkey, {i}), {m_bits}),"
-               f" 64) AS INT)) & 1) = 1")
-        for i in range(BLOOM_K)
-    ]
-    pred = hit[0]
-    for h in hit[1:]:
-        pred = pred & h
-    prefiltered = li.filter(pred).drop("bloom")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice")
+    for i, pos in enumerate(positions("l_orderkey")):
+        w = words.select(F.col("word_idx").alias(f"_w{i}"),
+                         F.col("bits").alias(f"_m{i}"))
+        li = (li.withColumn(f"_w{i}", (pos / 64).cast("int"))
+              .withColumn(f"_b{i}", F.pmod(pos, 64).cast("int"))
+              .join(F.broadcast(w), f"_w{i}")
+              .filter(F.expr(f"(shiftright(_m{i}, _b{i}) & 1) = 1"))
+              .drop(f"_w{i}", f"_b{i}", f"_m{i}"))
 
-    return (prefiltered.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
+    return (li.join(dim, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy(F.date_trunc("month", F.col("o_orderdate"))
                      .alias("order_month"))
             .agg(F.count("*").alias("n_items"),
