@@ -173,3 +173,61 @@ def test_centroid_agg_empty_embeddings(spark, empty_embeddings_dir):
     df = REGISTRY["vector_centroid_agg"].fn(spark, empty_embeddings_dir)
     assert df.collect() == []
     assert df.columns == ["label", "dim", "centroid_v"]
+
+
+# Round-2 tranche-2 ops: events / orders+lineitem / embeddings edges
+
+def test_funnel_and_cohorts_empty_events(spark, empty_events_dir):
+    row = REGISTRY["event_funnel"].fn(spark, empty_events_dir).collect()
+    assert len(row) == 1 and row[0].n_users == 0
+    assert REGISTRY["retention_cohorts"].fn(
+        spark, empty_events_dir).collect() == []
+
+
+def test_funnel_single_user_single_event(spark, tmp_path):
+    import datetime
+    rows = [(1, datetime.datetime(2024, 1, 1), 7, "view", 1.0, "{}")]
+    d = tmp_path / "ev"
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = REGISTRY["event_funnel"].fn(spark, str(d)).collect()[0]
+    assert (got.n_users, got.n_viewed, got.n_clicked,
+            got.n_purchased) == (1, 1, 0, 0)
+    coh = REGISTRY["retention_cohorts"].fn(spark, str(d)).collect()
+    assert len(coh) == 1 and coh[0].week_offset == 0 \
+        and coh[0].n_active == 1
+
+
+@pytest.fixture(scope="module")
+def empty_orders_li_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_oli")
+    spark.createDataFrame(
+        [], "o_orderkey bigint, o_custkey bigint, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, "
+            "o_orderpriority string") \
+        .write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    spark.createDataFrame(
+        [], "l_orderkey bigint, l_extendedprice double") \
+        .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+def test_incremental_merge_and_bloom_empty(spark, empty_orders_li_dir):
+    assert REGISTRY["agg_incremental_merge"].fn(
+        spark, empty_orders_li_dir).collect() == []
+    # empty dim -> empty bloom image -> every fact row filtered; the
+    # sizing/count path must survive n_keys == 0
+    assert REGISTRY["join_bloom_prefilter"].fn(
+        spark, empty_orders_li_dir).collect() == []
+
+
+def test_knn_join_single_vector(spark, tmp_path):
+    # one probe (vec_id=0), no candidates in its label -> no rows
+    d = tmp_path / "emb"
+    spark.createDataFrame(
+        [(0, [1.0] * 4, 3)],
+        "vec_id bigint, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    assert REGISTRY["vector_knn_join"].fn(spark, str(d)).collect() == []
