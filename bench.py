@@ -71,6 +71,7 @@ OPTIONAL = [
     "retention_cohorts",
     "join_bloom_prefilter",
     "vector_knn_join",
+    "text_lm_perplexity",
 ]
 
 

@@ -520,3 +520,76 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0), lambda acc, v: acc + v)
     return (fanout(docs)
             .select("doc_id", F.round(entropy, 6).alias("char_entropy")))
+
+
+LM_VOCAB = 256     # unigram-LM vocabulary size (fixed, broadcastable)
+
+
+@register(
+    "text_lm_perplexity",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+      FROM documents
+    ), tok2 AS (
+      SELECT doc_id, tok FROM tok WHERE tok <> ''
+    ), lm AS (
+      SELECT tok, COUNT(*) AS c FROM tok2 GROUP BY tok
+      QUALIFY ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok)
+              <= {LM_VOCAB}
+    ), n AS (
+      SELECT COUNT(*) AS total FROM tok2
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(CAST(
+                   -ln((COALESCE(lm.c, 0) + 1.0)
+                       / (n.total + {LM_VOCAB} + 1))
+                   AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 6)
+             AS avg_nll
+    FROM tok2 t CROSS JOIN n LEFT JOIN lm ON t.tok = lm.tok
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "quality", "lm"),
+)
+def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal: each document scored
+    by its average negative log-likelihood under a Laplace-smoothed
+    unigram language model of the corpus head (top-LM_VOCAB=256 tokens;
+    out-of-vocabulary tokens take the smoothed floor). Low avg_nll =
+    repetitive/templated head-heavy text, high = rare-token soup —
+    both tails are what a perplexity gate trims before LM training.
+
+    Scale shape: the LM is the corpus aggregate REDUCED to a fixed
+    vocabulary — token counts shuffle once (map-side combined), the
+    head is a TakeOrderedAndProject (per-task heaps, no global
+    vocabulary sort), and the resulting ≤256-row model plus
+    the 1-row total broadcast to the scoring join, so the corpus
+    itself shuffles only for the final per-doc rollup. This mirrors
+    production perplexity filtering, where the LM is pretrained and
+    broadcast — bounded by construction, never corpus-sized. The
+    per-token -ln p terms are rounded into DECIMAL(18,12) before the
+    per-doc sum, so accumulation order cannot perturb the hash
+    (davg idiom, functions/numeric.py); ROUND(6) absorbs the libm
+    ln() ULP gap.
+    """
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = (docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .filter(F.col("tok") != ""))
+
+    lm = (tok.groupBy("tok").agg(F.count("*").alias("c"))
+          .orderBy(F.desc("c"), F.asc("tok")).limit(LM_VOCAB))
+    total = tok.agg(F.count("*").alias("total"))
+
+    p = ((F.coalesce(F.col("c"), F.lit(0)) + 1.0)
+         / (F.col("total") + F.lit(LM_VOCAB) + 1))
+    return (tok.crossJoin(F.broadcast(total))
+            .join(F.broadcast(lm), "tok", "left")
+            .select("doc_id",
+                    (-F.log(p)).cast("decimal(18,12)").alias("nll"))
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(F.sum("nll").cast("double") / F.count("*"), 6)
+                 .alias("avg_nll")))

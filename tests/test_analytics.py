@@ -160,3 +160,20 @@ def test_compaction_preserves_rows_and_shrinks_files(spark, sf_dir):
                      + "/*.parquet")
     assert len(frag) == 64
     assert 0 < len(comp) <= 4
+
+
+def test_lm_perplexity_orders_common_vs_rare(spark, tmp_path):
+    # doc 0 repeats corpus-head tokens; doc 1 is all hapaxes ->
+    # OOV-floored, so its avg NLL must be strictly higher
+    rows = [(0, "the the the cat cat", "en", "s", 19),
+            (1, "zq wvx plk mnb qaz", "en", "s", 18)] + \
+           [(i, "the cat sat", "en", "s", 11) for i in range(2, 12)]
+    d = tmp_path / "docs"
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r.avg_nll for r in
+           REGISTRY["text_lm_perplexity"].fn(spark, str(d)).collect()}
+    assert got[1] > got[0]
+    assert all(v > 0 for v in got.values())

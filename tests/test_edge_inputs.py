@@ -23,7 +23,8 @@ DOC_OPS = ["dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash",
            "dedup_subdoc_blocks", "text_pii_redact",
            "text_decontaminate_ngram", "text_tokenize_stats",
            "text_quality_score", "text_token_count", "text_fingerprint",
-           "text_repetition_ratio", "text_tfidf", "sample_stratified",
+           "text_repetition_ratio", "text_tfidf", "text_lm_perplexity",
+           "sample_stratified",
            "pipeline_training_data", "pipeline_corpus_curation",
            "agg_hll_sketch_merge", "agg_heavy_hitters"]
 
