@@ -65,6 +65,7 @@ def load_all_operators() -> None:
         scans,
         setops,
         sorts,
+        sql_surface,
         stats,
         streaming_batch,
         text,

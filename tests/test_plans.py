@@ -469,3 +469,16 @@ def test_knn_join_is_blocked_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_sql_text_gets_dataframe_plans(spark, sf_dir):
+    """Raw spark.sql() text must land in the same optimized physical
+    shapes the DataFrame API gets: every WHERE predicate pushed into
+    its parquet scan, and ORDER BY..LIMIT as TakeOrderedAndProject
+    (per-task heaps), never a global sort."""
+    plan = plan_of(spark, sf_dir, "sql_tpch_q3")
+    assert "TakeOrderedAndProject" in plan, plan
+    pushed = " ".join(re.findall(r"PushedFilters: \[[^\]]*\]", plan))
+    assert "EqualTo(c_mktsegment,BUILDING)" in pushed, pushed
+    assert "LessThan(o_orderdate" in pushed, pushed
+    assert "GreaterThan(l_shipdate" in pushed, pushed
