@@ -72,6 +72,7 @@ OPTIONAL = [
     "join_bloom_prefilter",
     "vector_knn_join",
     "text_lm_perplexity",
+    "agg_rolling_active_users",
 ]
 
 

@@ -197,3 +197,50 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("p_sum").cast("double").alias("total_price"),
                  F.min("p_min").alias("min_price"),
                  F.max("p_max").alias("max_price")))
+
+
+@register(
+    "agg_rolling_active_users",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), cover AS (
+      SELECT user_id, day + INTERVAL 1 DAY * i AS day2
+      FROM active, UNNEST(range(7)) u(i)
+    )
+    SELECT c.day2 AS day, COUNT(DISTINCT c.user_id) AS wau
+    FROM cover c
+    JOIN (SELECT DISTINCT day FROM active) d ON c.day2 = d.day
+    GROUP BY 1
+    """,
+    tags=("analytics", "agg", "distinct"),
+)
+def agg_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct active users per day (rolling WAU),
+    reported for every day that has events.
+
+    Distinct-over-a-sliding-window has no efficient window-function
+    form (per-frame distinct state is quadratic); the scalable shape
+    is the COVER-SET trick: each (user, active-day) pair — already
+    deduped by a map-side-combined distinct — emits the 7 report
+    days it contributes to via an explode of a fixed-length
+    sequence, and a plain COUNT DISTINCT per report day finishes the
+    job. Work is 7x the deduped activity pairs, NOT 7x the raw
+    events, and every stage is a partial-aggregated hash shuffle.
+    The day spine used to clip the report range is calendar-bounded
+    (365 rows/year), so its broadcast is safe at any data size.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+    active = ev.distinct()
+    cover = active.select(
+        "user_id",
+        F.explode(F.sequence(
+            F.col("day"),
+            F.col("day") + F.expr("INTERVAL 6 DAYS"),
+            F.expr("INTERVAL 1 DAY"))).alias("day2"))
+    days = active.select(F.col("day").alias("spine_day")).distinct()
+    return (cover.join(F.broadcast(days),
+                       cover["day2"] == days["spine_day"])
+            .groupBy(F.col("day2").alias("day"))
+            .agg(F.count_distinct("user_id").alias("wau")))

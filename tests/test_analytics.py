@@ -177,3 +177,18 @@ def test_lm_perplexity_orders_common_vs_rare(spark, tmp_path):
            REGISTRY["text_lm_perplexity"].fn(spark, str(d)).collect()}
     assert got[1] > got[0]
     assert all(v > 0 for v in got.values())
+
+
+def test_rolling_wau_matches_naive_window(spark, sf_dir):
+    import datetime
+    got = {r.day: r.wau for r in
+           run("agg_rolling_active_users", spark, sf_dir).collect()}
+    active = (load(spark, sf_dir, "events")
+              .select("user_id", F.date_trunc("day", "ts").alias("day"))
+              .distinct().collect())
+    days = sorted({r.day for r in active})
+    assert set(got) == set(days)
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        naive = len({r.user_id for r in active if lo <= r.day <= d})
+        assert got[d] == naive
