@@ -336,3 +336,100 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # applyInPandasWithState (stream_custom_stateful,
 # stream_session_stateful); port them to StatefulProcessor when the
 # runtime carries protobuf.
+
+
+@register(
+    "stream_funnel_stateful",
+    oracle="""
+    WITH e1 AS (
+      SELECT user_id, event_type, ts,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t_view
+      FROM events
+    ), e2 AS (
+      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
+                         THEN ts END)
+                  OVER (PARTITION BY user_id) AS t_click
+      FROM e1
+    ), e3 AS (
+      SELECT user_id, t_view, t_click,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
+                      THEN ts END)
+               OVER (PARTITION BY user_id) AS t_purchase
+      FROM e2
+    ), per_user AS (
+      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
+             MAX(t_purchase) AS t_purchase
+      FROM e3 GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           COUNT(t_view) AS n_viewed,
+           COUNT(t_click) AS n_clicked,
+           COUNT(t_purchase) AS n_purchased
+    FROM per_user
+    """,
+    tags=("streaming", "stateful", "analytics"),
+)
+def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING ordered funnel: the per-user stage machine of
+    `event_funnel` (view -> click-after-view -> purchase-after-click)
+    carried as explicit group state across micro-batches — the live
+    dashboard form of the batch query, converging to the identical
+    counts (the oracle IS event_funnel's SQL).
+
+    State per user is three epoch-micro timestamps (first view,
+    first qualifying click, first qualifying purchase); each batch's
+    events are folded in event-time order, and a sequential
+    first-match scan in time order provably equals the batch MIN
+    formulation (first click strictly after t_view == min click >
+    t_view). Stages only ever advance, so the converged snapshot is
+    the max stage tuple per user. State is O(1) per user — 24 bytes
+    — which is what lets a 100 TB event stream keep millions of live
+    funnels in executor memory, with watermark-driven eviction the
+    production add-on."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def update(key, pdfs, state: GroupState):
+        t_view, t_click, t_purch = (state.get if state.exists
+                                    else (None, None, None))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
+                us = int(pd.Timestamp(ts).value // 1000)
+                if etype == "view" and t_view is None:
+                    t_view = us
+                elif (etype == "click" and t_click is None
+                        and t_view is not None and us > t_view):
+                    t_click = us
+                elif (etype == "purchase" and t_purch is None
+                        and t_click is not None and us > t_click):
+                    t_purch = us
+        state.update((t_view, t_click, t_purch))
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "stage": [3 if t_purch is not None
+                      else 2 if t_click is not None
+                      else 1 if t_view is not None else 0]})
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, stage int",
+        stateStructType="t_view bigint, t_click bigint, t_purch bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    drained = _run_to_memory(updates, "update")
+    final = (drained.groupBy("user_id")
+             .agg(F.max("stage").alias("stage")))
+    return final.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.when(F.col("stage") >= 1, 1).otherwise(0))
+        .alias("n_viewed"),
+        F.sum(F.when(F.col("stage") >= 2, 1).otherwise(0))
+        .alias("n_clicked"),
+        F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0))
+        .alias("n_purchased"))

@@ -172,3 +172,14 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
              .fn(spark, sf_dir).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_funnel_converges_to_batch(spark, sf_dir):
+    """The stateful streaming funnel must converge to exactly the
+    batch event_funnel row — same stage machine, replayed in
+    micro-batches with O(1)-per-user state."""
+    from open_reaction_database_web_scraper_spark.registry import REGISTRY
+    got = REGISTRY["stream_funnel_stateful"].fn(spark, sf_dir).collect()[0]
+    want = REGISTRY["event_funnel"].fn(spark, sf_dir).collect()[0]
+    assert (got.n_users, got.n_viewed, got.n_clicked, got.n_purchased) \
+        == (want.n_users, want.n_viewed, want.n_clicked, want.n_purchased)
