@@ -37,6 +37,7 @@ ALLOW = {
                                 "vector_topk_similarity",
                                 "vector_ann_ivf",
                                 "text_tfidf",
+                                "text_lm_perplexity",
                                 "join_salted_skew"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},

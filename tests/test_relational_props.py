@@ -154,3 +154,46 @@ def test_fill_forward_matches_model(spark, tmp_path_factory, rows):
                 last = v
             want[i] = last
     assert got == want
+
+
+# (user, minutes-offset, stage-type) with duplicate timestamps and
+# out-of-order stages on purpose: the funnel's strict time ordering
+# (click counts only strictly after first view, etc.) is the part a
+# refactor would most plausibly break while staying oracle-green on
+# the fixed testdata distribution.
+funnel_events = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=3),
+              st.integers(min_value=0, max_value=60),
+              st.sampled_from(["view", "click", "purchase", "error"])),
+    min_size=0, max_size=30)
+
+
+@given(rows=funnel_events)
+@_SETTINGS
+def test_event_funnel_matches_python_model(spark, tmp_path_factory, rows):
+    tmp = str(tmp_path_factory.mktemp("funnel_prop"))
+    df = spark.createDataFrame(
+        [(i, u, T0 + timedelta(minutes=m), t, 0.0, "{}")
+         for i, (u, m, t) in enumerate(rows)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = REGISTRY["event_funnel"].fn(spark, tmp).collect()[0]
+
+    per_user = defaultdict(list)
+    for u, m, t in rows:
+        per_user[u].append((m, t))
+    n_users = len(per_user)
+    n_v = n_c = n_p = 0
+    for evs in per_user.values():
+        tv = min((m for m, t in evs if t == "view"), default=None)
+        tc = (min((m for m, t in evs if t == "click" and m > tv),
+                  default=None) if tv is not None else None)
+        tp = (min((m for m, t in evs if t == "purchase" and m > tc),
+                  default=None) if tc is not None else None)
+        n_v += tv is not None
+        n_c += tc is not None
+        n_p += tp is not None
+    assert (got.n_users, got.n_viewed, got.n_clicked, got.n_purchased) \
+        == (n_users, n_v, n_c, n_p)
