@@ -197,3 +197,37 @@ def test_event_funnel_matches_python_model(spark, tmp_path_factory, rows):
         n_p += tp is not None
     assert (got.n_users, got.n_viewed, got.n_clicked, got.n_purchased) \
         == (n_users, n_v, n_c, n_p)
+
+
+@given(rows=events)
+@_SETTINGS
+def test_retention_cohorts_matches_python_model(spark, tmp_path_factory,
+                                                rows):
+    tmp = str(tmp_path_factory.mktemp("coh_prop"))
+    # spread offsets into days so multiple weeks exist
+    df = spark.createDataFrame(
+        [(i, u, T0 + timedelta(hours=m), "x", 0.0, "{}")
+         for i, (u, m) in enumerate(rows)],
+        "event_id bigint, user_id bigint, ts timestamp, "
+        "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    got = {(r.cohort_week, r.week_offset): r.n_active for r in
+           REGISTRY["retention_cohorts"].fn(spark, tmp).collect()}
+
+    def week_of(dt):
+        d = dt.date()
+        monday = d - timedelta(days=d.weekday())
+        return datetime(monday.year, monday.month, monday.day)
+
+    per_user = defaultdict(list)
+    for u, m in rows:
+        per_user[u].append(T0 + timedelta(hours=m))
+    cells = defaultdict(set)
+    for u, times in per_user.items():
+        cw = week_of(min(times))
+        for t in times:
+            off = (week_of(t) - cw).days // 7
+            cells[(cw, off)].add(u)
+    want = {k: len(v) for k, v in cells.items()}
+    assert got == want
