@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
-from ..registry import register
+from ..registry import REGISTRY, register
 
 N_HASHES = 32          # minhash signature length
 N_BANDS = 8            # LSH bands (r = N_HASHES / N_BANDS = 4)
@@ -211,48 +211,114 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
-@register("dedup_clusters", oracle=None, tags=("dedup", "iterative"))
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate CLUSTERS: connected components over the
-    exact-duplicate pair graph, by iterative min-label propagation —
-    the step after pair detection in a real dedup pipeline (keep one
-    representative per cluster).
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components by iterative min-label propagation with a
+    CONVERGENCE CHECK — the general CC building block for dedup
+    clustering (exact-dup stars converge in 1 round; near-dup CHAINS
+    need O(diameter) rounds, which a fixed round count gets wrong).
 
-    Each iteration is one join + one min-agg (label := min of own and
-    neighbors' labels), converging in O(graph diameter) rounds —
-    the standard large-graph CC shape on Spark. Dup-pair graphs have
-    tiny diameters (stars/cliques), so the fixed 5 rounds converge
-    with margin; production would loop until a convergence check.
-    Returns (doc_id, cluster_id, cluster_size) for docs in clusters
-    of ≥2. Iterative → not SQL-expressible → rows-only; planted-
-    cluster behavior is pinned in tests.
+    ``edges`` is a directed (src, dst) pair list; it is symmetrized
+    here. Each round is one join + one min-agg (label := min of own
+    and neighbors' labels). Min-label propagation is MONOTONE — the
+    non-negative label sum strictly decreases until fixpoint — so
+    convergence is detected with one cheap DECIMAL(38,0) sum
+    aggregate per round instead of a label-diff join. Each round's
+    labels are ``localCheckpoint``-ed: iterative self-joins otherwise
+    double the lineage per round, and at 100 TB the un-truncated plan
+    re-reads the corpus every iteration (production on a real cluster
+    would use a reliable ``checkpoint()`` dir instead).
+
+    Returns (doc_id, label) for every vertex that appears in edges.
     """
-    docs = load(spark, sf_dir, "documents")
-    sha = docs.select("doc_id", F.sha2("text", 256).alias("content_sha"))
-    pairs = (sha.alias("a").join(sha.alias("b"),
-                                 (F.col("a.content_sha")
-                                  == F.col("b.content_sha"))
-                                 & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("src"),
-                     F.col("b.doc_id").alias("dst")))
-    edges = (pairs.unionByName(pairs.select(F.col("dst").alias("src"),
-                                            F.col("src").alias("dst")))
-             .cache())
-    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id")))
-    for _ in range(5):
-        neigh = (edges.join(labels, edges.src == labels.doc_id)
+    sym = edges.select(F.col("src").cast("long").alias("src"),
+                       F.col("dst").cast("long").alias("dst"))
+    sym = sym.unionByName(sym.select(F.col("dst").alias("src"),
+                                     F.col("src").alias("dst"))).cache()
+    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("label", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    prev_sum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        neigh = (sym.join(labels, sym.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
                  .agg(F.min("label").alias("neigh_label")))
         labels = (labels.join(neigh, "doc_id", "left")
                   .select("doc_id",
                           F.least("label", F.coalesce("neigh_label", "label"))
-                          .alias("label")))
+                          .alias("label"))
+                  .localCheckpoint(eager=True))
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+def _cluster_output(labels: DataFrame) -> DataFrame:
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (labels.join(sizes, "label")
             .filter(F.col("cluster_size") >= 2)
             .select("doc_id", F.col("label").alias("cluster_id"),
                     "cluster_size"))
+
+
+@register("dedup_clusters", oracle=None, tags=("dedup", "iterative"))
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate CLUSTERS: connected components over the
+    duplicate graph — the step after pair detection in a real dedup
+    pipeline (keep one representative per cluster).
+
+    Edge generation is LINEAR, not quadratic: a sha-equality
+    self-join emits k²/2 pairs for a k-copy group (a 10⁵-copy
+    boilerplate group — routine in web corpora — would emit 10¹⁰
+    edges), so instead each group's hub is ``min(doc_id)`` per
+    content hash and every other member links to the hub: k-1
+    STAR edges, same connectivity, same clusters. One hash-agg plus
+    one join back; the text itself never shuffles (only the 32-byte
+    digest does). CC then runs via :func:`connected_components`
+    (converges in 1 round on star graphs — the convergence check
+    stops it there instead of burning fixed extra rounds).
+    Returns (doc_id, cluster_id, cluster_size) for docs in clusters
+    of ≥2. Iterative → not SQL-expressible → rows-only; planted-
+    cluster behavior (edge linearity included) is pinned in tests.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return _cluster_output(connected_components(exact_dup_star_edges(docs)))
+
+
+def exact_dup_star_edges(docs: DataFrame) -> DataFrame:
+    """k-1 star edges per exact-duplicate group (hub = min doc_id).
+    Linear in group size where a sha self-join is quadratic; tested
+    directly (100-copy group → exactly 99 edges)."""
+    sha = docs.select("doc_id", F.sha2("text", 256).alias("content_sha"))
+    hubs = sha.groupBy("content_sha").agg(F.min("doc_id").alias("hub"))
+    return (sha.join(hubs, "content_sha")
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("hub").alias("src"),
+                    F.col("doc_id").alias("dst")))
+
+
+@register("dedup_clusters_neardup", oracle=None,
+          tags=("dedup", "iterative", "approx"))
+def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-duplicate clusters: connected components over the
+    MinHash-LSH candidate-pair graph (``dedup_minhash_lsh``'s
+    est-Jaccard ≥ 0.5 pairs as edges).
+
+    Unlike exact-dup stars, near-dup graphs have real CHAINS (A≈B,
+    B≈C, … with A and Z not directly similar), so graph diameter is
+    unbounded — this is exactly the case where a fixed round count
+    silently under-merges. :func:`connected_components`' convergence
+    loop runs O(diameter) rounds and stops at the fixpoint (pinned by
+    a planted chain-of-7 test). Returns (doc_id, cluster_id,
+    cluster_size) for near-dup clusters of ≥2 docs.
+    """
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    edges = pairs.select(F.col("doc_a").alias("src"),
+                         F.col("doc_b").alias("dst"))
+    return _cluster_output(connected_components(edges))
 
 
 BLOCK_W = 8  # tokens per sub-document block

@@ -334,12 +334,19 @@ def hot_keys(fact: DataFrame, key: str,
 def salted_equi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
                      dim_key: str, salt_cols: list[str],
                      n_salts: int = 8,
-                     tail_q: float = 0.999) -> DataFrame:
+                     skew_factor: int = 16) -> DataFrame:
     """PARTIAL salting — only detected hot keys pay. Hot fact rows get
     a deterministic salt in [0, n_salts); hot dim rows replicate once
     per salt; the cold majority keeps salt 0 and is never replicated.
-    Correctness-neutral: equivalent to the plain equi join."""
-    hot = hot_keys(fact, fact_key, tail_q)
+    Correctness-neutral: equivalent to the plain equi join.
+
+    ``skew_factor`` is forwarded to :func:`hot_keys` BY KEYWORD: a
+    round-2 defect passed a quantile (0.999) positionally into this
+    slot, collapsing the hot threshold to ~1× the median and marking
+    58% of TPC-H order keys hot — an unbounded broadcast hot set.
+    The keyword call plus the empty-hot-set-on-TPC-H regression test
+    (tests/test_plans.py) pin the bounded behavior."""
+    hot = hot_keys(fact, fact_key, skew_factor=skew_factor)
     fact = (fact.join(F.broadcast(hot),
                       F.col(fact_key) == F.col("hot_key"), "left")
             .withColumn("salt", F.when(

@@ -68,7 +68,7 @@ def sql_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_SQL = """
     WITH flags AS (
-      SELECT user_id, ts, value,
+      SELECT user_id, ts, event_id, value,
              CASE WHEN ts > lag(ts) OVER w + INTERVAL '30' MINUTE
                     OR lag(ts) OVER w IS NULL
                   THEN 1 ELSE 0 END AS new_session
@@ -77,8 +77,8 @@ _SESSION_SQL = """
     ), numbered AS (
       SELECT user_id, ts, value,
              CAST(SUM(new_session) OVER (PARTITION BY user_id
-               ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND
-               CURRENT ROW) AS BIGINT) AS session_no
+               ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS BIGINT) AS session_no
       FROM flags
     )
     SELECT user_id, session_no,

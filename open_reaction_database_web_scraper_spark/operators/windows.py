@@ -148,7 +148,12 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; decimal-sum/count keeps the division bit-exact."""
     od = load(spark, sf_dir, "orders").withColumn(
         "day_no",
-        F.datediff(F.to_date("o_orderdate"), F.lit("1990-01-01").cast("date")))
+        # BIGINT, not Spark's int32 datediff: DuckDB's date_diff is
+        # 64-bit and the driver surfaces the int32/int64 mismatch as
+        # a dtype-divergence note (benign under string-render hashing
+        # but free to eliminate).
+        F.datediff(F.to_date("o_orderdate"),
+                   F.lit("1990-01-01").cast("date")).cast("bigint"))
     w = (Window.partitionBy("o_custkey").orderBy("day_no")
          .rangeBetween(-30, Window.currentRow))
     return od.select(

@@ -338,6 +338,39 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # runtime carries protobuf.
 
 
+def fold_funnel_state(state: tuple, pdfs) -> tuple:
+    """Fold one group's micro-batch into the (t_view, t_click,
+    t_purch) funnel state — module-level so the chunk-spanning
+    behavior is unit-testable outside a streaming query.
+
+    One group's micro-batch can span several Arrow chunks
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``); sorting each
+    chunk alone would fold out of GLOBAL time order and the
+    order-sensitive stage machine could miss a click that precedes a
+    later-chunk view (round-2 ADVICE finding — the stream fixture
+    can't reproduce it because its ntile chunking time-sorts, so the
+    adversarial case is pinned by a direct unit test). Materialize
+    all chunks, one global (ts, event_id) sort, one fold."""
+    import pandas as pd
+
+    t_view, t_click, t_purch = state
+    chunks = [p for p in pdfs if len(p)]
+    if chunks:
+        batch = (pd.concat(chunks, ignore_index=True)
+                 .sort_values(["ts", "event_id"]))
+        for ts, etype in zip(batch["ts"], batch["event_type"]):
+            us = int(pd.Timestamp(ts).value // 1000)
+            if etype == "view" and t_view is None:
+                t_view = us
+            elif (etype == "click" and t_click is None
+                    and t_view is not None and us > t_view):
+                t_click = us
+            elif (etype == "purchase" and t_purch is None
+                    and t_click is not None and us > t_click):
+                t_purch = us
+    return (t_view, t_click, t_purch)
+
+
 @register(
     "stream_funnel_stateful",
     oracle="""
@@ -395,20 +428,8 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
               .option("maxFilesPerTrigger", 1).parquet(src))
 
     def update(key, pdfs, state: GroupState):
-        t_view, t_click, t_purch = (state.get if state.exists
-                                    else (None, None, None))
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, etype in zip(pdf["ts"], pdf["event_type"]):
-                us = int(pd.Timestamp(ts).value // 1000)
-                if etype == "view" and t_view is None:
-                    t_view = us
-                elif (etype == "click" and t_click is None
-                        and t_view is not None and us > t_view):
-                    t_click = us
-                elif (etype == "purchase" and t_purch is None
-                        and t_click is not None and us > t_click):
-                    t_purch = us
+        t_view, t_click, t_purch = fold_funnel_state(
+            state.get if state.exists else (None, None, None), pdfs)
         state.update((t_view, t_click, t_purch))
         yield pd.DataFrame({
             "user_id": [key[0]],

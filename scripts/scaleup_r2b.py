@@ -76,13 +76,19 @@ def main() -> None:
         copies = (df.withColumn(
             "copy", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
             .withColumn(key, F.col(key) + F.col("copy") * F.lit(shift)))
+        # secondary-key shifts derived from the data, like the
+        # primary shift — hard-coded constants silently alias copies
+        # (deflating per-user / per-block growth) the day the 1x
+        # domain outgrows them.
         if table == "events":
+            user_shift = df.agg(F.max("user_id")).collect()[0][0] + 1
             copies = copies.withColumn(
                 "user_id",
-                F.col("user_id") + F.col("copy") * F.lit(1000000))
+                F.col("user_id") + F.col("copy") * F.lit(user_shift))
         if table == "embeddings":
+            label_shift = df.agg(F.max("label")).collect()[0][0] + 1
             copies = copies.withColumn(
-                "label", F.col("label") + F.col("copy") * F.lit(10))
+                "label", F.col("label") + F.col("copy") * F.lit(label_shift))
         (copies.drop("copy").repartition(32)
          .write.mode("overwrite").parquet(f"{big}/{table}.parquet"))
         n = spark.read.parquet(f"{big}/{table}.parquet").count()

@@ -48,34 +48,25 @@ def test_funnel_is_monotone_and_ordered(spark, sf_dir):
     assert row.n_purchased <= ever.p
 
 
-def test_funnel_ordered_stage_on_tiny_case(spark):
-    # u1 completes in order; u2 purchases BEFORE clicking -> stage 3 no
+def test_funnel_ordered_stage_on_tiny_case(spark, tmp_path):
+    """Drives the REGISTERED event_funnel operator on a tiny planted
+    events table (not an inline re-implementation — a regression in
+    the operator itself must fail this test). u1 completes the funnel
+    in order; u2 purchases BEFORE clicking, so the ordered semantics
+    must not count u2's purchase."""
     rows = [(1, "view", "2024-01-01 10:00:00"),
             (1, "click", "2024-01-01 11:00:00"),
             (1, "purchase", "2024-01-01 12:00:00"),
             (2, "purchase", "2024-01-01 09:00:00"),
             (2, "view", "2024-01-01 10:00:00"),
             (2, "click", "2024-01-01 11:00:00")]
-    df = (spark.createDataFrame(rows, "user_id long, event_type string, "
-                                "ts_s string")
-          .withColumn("ts", F.to_timestamp("ts_s")))
-    from pyspark.sql import Window
-    win = Window.partitionBy("user_id")
-    e = df.withColumn(
-        "t_view", F.min(F.when(F.col("event_type") == "view",
-                               F.col("ts"))).over(win))
-    e = e.withColumn(
-        "t_click", F.min(F.when((F.col("event_type") == "click")
-                                & (F.col("ts") > F.col("t_view")),
-                                F.col("ts"))).over(win))
-    e = e.withColumn(
-        "t_purchase", F.min(F.when((F.col("event_type") == "purchase")
-                                   & (F.col("ts") > F.col("t_click")),
-                                   F.col("ts"))).over(win))
-    got = (e.groupBy("user_id")
-           .agg(F.max("t_purchase").alias("p")).collect())
-    done = {r.user_id: r.p is not None for r in got}
-    assert done == {1: True, 2: False}
+    (spark.createDataFrame(rows, "user_id long, event_type string, "
+                           "ts_s string")
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet"))
+    got = REGISTRY["event_funnel"].fn(spark, str(tmp_path)).collect()[0]
+    assert (got.n_users, got.n_viewed, got.n_clicked, got.n_purchased) \
+        == (2, 2, 2, 1)
 
 
 def test_retention_cohort_cells_cover_user_weeks(spark, sf_dir):

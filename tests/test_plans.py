@@ -12,8 +12,10 @@ survives a 1000-executor / 100 TB scale-up:
 
 from __future__ import annotations
 
+import os
 import re
 
+from pyspark.sql import Row
 from pyspark.sql import functions as F
 
 from open_reaction_database_web_scraper_spark.registry import (
@@ -214,6 +216,28 @@ def test_salted_join_planted_skew_spreads_and_matches(spark):
     uniform = spark.range(0, 400).select(
         F.col("id").alias("k"), F.col("id").alias("row_id"))
     assert hot_keys(uniform, "k").count() == 0
+
+
+def test_hot_keys_empty_on_tpch(spark):
+    """Regression for the round-2 call-site bug (tail_q=0.999 bound
+    positionally into skew_factor, marking ~58% of order keys hot):
+    TPC-H lineitem has 1-7 items per order — never 16× the median —
+    so the hot set must be EMPTY at every SF, and the salted join
+    must degenerate to the plain join (every salt == 0, dim side
+    never replicated)."""
+    from open_reaction_database_web_scraper_spark.operators.joins import (
+        hot_keys, salted_equi_join)
+    for sf in ("sf0.001", "sf0.01"):
+        path = f"/root/testdata/{sf}/lineitem.parquet"
+        if not os.path.isdir(path) and not os.path.isfile(path):
+            continue
+        li = spark.read.parquet(path)
+        assert hot_keys(li, "l_orderkey").count() == 0, sf
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    od = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    salted = salted_equi_join(li, od, "l_orderkey", "o_orderkey",
+                              salt_cols=["l_orderkey", "l_linenumber"])
+    assert salted.select("salt").distinct().collect() == [Row(salt=0)]
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir):

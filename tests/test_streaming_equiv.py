@@ -135,6 +135,77 @@ def test_dedup_clusters_planted(spark):
     assert got == {(0, 0, 3), (1, 0, 3), (2, 0, 3)}
 
 
+def test_dedup_clusters_star_edges_linear(spark):
+    """A k-copy duplicate group must emit exactly k-1 star edges (not
+    k·(k-1)/2 pair edges — the round-2 quadratic flag) and resolve to
+    ONE cluster of size k with hub = min doc_id."""
+    import tempfile
+
+    k = 100
+    rows = [(i, "dup dup dup") for i in range(k)] + [(k, "uniq one two")]
+    d = tempfile.mkdtemp(prefix="ordspark_startest_")
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    docs.write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    from open_reaction_database_web_scraper_spark.operators.dedup import (
+        exact_dup_star_edges)
+    edges = exact_dup_star_edges(spark.read.parquet(f"{d}/documents.parquet"))
+    assert edges.count() == k - 1
+
+    out = REGISTRY["dedup_clusters"].fn(spark, d).collect()
+    assert {r.cluster_id for r in out} == {0}
+    assert {r.cluster_size for r in out} == {k}
+    assert {r.doc_id for r in out} == set(range(k))
+
+
+def test_connected_components_chain_converges(spark):
+    """A 7-node chain (diameter 6) must collapse to one component —
+    the case a fixed 5-round propagation gets WRONG. Pins the
+    convergence loop that dedup_clusters_neardup relies on for
+    near-dup chains (A≈B≈C… without A≈Z)."""
+    from open_reaction_database_web_scraper_spark.operators.dedup import (
+        connected_components)
+
+    chain = spark.createDataFrame(
+        [(i + 1, i + 2) for i in range(6)] + [(20, 21)],
+        "src bigint, dst bigint")
+    labels = {r.doc_id: r.label for r in
+              connected_components(chain).collect()}
+    assert all(labels[i] == 1 for i in range(1, 8))
+    assert labels[20] == labels[21] == 20
+
+
+def test_dedup_clusters_neardup_planted_chain(spark):
+    """Near-dup clustering end-to-end: a chain of documents where
+    each neighbor pair shares most shingles (est-Jaccard ≥ 0.5) but
+    the two ends share none must still merge into ONE cluster via
+    the LSH-pair edge graph + convergence-looped CC."""
+    import tempfile
+
+    base = ["w%d" % i for i in range(40)]
+    # 20-token windows shifted by 2: neighbors share 18/22 tokens
+    # (shingle Jaccard ≈ 0.8, well over the 0.5 gate); the two ends
+    # share only 8 tokens (Jaccard ≈ 0.2, well under it).
+    docs = [(step, " ".join(base[step * 2: step * 2 + 20]))
+            for step in range(7)]
+    docs.append((99, " ".join("z%d" % i for i in range(22))))
+    d = tempfile.mkdtemp(prefix="ordspark_chaintest_")
+    spark.createDataFrame(docs, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, d).collect()
+    adjacent = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 6) not in adjacent  # ends are NOT directly similar
+    assert all((s, s + 1) in adjacent for s in range(6))  # chain links
+
+    out = REGISTRY["dedup_clusters_neardup"].fn(spark, d).collect()
+    chain_rows = [r for r in out if r.doc_id < 10]
+    assert {r.doc_id for r in chain_rows} == set(range(7))
+    assert len({r.cluster_id for r in chain_rows}) == 1
+    assert {r.cluster_size for r in chain_rows} == {7}
+    assert all(r.doc_id != 99 for r in out)
+
+
 def test_stream_stream_join_equals_batch(spark, sf_dir):
     """True stream-stream inner join (clicks ⋈ purchases, same user,
     click within the hour before the purchase) with watermarks on
@@ -172,6 +243,43 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
              .fn(spark, sf_dir).collect()}
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_funnel_fold_spans_arrow_chunks():
+    """One group's micro-batch can span several Arrow chunks
+    (spark.sql.execution.arrow.maxRecordsPerBatch). The state fold
+    must sort GLOBALLY before folding: per-chunk sorting loses a
+    click that is chunk-delivered before an earlier-in-time view.
+    Adversarial chunk split [click,purchase] then [view] — only a
+    global sort reaches stage 3."""
+    import pandas as pd
+
+    from open_reaction_database_web_scraper_spark.streaming.jobs import (
+        fold_funnel_state)
+
+    def chunk(rows):
+        return pd.DataFrame(
+            {"event_id": [r[0] for r in rows],
+             "ts": [pd.Timestamp(r[1]) for r in rows],
+             "event_type": [r[2] for r in rows]})
+
+    pdfs = iter([
+        chunk([(2, "2024-01-01 02:01:00", "click"),
+               (3, "2024-01-01 02:02:00", "purchase")]),
+        pd.DataFrame({"event_id": [], "ts": [], "event_type": []}),
+        chunk([(1, "2024-01-01 02:00:00", "view")])])
+    t_view, t_click, t_purch = fold_funnel_state((None, None, None), pdfs)
+    assert t_view is not None and t_click is not None \
+        and t_purch is not None
+
+    # tie-break: equal ts resolved by event_id, and state carries
+    # across calls (micro-batches)
+    state = fold_funnel_state(
+        (None, None, None),
+        iter([chunk([(5, "2024-01-01 03:00:00", "view")])]))
+    state = fold_funnel_state(
+        state, iter([chunk([(6, "2024-01-01 03:10:00", "click")])]))
+    assert state[1] is not None and state[2] is None
 
 
 def test_stream_funnel_converges_to_batch(spark, sf_dir):
