@@ -71,6 +71,17 @@ def fanout(df: DataFrame) -> DataFrame:
     but cannot make for inputs (it can't split a row group).
     """
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    # Partition count from the scan's input files, not df.rdd:
+    # the RDD conversion builds (and caches) a full RDD plan per
+    # call — measurable py4j/analysis overhead on every scan-side
+    # invocation. inputFiles() is metadata-only. A file can hold
+    # multiple row groups (undercounting splits), but undercounting
+    # only risks a redundant repartition of a small input — and any
+    # real multi-row-group layout has ≥ target files anyway.
+    try:
+        n_splits = len(df.inputFiles())
+    except Exception:  # non-file-backed plan (e.g. createDataFrame)
+        return df.repartition(target)
+    if n_splits >= target:
         return df
     return df.repartition(target)
