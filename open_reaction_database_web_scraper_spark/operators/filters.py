@@ -155,9 +155,13 @@ def filter_isin(spark: SparkSession, sf_dir: str) -> DataFrame:
 def filter_range_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional slice start..end within a group — the reference's
     ``all_reaction_ids[start:end]`` (web_scrpaer_2.py:425-430). The
-    order key (date, key) is total, so the slice is deterministic."""
+    order key (date, key) is total, so the slice is deterministic.
+    ``rn`` is widened to BIGINT so the driver sees the same dtype the
+    DuckDB oracle renders (row_number is int32 in Spark, int64 in
+    DuckDB — the string hash matches either way, the cast removes
+    the divergence note entirely)."""
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     return (load(spark, sf_dir, "orders")
-            .withColumn("rn", F.row_number().over(w))
+            .withColumn("rn", F.row_number().over(w).cast("long"))
             .filter(F.col("rn").between(2, 4))
             .select("o_custkey", "o_orderkey", "rn"))

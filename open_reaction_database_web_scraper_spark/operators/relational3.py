@@ -1,0 +1,285 @@
+"""Round-3 relational extensions [E].
+
+Four shapes a relational engine at 100 TB needs that the first two
+tranches didn't cover: a HAVING-gated large-group join (TPC-H Q18 as
+raw SQL text), a Pareto/skyline operator (the classic "no full
+quadratic dominance check" exercise), the forward variant of the
+as-of join (join_asof covers backward), and market-basket pair
+lifting (bounded self-join on a tiny per-key domain).
+
+The reference has no relational surface at all (SURVEY.md §2.3); all
+rows here are [E] generalizations exercised on the driver tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..registry import register
+
+# Shared verbatim by Spark and DuckDB (same cross-dialect subset
+# sql_tpch_q3 pins: ANSI joins, decimal casts, ORDER BY ... LIMIT).
+_Q18_SQL = """
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    JOIN big b      ON b.l_orderkey = o.o_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@register("sql_tpch_q18", oracle=_Q18_SQL, tags=("sql", "join", "having"))
+def sql_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) as RAW SQL text — the
+    HAVING-subquery join shape: an aggregate over the fact table
+    gates which orders survive, then the survivors re-join the same
+    fact for the detail rollup.
+
+    Catalyst's plan is the scalable one: the `big` CTE is a
+    map-side-combined hash aggregate whose output (keys above the
+    quantity threshold — a tiny fraction) joins back as a
+    broadcast/shuffled equi-join, so lineitem is scanned twice but
+    never exploded; the final ORDER BY ... LIMIT 100 is
+    TakeOrderedAndProject (per-task heaps, no global sort). The
+    threshold makes `big` shrink with selectivity, not data — at
+    100 TB the gate join is the cheap side. Tie-safety: o_orderkey
+    in the sort makes the top-100 cut deterministic in both engines.
+    """
+    from .sql_surface import _register_views
+    _register_views(spark, sf_dir, ("customer", "orders", "lineitem"))
+    return spark.sql(_Q18_SQL)
+
+
+@register(
+    "skyline_pareto",
+    oracle="""
+    WITH pts AS (
+      SELECT DISTINCT p_retailprice, p_size FROM part
+    )
+    SELECT p.p_retailprice, p.p_size
+    FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.p_retailprice <= p.p_retailprice
+        AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice
+             OR q.p_size > p.p_size)
+    )
+    """,
+    tags=("skyline", "window"),
+)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier) over part: the (price, size)
+    pairs not weakly dominated by any other pair (cheaper-or-equal
+    AND bigger-or-equal, strict in at least one).
+
+    The oracle is the textbook quadratic NOT EXISTS; the engine
+    shape is the O(n log n) sweep, decomposed so no global window
+    ever runs:
+
+    1. distinct (price, size) pairs (hash agg, map-side combined);
+    2. price-banded sweep — rows hash into fixed price bands, and
+       within each band a window ordered by (price ASC, size DESC)
+       carries the running max size over STRICTLY PRECEDING rows;
+    3. the cross-band carry-in is a per-band MAX aggregate (≤ #bands
+       rows) whose prefix-max over lower bands is computed on the
+       tiny aggregate and broadcast back.
+
+    A pair is dominated iff max(in-band running max, lower-band
+    carry-in) >= its size: a preceding pair in the (price ASC,
+    size DESC) order is either strictly cheaper with size >= ours,
+    or equal-priced with strictly larger size — both weakly dominate
+    (and nothing else precedes us, so the test is exact, duplicates
+    having been removed up front). Every stage is partitioned; the
+    only driver-visible state is the #bands-row carry table, so the
+    sweep survives any data size while the oracle's self-join is
+    quadratic.
+    """
+    pts = (load(spark, sf_dir, "part")
+           .select("p_retailprice", "p_size").distinct())
+    # Fixed clamped band domain (num_histogram_fixed convention):
+    # TPC-H retail prices live in [900, 2100); 16 bands of 75.
+    n_bands = 16
+    band = F.least(
+        F.greatest(F.floor((F.col("p_retailprice") - 900.0) / 75.0),
+                   F.lit(0)),
+        F.lit(n_bands - 1)).alias("band")
+    pts = pts.select("p_retailprice", "p_size", band)
+
+    in_band = (Window.partitionBy("band")
+               .orderBy(F.col("p_retailprice").asc(),
+                        F.col("p_size").desc())
+               .rowsBetween(Window.unboundedPreceding, -1))
+    swept = pts.withColumn("run_max", F.max("p_size").over(in_band))
+
+    band_max = pts.groupBy("band").agg(F.max("p_size").alias("bmax"))
+    lower = (Window.orderBy("band")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    # Global window over <= n_bands rows — a constant-size aggregate,
+    # not a data-sized sort (same posture as broadcast dim tables).
+    carry = band_max.select(
+        "band", F.max("bmax").over(lower).alias("carry_max"))
+
+    dominated = (F.coalesce(
+        F.greatest(F.col("run_max"), F.col("carry_max")),
+        F.col("run_max"), F.col("carry_max"), F.lit(-1))
+        >= F.col("p_size"))
+    return (swept.join(F.broadcast(carry), "band", "left")
+            .filter(~dominated)
+            .select("p_retailprice", "p_size"))
+
+
+@register(
+    "join_asof_forward",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, MIN(event_id) AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id, ts
+    ), clicks AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'click'
+    ), u AS (
+      SELECT user_id, ts, 0 AS is_purchase, event_id,
+             CAST(NULL AS BIGINT) AS p_id,
+             CAST(NULL AS TIMESTAMP) AS p_ts
+      FROM clicks
+      UNION ALL
+      SELECT user_id, ts, 1, CAST(NULL AS BIGINT),
+             purchase_id, ts
+      FROM purchases
+    ), carried AS (
+      SELECT user_id, ts, is_purchase, event_id,
+             FIRST_VALUE(p_id IGNORE NULLS) OVER w AS purchase_id,
+             FIRST_VALUE(p_ts IGNORE NULLS) OVER w AS purchase_ts
+      FROM u
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_purchase
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts, purchase_id, purchase_ts
+    FROM carried WHERE is_purchase = 0
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join: EARLIEST purchase at-or-after each click,
+    per user (join_asof covers the backward latest-at-or-before
+    direction; time-to-conversion queries need this mirror).
+
+    Same one-shuffle union+window emulation: tag both sides, sort
+    once on (user, ts), and carry the next purchase backward with
+    ``first(ignorenulls)`` over the CURRENT ROW..UNBOUNDED FOLLOWING
+    frame. Clicks sort before purchases at equal ts (is_purchase
+    0 < 1), so an equal-ts purchase is inside the click's forward
+    frame — '>=' semantics. Duplicate purchases per (user, ts)
+    pre-reduce to MIN(event_id) so both engines are deterministic.
+    The oracle runs the identical ANSI emulation (window'd IGNORE
+    NULLS is cross-dialect), doubling as a parity pin for forward
+    frames.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .groupBy("user_id", "ts")
+                 .agg(F.min("event_id").alias("p_id"))
+                 .select("user_id", "ts",
+                         F.lit(1).alias("is_purchase"),
+                         F.lit(None).cast("long").alias("event_id"),
+                         "p_id",
+                         F.col("ts").alias("p_ts")))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .select("user_id", "ts",
+                      F.lit(0).alias("is_purchase"),
+                      "event_id",
+                      F.lit(None).cast("long").alias("p_id"),
+                      F.lit(None).cast(ev.schema["ts"].dataType)
+                      .alias("p_ts")))
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_purchase")
+         .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    carried = clicks.unionByName(purchases).select(
+        "user_id", "ts", "is_purchase", "event_id",
+        F.first("p_id", ignorenulls=True).over(w).alias("purchase_id"),
+        F.first("p_ts", ignorenulls=True).over(w).alias("purchase_ts"))
+    return (carried.filter(F.col("is_purchase") == 0)
+            .select("event_id", "user_id", "ts",
+                    "purchase_id", "purchase_ts"))
+
+
+@register(
+    "assoc_pair_lift",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ), totals AS (
+      SELECT CAST(COUNT(DISTINCT user_id) AS DOUBLE) AS n_users
+      FROM events
+    ), singles AS (
+      SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+    ), pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_both
+      FROM ut a
+      JOIN ut b ON a.user_id = b.user_id
+               AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+           ROUND(p.n_both * t.n_users / (sa.n * sb.n), 6) AS lift
+    FROM pairs p
+    JOIN singles sa ON sa.event_type = p.type_a
+    JOIN singles sb ON sb.event_type = p.type_b
+    CROSS JOIN totals t
+    """,
+    tags=("analytics", "join"),
+)
+def assoc_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair lift over event types: for every unordered
+    pair of event types, how many users did both, and the lift
+    (observed co-occurrence over the independence expectation).
+
+    Scale shape: the per-user self-join runs AFTER the distinct
+    (user, type) reduction, so each user contributes at most
+    |types|²/2 pairs — the type domain is a small constant, making
+    the join output bounded by users x a constant, never quadratic
+    in events. Singles and the 1-row user total are tiny aggregates
+    broadcast into the final projection; every big stage is a
+    map-side-combined hash agg keyed on user_id or the pair domain.
+    """
+    ev = load(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("double").alias("n_users"))
+    singles = ut.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (a.join(b, (F.col("a.user_id") == F.col("b.user_id"))
+                    & (F.col("a.event_type") < F.col("b.event_type")))
+             .groupBy(F.col("a.event_type").alias("type_a"),
+                      F.col("b.event_type").alias("type_b"))
+             .agg(F.count("*").alias("n_both")))
+    sa = singles.select(F.col("event_type").alias("type_a"),
+                        F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"),
+                        F.col("n").alias("n_b"))
+    return (pairs.join(F.broadcast(sa), "type_a")
+            .join(F.broadcast(sb), "type_b")
+            .crossJoin(F.broadcast(n_users))
+            .select("type_a", "type_b", "n_both",
+                    F.round(F.col("n_both") * F.col("n_users")
+                            / (F.col("n_a") * F.col("n_b")), 6)
+                    .alias("lift")))

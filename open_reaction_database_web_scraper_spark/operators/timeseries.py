@@ -1,0 +1,386 @@
+"""Round-3 time-series operators over the events table [E].
+
+The reference's only temporal structure is crawl pacing (the 1 s
+politeness sleep, web_scrpaer_2.py:459); a warehouse engine over an
+events stream needs the standard time-series kernels: gap-filled
+resampling with interpolation, multi-granularity rollups in one
+pass, streak detection, statistical anomaly flagging, changelog
+(CDC) application, and variable-length interval joins.
+
+Shared scale posture: every operator keys its shuffles on a column
+whose cardinality is either bounded (event_type, calendar buckets)
+or cluster-friendly (user_id); window sorts only ever run inside
+those partitions; nothing data-sized is broadcast or collected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.numeric import dsum, dsum_sql
+from ..registry import register
+
+
+@register(
+    "ts_resample_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+               / COUNT(value) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), bounds AS (
+      SELECT event_type, MIN(h) AS mn, MAX(h) AS mx
+      FROM hourly GROUP BY event_type
+    ), spine AS (
+      SELECT event_type,
+             UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+      FROM bounds
+    ), j AS (
+      SELECT s.event_type, s.h, hv.v
+      FROM spine s
+      LEFT JOIN hourly hv
+        ON s.event_type = hv.event_type AND s.h = hv.h
+    ), c AS (
+      SELECT event_type, h, v,
+             LAST_VALUE(v IGNORE NULLS) OVER wb AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END
+                        IGNORE NULLS) OVER wb AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END
+                         IGNORE NULLS) OVER wf AS nh
+      FROM j
+      WINDOW wb AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, h AS bucket_hour,
+           ROUND(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv)
+                  * (CAST(date_diff('hour', ph, h) AS DOUBLE)
+                     / CAST(date_diff('hour', ph, nh) AS DOUBLE))
+           END, 6) AS v_interp
+    FROM c
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample per-type event values to a 1-hour grid and linearly
+    interpolate interior gaps (leading/trailing gaps stay NULL).
+
+    Shape: one hash aggregate to hourly means (decimal-exact AVG so
+    both engines agree bitwise), a calendar-bounded spine built from
+    per-type MIN/MAX via ``sequence`` + explode (spine size is hours
+    x types — calendar-bounded, never data-sized), then ONE
+    event_type-partitioned exchange on which BOTH direction windows
+    (last-non-null backward, first-non-null forward) and the
+    interpolation projection run. The interpolation weight uses
+    integer hour differences cast to double, and the surrounding
+    values are deterministic decimal AVGs, so the float expression
+    evaluates identically in Spark and DuckDB; ROUND(.,6) seals it.
+
+    At 100 TB the hourly pre-aggregate is the load-bearing move: the
+    windows run over |types| x |hours| rows, independent of raw
+    event count.
+    """
+    ev = load(spark, sf_dir, "events")
+    hourly = (ev.groupBy("event_type",
+                         F.date_trunc("hour", F.col("ts")).alias("h"))
+              .agg((F.sum(F.col("value").cast("decimal(18,4)"))
+                    .cast("double")
+                    / F.count("value")).alias("v")))
+    spine = (hourly.groupBy("event_type")
+             .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+             .select("event_type",
+                     F.explode(F.sequence(
+                         "mn", "mx",
+                         F.expr("INTERVAL 1 HOUR"))).alias("h")))
+    j = spine.join(hourly, ["event_type", "h"], "left")
+    wb = (Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("event_type").orderBy("h")
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    h_if_v = F.when(F.col("v").isNotNull(), F.col("h"))
+    c = j.select(
+        "event_type", "h", "v",
+        F.last("v", ignorenulls=True).over(wb).alias("pv"),
+        F.last(h_if_v, ignorenulls=True).over(wb).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(h_if_v, ignorenulls=True).over(wf).alias("nh"))
+    frac = (F.expr("timestampdiff(HOUR, ph, h)").cast("double")
+            / F.expr("timestampdiff(HOUR, ph, nh)").cast("double"))
+    interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
+        F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+               F.col("pv") + (F.col("nv") - F.col("pv")) * frac))
+    return c.select("event_type", F.col("h").alias("bucket_hour"),
+                    F.round(interp, 6).alias("v_interp"))
+
+
+@register(
+    "agg_time_bucket_multi",
+    oracle=f"""
+    SELECT 'day' AS granularity, date_trunc('day', ts) AS bucket_start,
+           COUNT(*) AS n_events, {dsum_sql('value')} AS total_value
+    FROM events GROUP BY date_trunc('day', ts)
+    UNION ALL
+    SELECT 'week', date_trunc('week', ts),
+           COUNT(*), {dsum_sql('value')}
+    FROM events GROUP BY date_trunc('week', ts)
+    UNION ALL
+    SELECT 'month', date_trunc('month', ts),
+           COUNT(*), {dsum_sql('value')}
+    FROM events GROUP BY date_trunc('month', ts)
+    """,
+    tags=("timeseries", "agg", "groupingsets"),
+)
+def agg_time_bucket_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-granularity rollup: day, week and
+    month buckets of the event stream in ONE pass.
+
+    The oracle states the semantics as three scans UNION ALL'd; the
+    engine answers it with a single scan + one Expand (GROUPING
+    SETS over the three pre-computed truncations) + one hash
+    aggregate — the same plan shape agg_cube pins, so adding a
+    granularity adds a 1x row replication, not a rescan of 100 TB.
+    GROUPING() disambiguates which truncation each output row
+    belongs to; the decimal accumulator keeps the three sums exactly
+    mergeable with the single-granularity twins.
+    """
+    ev = load(spark, sf_dir, "events")
+    ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("w"),
+        F.date_trunc("month", "ts").alias("m"),
+        "value").createOrReplaceTempView("ev_buckets")
+    return spark.sql("""
+        SELECT CASE WHEN GROUPING(d) = 0 THEN 'day'
+                    WHEN GROUPING(w) = 0 THEN 'week'
+                    ELSE 'month' END AS granularity,
+               COALESCE(d, w, m) AS bucket_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                 AS total_value
+        FROM ev_buckets
+        GROUP BY GROUPING SETS ((d), (w), (m))
+    """)
+
+
+@register(
+    "win_streak_longest",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), g AS (
+      SELECT user_id, d,
+             date_diff('day', TIMESTAMP '2024-01-01 00:00:00', d)
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ), isl AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, MAX(len) AS longest_streak
+    FROM isl GROUP BY user_id
+    """,
+    tags=("timeseries", "window", "gaps-islands"),
+)
+def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of consecutive active days per user (the
+    engagement-streak query), by the gaps-and-islands identity:
+    day_number - row_number is constant exactly within a run of
+    consecutive days.
+
+    Shape: distinct (user, day) first — a map-side-combined hash agg
+    that shrinks raw events to at most users x days — then one
+    user-partitioned window for the row numbers and two more hash
+    aggregates. The island key is pure BIGINT arithmetic (days since
+    a fixed epoch minus the rank), so both engines agree exactly.
+    Everything after the distinct is bounded by user-days, not
+    events.
+    """
+    ev = load(spark, sf_dir, "events")
+    days = (ev.select("user_id",
+                      F.date_trunc("day", "ts").alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = days.select(
+        "user_id", "d",
+        (F.datediff(F.col("d"), F.lit("2024-01-01").cast("date"))
+         .cast("long")
+         - F.row_number().over(w)).alias("grp"))
+    return (g.groupBy("user_id", "grp")
+            .agg(F.count("*").alias("len"))
+            .groupBy("user_id")
+            .agg(F.max("len").alias("longest_streak")))
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH m AS (
+      SELECT event_type, COUNT(value) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s1,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))
+                           * CAST(value AS DECIMAL(18,4)))
+                       AS DECIMAL(38,4)) AS DOUBLE) AS s2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - m.s1 / m.n)
+                 / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)),
+                 4) AS z
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE ABS((e.value - m.s1 / m.n)
+              / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 3
+    """,
+    tags=("timeseries", "stats"),
+)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population z-score anomaly flags: events whose value sits
+    more than 3 standard deviations from their type's mean.
+
+    The moments come from exact DECIMAL power sums (the
+    agg_stats_moments technique): s1 at scale 4 and s2 reduced from
+    scale 8 to 4 before the double cast — the scale-8 digits of a
+    2-decimal value's square are zeros, so the reduction is exact
+    and both engines see identical doubles; mean/variance/sqrt then
+    evaluate identically (sqrt is IEEE-correctly-rounded in both),
+    making even the |z| > 3 boundary deterministic. (The scale-4 sum
+    image stays under 2^53 through sf10; beyond that widen to
+    DECIMAL(38,*) per functions/numeric.py's rule.)
+
+    Shape: a 5-row moments aggregate broadcast back onto the scan —
+    flagging is a second pass over the fact but never a second
+    shuffle of it.
+    """
+    ev = load(spark, sf_dir, "events")
+    dec = F.col("value").cast("decimal(18,4)")
+    m = (ev.groupBy("event_type")
+         .agg(F.count("value").alias("n"),
+              F.sum(dec).cast("double").alias("s1"),
+              F.sum(dec * dec).cast("decimal(38,4)").cast("double")
+              .alias("s2")))
+    mean = F.col("s1") / F.col("n")
+    z = ((F.col("value") - mean)
+         / F.sqrt(F.col("s2") / F.col("n") - mean * mean))
+    return (ev.join(F.broadcast(m), "event_type")
+            .filter(F.abs(z) > 3)
+            .select("event_id", "event_type", "value",
+                    F.round(z, 4).alias("z")))
+
+
+@register(
+    "cdc_apply_changelog",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value, ts AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("timeseries", "cdc", "agg"),
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the event stream as a CDC changelog keyed on user_id:
+    the latest record (by ts, tie-broken on event_id) wins, and a
+    final 'error' record is a tombstone that deletes the key — the
+    materialized current-state table a MERGE-on-read sink maintains.
+
+    The oracle states it as a ROW_NUMBER window; the engine computes
+    it as a single MAX_BY hash aggregate on a struct ordering key
+    (ts, event_id) — map-side combined, no per-user sort, no window
+    state. That is the difference at 100 TB: the aggregate carries
+    ONE candidate row per key per partition through the shuffle,
+    where the window form must sort every key's full history. The
+    tombstone filter runs after the aggregate (on |keys| rows).
+    """
+    ev = load(spark, sf_dir, "events")
+    ordkey = F.struct(F.col("ts"), F.col("event_id"))
+    last = (ev.groupBy("user_id")
+            .agg(F.max_by(F.struct("event_id", "event_type",
+                                   "value", "ts"),
+                          ordkey).alias("s")))
+    return (last.filter(F.col("s.event_type") != "error")
+            .select("user_id",
+                    F.col("s.event_id").alias("last_event_id"),
+                    F.col("s.event_type").alias("last_event_type"),
+                    F.col("s.value").alias("last_value"),
+                    F.col("s.ts").alias("last_ts")))
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+    SELECT v.event_id AS view_id, COUNT(*) AS n_purchases
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND CAST(epoch_us(p.ts) AS DOUBLE)
+           >= CAST(epoch_us(v.ts) AS DOUBLE)
+     AND CAST(epoch_us(p.ts) AS DOUBLE)
+           < CAST(epoch_us(v.ts) AS DOUBLE) + v.value * 60000000.0
+    GROUP BY v.event_id
+    """,
+    tags=("join", "interval"),
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length interval containment join: each view opens an
+    attention window of `value` minutes; count the same user's
+    purchases inside it.
+
+    join_range_theta banded FIXED-length (1 h) intervals with a
+    2-bucket explode; variable-length intervals need the general
+    form — each interval replicates to every hour bucket it covers
+    (``sequence`` over its own span), while the instant side keeps
+    its single bucket, so every true pair meets in EXACTLY one
+    (user, bucket) cell and no dedup is needed. Replication cost is
+    interval length / bucket width — data-dependent but bounded by
+    the longest window (~8 h here → ≤9 buckets), never by row count;
+    the join itself stays a plain shuffled equi-join on (user_id,
+    bucket) with the containment predicate as residual.
+
+    Time arithmetic parity: both sides compare exact epoch-microsec
+    integers lifted to DOUBLE (all < 2^53, so exact) and the only
+    rounding — value x 6e7 — is the same IEEE multiply in both
+    engines; no double→int cast whose rounding mode could differ.
+    """
+    ev = load(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ: derive epoch-µs by wall-clock arithmetic
+    # (unix_micros wants TIMESTAMP and would drag session-timezone
+    # semantics in; timestampdiff matches DuckDB's epoch_us exactly).
+    us = F.expr("timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)").cast("double")
+    views = (ev.filter(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     "user_id",
+                     us.alias("v_us"),
+                     (us + F.col("value") * 60000000.0).alias("v_end")))
+    views = views.withColumn(
+        "bkt",
+        F.explode(F.sequence(
+            F.floor(F.col("v_us") / 3600000000.0),
+            F.floor(F.col("v_end") / 3600000000.0))))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", us.alias("p_us"))
+                 .withColumn("bkt",
+                             F.floor(F.col("p_us") / 3600000000.0)))
+    cond = ((F.col("p_us") >= F.col("v_us"))
+            & (F.col("p_us") < F.col("v_end")))
+    return (views.join(purchases, ["user_id", "bkt"])
+            .filter(cond)
+            .groupBy("view_id")
+            .agg(F.count("*").alias("n_purchases")))

@@ -60,6 +60,7 @@ def load_all_operators() -> None:
         multimodal,
         ord_queries,
         pipeline,
+        relational3,
         reshape,
         scalars,
         scans,
@@ -69,6 +70,7 @@ def load_all_operators() -> None:
         stats,
         streaming_batch,
         text,
+        timeseries,
         udfs,
         vectors,
         windows,
