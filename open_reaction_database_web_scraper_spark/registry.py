@@ -56,6 +56,7 @@ def load_all_operators() -> None:
         dedup,
         filters,
         joins,
+        llmdata3,
         maintenance,
         multimodal,
         ord_queries,
