@@ -73,6 +73,15 @@ OPTIONAL = [
     "vector_knn_join",
     "text_lm_perplexity",
     "agg_rolling_active_users",
+    # round 3
+    "sql_tpch_q18",
+    "skyline_pareto",
+    "join_asof_forward",
+    "ts_resample_interpolate",
+    "cdc_apply_changelog",
+    "join_interval_overlap",
+    "text_boilerplate_strip",
+    "embedding_quantize_int8",
 ]
 
 

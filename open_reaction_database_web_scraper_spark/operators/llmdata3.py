@@ -248,6 +248,8 @@ def corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.count("*").alias("n_docs"),
                 F.count_distinct("sha").alias("n_unique"),
                 F.sum("n_toks").cast("long").alias("n_tokens")))
+    # 1-row token total: the scalar-subquery broadcast shape
+    # (allow-listed in scripts/explain_all.py like text_tfidf's).
     tot = d.agg(F.sum("n_toks").cast("double").alias("total_tokens"))
     return (per.crossJoin(F.broadcast(tot))
             .select("lang", "source", "n_docs", "n_unique",

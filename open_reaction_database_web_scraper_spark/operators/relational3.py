@@ -262,6 +262,9 @@ def assoc_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events")
     ut = ev.select("user_id", "event_type").distinct()
+    # 1-row user total: the scalar-subquery broadcast shape
+    # (crossJoin of a single aggregate row — allow-listed in
+    # scripts/explain_all.py like text_tfidf's).
     n_users = ev.agg(
         F.count_distinct("user_id").cast("double").alias("n_users"))
     singles = ut.groupBy("event_type").agg(F.count("*").alias("n"))

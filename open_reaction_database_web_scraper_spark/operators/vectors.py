@@ -520,3 +520,91 @@ def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= KNN_K)
             .select("query_id", "label", "neighbor_id", "cosine"))
+
+
+@register("vector_pca_power", oracle=None,
+          tags=("vector", "iterative", "pca"))
+def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by
+    distributed Gram accumulation + power iteration — the iterative
+    linear-algebra class (like PageRank / Lloyd steps elsewhere in
+    the engine) applied to the corpus covariance.
+
+    Scale decomposition:
+    - the ONLY data-sized pass is a `mapInPandas` over Arrow batches
+      computing per-batch Gram partials X_bᵀX_b and mean partials
+      (numpy BLAS inside each batch — d² + d doubles out per batch,
+      never the vectors themselves);
+    - partials reduce through one hash aggregate keyed on (i, j) —
+      shuffle volume is d² x partitions, independent of corpus size;
+    - the d x d covariance (64 x 64 here — KB-sized, the same
+      bounded-state posture as the IVF centroid collect) comes to
+      the driver, where 50 power-iteration steps on a d x d matrix
+      are microseconds; for d beyond driver comfort the matvec
+      distributes over the same (i, j) layout.
+    Sign is canonicalized (first nonzero loading positive) and
+    loadings are unit-norm; deterministic up to float reduce order,
+    so the op registers rows-only with a planted-direction recall
+    test (cos > 0.99) rather than a value-hash oracle.
+
+    Returns one row per dimension: (dim, loading, eigenvalue,
+    explained_var) — eigenvalue/explained_var repeated per row to
+    keep the output flat (driver hashes cannot take arrays).
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load(spark, sf_dir, "embeddings").select("embedding")
+
+    def gram_partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            g = x.T @ x
+            s = x.sum(axis=0)
+            d = g.shape[0]
+            i, j = np.unravel_index(np.arange(d * d), (d, d))
+            yield pd.DataFrame({
+                "i": np.concatenate([i, np.arange(d)]),
+                "j": np.concatenate([j, np.full(d, -1)]),
+                "v": np.concatenate([g.ravel(), s]),
+                "n": np.concatenate([np.zeros(d * d, dtype="int64"),
+                                     np.full(d, len(pdf),
+                                             dtype="int64")])})
+
+    parts = emb.mapInPandas(
+        gram_partials, "i int, j int, v double, n bigint")
+    reduced = (parts.groupBy("i", "j")
+               .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
+               .collect())
+    d = 1 + max(r.i for r in reduced)
+    gram = np.zeros((d, d))
+    mean = np.zeros(d)
+    n_rows = 0
+    for r in reduced:
+        if r.j == -1:
+            mean[r.i] = r.v
+            n_rows = max(n_rows, r.n)
+        else:
+            gram[r.i, r.j] = r.v
+    mean /= n_rows
+    cov = gram / n_rows - np.outer(mean, mean)
+
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(50):
+        w = cov @ v
+        nrm = np.linalg.norm(w)
+        if nrm == 0:
+            break
+        v = w / nrm
+    eigval = float(v @ cov @ v)
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if len(nz) and v[nz[0]] < 0:
+        v = -v
+    explained = eigval / float(np.trace(cov))
+    rows = [(int(k + 1), float(round(v[k], 6)), float(round(eigval, 6)),
+             float(round(explained, 6))) for k in range(d)]
+    return spark.createDataFrame(
+        rows, "dim int, loading double, eigenvalue double, "
+              "explained_var double")

@@ -454,3 +454,90 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_clicked"),
         F.sum(F.when(F.col("stage") >= 3, 1).otherwise(0))
         .alias("n_purchased"))
+
+
+@register(
+    "stream_cdc_apply",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC)
+               AS rn
+      FROM events
+    )
+    SELECT user_id, event_id AS last_event_id,
+           event_type AS last_event_type,
+           value AS last_value, ts AS last_ts
+    FROM ranked
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("streaming", "stateful", "cdc"),
+)
+def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC apply: the current-state table
+    `cdc_apply_changelog` materializes in batch, maintained
+    incrementally across micro-batches in explicit group state.
+
+    Per-user state is one candidate record — (ts_us, event_id,
+    event_type, value) — folded with the same (ts, event_id)
+    max-ordering the batch `max_by` uses, so state size is O(1) per
+    key no matter how long the history (the property that makes the
+    operator run forever at 100 TB: state ∝ live keys, not events).
+    Tombstone semantics resolve at READ time, not in state: an
+    'error' record must be able to un-delete a key if a later upsert
+    arrives, so the fold keeps the latest record whatever its type
+    and the final projection drops keys whose converged record is a
+    tombstone — exactly the batch twin's filter, which is why the
+    converged stream equals `cdc_apply_changelog`'s oracle.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def update(key, pdfs, state: GroupState):
+        best = state.get if state.exists else None  # (us, id, type, val)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            for t_us, eid, etype, val in zip(
+                    us, pdf["event_id"], pdf["event_type"], pdf["value"]):
+                cand = (int(t_us), int(eid), str(etype), float(val))
+                if best is None or cand[:2] > best[:2]:
+                    best = cand
+        state.update(best)
+        yield pd.DataFrame({
+            "user_id": [key[0]],
+            "t_us": [best[0]], "last_event_id": [best[1]],
+            "last_event_type": [best[2]], "last_value": [best[3]]})
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, t_us bigint, "
+                         "last_event_id bigint, last_event_type string, "
+                         "last_value double",
+        stateStructType="t_us bigint, last_event_id bigint, "
+                        "last_event_type string, last_value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    drained = _run_to_memory(updates, "update")
+    # converged record per user = max (t_us, event_id) update row;
+    # tombstoned keys drop at read time.
+    latest = (drained.groupBy("user_id")
+              .agg(F.max_by(
+                  F.struct("t_us", "last_event_id", "last_event_type",
+                           "last_value"),
+                  F.struct("t_us", "last_event_id")).alias("s")))
+    return (latest.filter(F.col("s.last_event_type") != "error")
+            .select(
+                "user_id",
+                F.col("s.last_event_id").alias("last_event_id"),
+                F.col("s.last_event_type").alias("last_event_type"),
+                F.col("s.last_value").alias("last_value"),
+                F.expr("timestampadd(MICROSECOND, s.t_us, "
+                       "TIMESTAMP_NTZ '1970-01-01 00:00:00')")
+                .alias("last_ts")))

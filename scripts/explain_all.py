@@ -38,7 +38,11 @@ ALLOW = {
                                 "vector_ann_ivf",
                                 "text_tfidf",
                                 "text_lm_perplexity",
-                                "join_salted_skew"},
+                                "join_salted_skew",
+                                # 1-row scalar-subquery broadcasts:
+                                # user total / corpus token total
+                                "assoc_pair_lift",
+                                "corpus_mix_report"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),

@@ -357,3 +357,71 @@ def test_corpus_mix_report_shares_sum_to_one(spark, sf_dir):
     for r in rows:
         assert 0 <= r.dup_rate <= 1
         assert r.n_unique <= r.n_docs
+
+
+# -------------------------------------------------------------- pca
+
+def test_pca_recovers_planted_direction(spark, tmp_path):
+    """Vectors = planted direction * t + small noise → the power
+    iteration must recover the direction (|cos| > 0.99) and most of
+    the variance."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    d = 16
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    t = rng.normal(scale=5.0, size=400)
+    noise = rng.normal(scale=0.1, size=(400, d))
+    x = np.outer(t, direction) + noise
+    df = spark.createDataFrame(
+        [(int(i), [float(v) for v in row], 0)
+         for i, row in enumerate(x)],
+        "vec_id long, embedding array<float>, label int")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    rows = sorted(run("vector_pca_power", spark, str(tmp_path)).collect(),
+                  key=lambda r: r.dim)
+    v = np.array([r.loading for r in rows])
+    assert abs(float(v @ direction)) > 0.99
+    assert rows[0].explained_var > 0.9
+    assert abs(np.linalg.norm(v) - 1) < 1e-3
+
+
+def test_pca_loading_sign_canonical(spark, sf_dir):
+    rows = sorted(run("vector_pca_power", spark, sf_dir).collect(),
+                  key=lambda r: r.dim)
+    nz = [r.loading for r in rows if abs(r.loading) > 1e-12]
+    assert nz and nz[0] > 0
+
+
+# ------------------------------------------------------- streaming cdc
+
+def test_stream_cdc_matches_batch_twin(spark, sf_dir):
+    batch = {r.user_id: (r.last_event_id, r.last_event_type,
+                         r.last_value, r.last_ts)
+             for r in run("cdc_apply_changelog", spark, sf_dir).collect()}
+    stream = {r.user_id: (r.last_event_id, r.last_event_type,
+                          r.last_value, r.last_ts)
+              for r in run("stream_cdc_apply", spark, sf_dir).collect()}
+    assert stream == batch
+
+
+def test_stream_cdc_tombstone_can_undelete(spark, tmp_path):
+    """An 'error' tombstone followed (in a LATER micro-batch) by an
+    upsert must resurface the key — resolve-at-read semantics."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, base, 5, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(hours=6), 5, "error", 2.0, "{}"),
+        (3, base + dt.timedelta(hours=12), 5, "click", 3.0, "{}"),
+        (4, base + dt.timedelta(hours=13), 6, "view", 4.0, "{}"),
+        (5, base + dt.timedelta(hours=20), 6, "error", 5.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    out = {r.user_id: r for r in
+           run("stream_cdc_apply", spark, str(tmp_path)).collect()}
+    assert 5 in out and out[5].last_event_type == "click"
+    assert 6 not in out
