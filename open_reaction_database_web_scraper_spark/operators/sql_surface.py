@@ -103,3 +103,43 @@ def sql_sessionize_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     _register_views(spark, sf_dir, ("events",))
     return spark.sql(_SESSION_SQL)
+
+
+# Shared verbatim by both engines (same subset as Q3/Q18).
+_Q5_SQL = """
+    SELECT n.n_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+"""
+
+
+@register("sql_tpch_q5", oracle=_Q5_SQL, tags=("sql", "join"))
+def sql_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier volume) as RAW SQL — the engine's
+    widest join tree: all six relational tables in one query, with
+    the non-FK residual c_nationkey = s_nationkey that makes Q5 the
+    classic join-order stress test.
+
+    Catalyst's plan is the scale shape: region/nation broadcast
+    (fixed cardinality), the date filter pushes into the orders
+    scan, customer/supplier broadcast while small and degrade to
+    shuffled joins at size — nothing in the SQL text pins a
+    strategy, which is the point of the raw-SQL front end (the same
+    text stays optimal from sf0.001 to 100 TB because the optimizer,
+    not the query, picks the physical join order).
+    """
+    _register_views(spark, sf_dir, ("customer", "orders", "lineitem",
+                                    "supplier", "nation", "region"))
+    return spark.sql(_Q5_SQL)

@@ -593,3 +593,54 @@ def text_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_tokens"),
                  F.round(F.sum("nll").cast("double") / F.count("*"), 6)
                  .alias("avg_nll")))
+
+
+@register(
+    "text_keyword_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS word
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word
+    ), df AS (
+      SELECT word, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY word
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents
+    ), scored AS (
+      SELECT t.doc_id, t.word,
+             ROUND(t.tf * ln((SELECT n_docs FROM n) / df.df), 6)
+               AS tfidf
+      FROM tf t JOIN df ON t.word = df.word
+      WHERE df.df >= 5
+    )
+    SELECT doc_id, word, tfidf, rank FROM (
+      SELECT doc_id, word, tfidf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, word)
+                  AS BIGINT) AS rank
+      FROM scored)
+    WHERE rank <= 3
+    """,
+    tags=("text", "window"),
+)
+def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 terms by TF-IDF —
+    the retrieval/tagging step downstream of `text_tfidf`, built by
+    composing that registered operator with a per-doc rank window.
+
+    Ranking happens on the ROUNDED scores both engines agree on
+    (text_tfidf's 6-dp seal), with `word` as a total tie-break, so
+    the top-3 cut is deterministic cross-engine even when scores
+    collide. The window partitions on doc_id — the same
+    high-cardinality key the tf aggregate already shuffled on, so
+    Catalyst reuses that exchange; per-doc state is a 3-row heap's
+    worth of the doc's distinct scored terms, never corpus-sized.
+    """
+    from ..registry import REGISTRY as _R
+    scored = _R["text_tfidf"].fn(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("word"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 3)
+            .select("doc_id", "word", "tfidf", "rank"))

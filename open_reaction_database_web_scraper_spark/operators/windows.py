@@ -325,3 +325,39 @@ def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_events"),
                  F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end")))
+
+
+@register(
+    "win_ratio_to_report",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)))
+                        OVER (PARTITION BY l_orderkey) AS DOUBLE),
+                 6) AS price_share
+    FROM lineitem
+    """,
+    tags=("window", "ratio"),
+)
+def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-partition reporting: each line item's fraction of
+    its order's total price (the RATIO_TO_REPORT primitive other
+    engines ship as a named function).
+
+    One unbounded-frame window SUM over the natural key — no sort
+    frame (whole-partition aggregate), so no per-partition sort
+    buffer; the exchange keys on l_orderkey, the highest-cardinality
+    cluster-friendly key in the schema. The denominator accumulates
+    in exact DECIMAL (functions/numeric.py idiom — window partials
+    are order-insensitive that way) and the only double op is the
+    final division, ROUND(.,6)-sealed for cross-engine parity.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice")
+    w = Window.partitionBy("l_orderkey")
+    dec = F.col("l_extendedprice").cast("decimal(18,4)")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(dec.cast("double")
+                / F.sum(dec).over(w).cast("double"), 6)
+        .alias("price_share"))
