@@ -232,3 +232,84 @@ def test_knn_join_single_vector(spark, tmp_path):
         "vec_id bigint, embedding array<float>, label int") \
         .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     assert REGISTRY["vector_knn_join"].fn(spark, str(d)).collect() == []
+
+
+# Round-3 extension ops reading events
+EVENT_OPS_R3 = ["join_asof_forward", "assoc_pair_lift",
+                "ts_resample_interpolate", "agg_time_bucket_multi",
+                "win_streak_longest", "anomaly_zscore",
+                "cdc_apply_changelog", "join_interval_overlap"]
+
+
+@pytest.mark.parametrize("name", EVENT_OPS_R3)
+def test_empty_events_no_throw_r3(spark, empty_events_dir, name):
+    df = REGISTRY[name].fn(spark, empty_events_dir)
+    assert df.collect() == []
+    assert len(df.columns) > 0
+
+
+# Round-3 extension ops reading documents
+DOC_OPS_R3 = ["text_boilerplate_strip", "split_train_test",
+              "corpus_mix_report", "text_keyword_topk"]
+
+
+@pytest.mark.parametrize("name", DOC_OPS_R3)
+def test_empty_documents_no_throw_r3(spark, empty_docs_dir, name):
+    df = REGISTRY[name].fn(spark, empty_docs_dir)
+    assert df.collect() == []
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", DOC_OPS_R3)
+def test_single_document_no_throw_r3(spark, one_doc_dir, name):
+    df = REGISTRY[name].fn(spark, one_doc_dir)
+    rows = df.collect()
+    # a single doc has no cross-doc shared blocks: full text survives
+    if name == "text_boilerplate_strip":
+        assert rows[0].clean_text == "one single document"
+    # its only keyword candidates need df >= 5 docs -> empty
+    if name == "text_keyword_topk":
+        assert rows == []
+    assert len(df.columns) > 0
+
+
+@pytest.fixture(scope="module")
+def empty_part_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_part")
+    spark.createDataFrame(
+        [], "p_partkey bigint, p_name string, p_brand string, "
+            "p_type string, p_size int, p_retailprice double") \
+        .write.mode("overwrite").parquet(f"{d}/part.parquet")
+    return str(d)
+
+
+def test_skyline_empty_part(spark, empty_part_dir):
+    df = REGISTRY["skyline_pareto"].fn(spark, empty_part_dir)
+    assert df.collect() == []
+    assert df.columns == ["p_retailprice", "p_size"]
+
+
+def test_skyline_single_point_is_frontier(spark, tmp_path):
+    spark.createDataFrame(
+        [(0, "p", "B", "T", 3, 999.5)],
+        "p_partkey bigint, p_name string, p_brand string, "
+        "p_type string, p_size int, p_retailprice double") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    rows = REGISTRY["skyline_pareto"].fn(spark, str(tmp_path)).collect()
+    assert [(r.p_retailprice, r.p_size) for r in rows] == [(999.5, 3)]
+
+
+@pytest.fixture(scope="module")
+def empty_embeddings_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_emb")
+    spark.createDataFrame(
+        [], "vec_id bigint, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_quantize_empty_embeddings(spark, empty_embeddings_dir):
+    df = REGISTRY["embedding_quantize_int8"].fn(
+        spark, empty_embeddings_dir)
+    assert df.collect() == []
+    assert df.columns == ["vec_id", "dim", "code", "err"]
