@@ -346,3 +346,68 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bitmap_bit_position("user_id")).alias("bmp")))
     return (per_bucket.groupBy("event_type")
             .agg(F.sum(F.bitmap_count("bmp")).alias("n_users")))
+
+
+@register(
+    "agg_bool_and_or",
+    oracle="""
+    SELECT o_orderstatus,
+           bool_and(o_totalprice > 1000) AS all_above_1k,
+           bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("agg", "bool"),
+)
+def agg_bool_and_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean reduction aggregates (EVERY/ANY): per order status,
+    whether ALL orders clear a price floor and whether ANY is
+    urgent — the data-quality-assertion aggregate shape (``bool_and``
+    over a validation predicate is how a 100 TB pipeline asserts an
+    invariant without collecting a row).
+
+    Both reduce map-side to one boolean per (group, partition), so
+    the exchange carries |groups| x 1-bit payloads; short-circuit
+    semantics are irrelevant to correctness (AND/OR are associative
+    and commutative over the predicate column)."""
+    o = load(spark, sf_dir, "orders")
+    return (o.groupBy("o_orderstatus")
+            .agg(F.bool_and(F.col("o_totalprice") > 1000)
+                 .alias("all_above_1k"),
+                 F.bool_or(F.col("o_orderpriority") == "1-URGENT")
+                 .alias("any_urgent"),
+                 F.count("*").alias("n_orders")))
+
+
+@register("agg_count_min_sketch", oracle=None,
+          tags=("agg", "sketch", "approx"))
+def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimates: one mergeable KB-sized
+    sketch over the event_type stream, probed for each type's
+    estimated count — the third sketch family next to HLL
+    (agg_hll_sketch_merge, distinct) and bitmaps (agg_bitmap_distinct,
+    exact distinct): CMS answers FREQUENCY at bounded memory with a
+    one-sided error (estimate >= true, overshoot <= eps x N w.h.p.).
+
+    The build is Spark's native `count_min_sketch` aggregate —
+    partial sketches merge associatively map-side, so the exchange
+    carries one ~17 KB sketch per partition regardless of row count.
+    Probing uses the JVM CountMinSketch reader on the single final
+    sketch (KB-sized, driver-safe — same bounded-state posture as
+    the IVF centroid collect); the probe keys are the distinct
+    event types, themselves a tiny aggregate. Approximate → rows-only;
+    the estimate-vs-exact envelope is pinned in tests.
+    """
+    ev = load(spark, sf_dir, "events")
+    skdf = ev.agg(F.count_min_sketch(
+        F.col("event_type"), F.lit(0.001), F.lit(0.99), F.lit(42))
+        .alias("sk"))
+    sk_bytes = bytes(skdf.collect()[0].sk)
+    types = sorted(r.event_type for r in
+                   ev.select("event_type").distinct().collect())
+    jvm = spark.sparkContext._jvm
+    bis = jvm.java.io.ByteArrayInputStream(sk_bytes)
+    sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)
+    rows = [(t, int(sketch.estimateCount(t))) for t in types]
+    return spark.createDataFrame(rows, "event_type string, est_count bigint")

@@ -590,3 +590,43 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("order_month"))
             .agg(F.count("*").alias("n_items"),
                  dsum("l_extendedprice").alias("revenue")))
+
+
+@register(
+    "join_nullsafe_eq",
+    oracle="""
+    WITH fact AS (
+      SELECT o_orderkey, NULLIF(o_orderkey % 50, 0) AS bucket
+      FROM orders
+    ), dim AS (
+      SELECT DISTINCT bucket FROM fact
+    )
+    SELECT d.bucket, COUNT(*) AS n_orders
+    FROM fact f JOIN dim d ON f.bucket IS NOT DISTINCT FROM d.bucket
+    GROUP BY d.bucket
+    """,
+    tags=("join", "nullsafe"),
+)
+def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): the
+    NULL bucket participates as a real key instead of silently
+    dropping, the semantics MERGE pipelines need when the join key
+    is itself nullable (an unparsed enum, a missing partition tag).
+
+    Plan note: Catalyst hashes the null-safe key exactly like a
+    normal equi key (a coalesce-wrapped shuffle), so this stays a
+    hash/SMJ join — no fallback to nested loop, the trap naive
+    `a.k = d.k OR (a.k IS NULL AND d.k IS NULL)` predicates hit.
+    The bucket domain is tiny, so the dim side broadcasts; at scale
+    both sides shuffle on the same wrapped key.
+    """
+    fact = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.nullif(F.pmod(F.col("o_orderkey"), F.lit(50)), F.lit(0))
+        .alias("bucket"))
+    dim = fact.select("bucket").distinct().select(
+        F.col("bucket").alias("d_bucket"))
+    return (fact.join(F.broadcast(dim),
+                      F.col("bucket").eqNullSafe(F.col("d_bucket")))
+            .groupBy(F.col("d_bucket").alias("bucket"))
+            .agg(F.count("*").alias("n_orders")))

@@ -345,3 +345,29 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").alias("total_chars")))
+
+
+@register(
+    "scan_text_lines",
+    oracle="SELECT text AS line FROM documents",
+    tags=("scan", "source"),
+)
+def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw text-lines source round-trip: the corpus written as plain
+    .txt (one document per line — the commonest LLM-corpus interchange
+    format) and re-read with ``spark.read.text``, completing the
+    source matrix (parquet / ORC / CSV / JSON / text).
+
+    The text source is splittable by line and prunes nothing (one
+    value column) — which is exactly why the engine's first move on
+    such data is this scan followed by a parquet rewrite
+    (sink_parquet_partitioned); the op documents the boundary. The
+    write is a temp-dir fixture (same pattern as scan_orc_roundtrip);
+    documents contain no newlines, so line == document and the
+    oracle is the parquet-sourced projection.
+    """
+    out = _sink_dir("text_lines_src")
+    (load(spark, sf_dir, "documents")
+     .select("text").coalesce(4)
+     .write.mode("overwrite").text(out))
+    return spark.read.text(out).select(F.col("value").alias("line"))

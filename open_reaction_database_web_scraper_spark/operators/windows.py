@@ -361,3 +361,36 @@ def win_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec.cast("double")
                 / F.sum(dec).over(w).cast("double"), 6)
         .alias("price_share"))
+
+
+@register(
+    "win_nth_value",
+    oracle="""
+    SELECT DISTINCT o_custkey,
+           nth_value(o_orderdate, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             AS second_order_date
+    FROM orders
+    """,
+    tags=("window",),
+)
+def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE with an explicit full frame: each customer's SECOND
+    order date (NULL for single-order customers) — the
+    "second-touch" attribution primitive, and the same default-frame
+    trap win_first_last pins: without UNBOUNDED FOLLOWING the second
+    value is invisible on partition row 1.
+
+    One window on the customer exchange, (date, key) total order for
+    determinism, then DISTINCT collapses the per-row constant to one
+    row per customer."""
+    o = load(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey")
+         .orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding,
+                      Window.unboundedFollowing))
+    return (o.select("o_custkey",
+                     F.nth_value("o_orderdate", 2).over(w)
+                     .alias("second_order_date"))
+            .distinct())

@@ -425,3 +425,29 @@ def test_stream_cdc_tombstone_can_undelete(spark, tmp_path):
            run("stream_cdc_apply", spark, str(tmp_path)).collect()}
     assert 5 in out and out[5].last_event_type == "click"
     assert 6 not in out
+
+
+# --------------------------------------------------------------- sketches
+
+def test_count_min_estimates_bounded(spark, sf_dir):
+    """CMS error model: estimate >= true count, overshoot <= eps x N
+    (eps = 0.001 at 10k rows -> slack 10; generous factor for the
+    w.h.p. bound)."""
+    ev = load(spark, sf_dir, "events")
+    exact = {r.event_type: r.n for r in
+             ev.groupBy("event_type").agg(F.count("*").alias("n"))
+             .collect()}
+    n_total = sum(exact.values())
+    rows = run("agg_count_min_sketch", spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(exact)
+    for r in rows:
+        assert r.est_count >= exact[r.event_type]
+        assert r.est_count <= exact[r.event_type] + max(10, 0.01 * n_total)
+
+
+def test_nullsafe_join_keeps_null_bucket(spark, sf_dir):
+    rows = {r.bucket: r.n_orders
+            for r in run("join_nullsafe_eq", spark, sf_dir).collect()}
+    assert None in rows and rows[None] > 0
+    total = load(spark, sf_dir, "orders").count()
+    assert sum(rows.values()) == total
