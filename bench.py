@@ -82,6 +82,7 @@ OPTIONAL = [
     "join_interval_overlap",
     "text_boilerplate_strip",
     "embedding_quantize_int8",
+    "pipeline_clean_corpus",
 ]
 
 

@@ -40,9 +40,12 @@ ALLOW = {
                                 "text_lm_perplexity",
                                 "join_salted_skew",
                                 # 1-row scalar-subquery broadcasts:
-                                # user total / corpus token total
+                                # user total / corpus token total /
+                                # text_tfidf's n_docs (inherited by
+                                # the keyword composition)
                                 "assoc_pair_lift",
-                                "corpus_mix_report"},
+                                "corpus_mix_report",
+                                "text_keyword_topk"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),
