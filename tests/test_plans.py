@@ -506,3 +506,53 @@ def test_sql_text_gets_dataframe_plans(spark, sf_dir):
     assert "EqualTo(c_mktsegment,BUILDING)" in pushed, pushed
     assert "LessThan(o_orderdate" in pushed, pushed
     assert "GreaterThan(l_shipdate" in pushed, pushed
+
+
+def test_time_bucket_multi_is_one_expand_one_scan(spark, sf_dir):
+    """Three granularities must come from ONE scan + ONE Expand —
+    not the oracle's three scans."""
+    plan = plan_of(spark, sf_dir, "agg_time_bucket_multi")
+    assert len(re.findall(r"\(\d+\) Expand", plan)) == 1, plan
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan
+
+
+def test_nullsafe_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The null-safe key must hash like a normal equi key (a
+    BroadcastHashJoin on the explicitly-hinted constant-domain dim);
+    the naive OR-of-IS-NULLs predicate would degrade to
+    BroadcastNestedLoop."""
+    plan = plan_of(spark, sf_dir, "join_nullsafe_eq")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_keyword_topk_rank_limit_pushed_down(spark, sf_dir):
+    """The rank<=3 filter must push into the window machinery as a
+    WindowGroupLimit (per-partition top-k heaps BEFORE the doc_id
+    exchange — the window-function analog of TakeOrderedAndProject),
+    and the whole query must need at most the aggregates' shuffles
+    plus one window exchange."""
+    plan = plan_of(spark, sf_dir, "text_keyword_topk")
+    assert "WindowGroupLimit" in plan, plan
+    n_ex = len(re.findall(r"\(\d+\) Exchange hashpartitioning", plan))
+    assert n_ex <= 4, plan
+
+
+def test_resample_windows_share_one_sort(spark, sf_dir):
+    """Both direction windows (backward LOCF, forward next-value)
+    must evaluate in a single Window operator on one sort — Spark
+    merges frames that share partitioning and ordering."""
+    plan = plan_of(spark, sf_dir, "ts_resample_interpolate")
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+
+
+def test_streak_distinct_precedes_window(spark, sf_dir):
+    """The (user, day) distinct must run BEFORE the row_number
+    window, so the window input is bounded by user-days: the plan
+    shows a HashAggregate below the Window."""
+    plan = plan_of(spark, sf_dir, "win_streak_longest")
+    w = plan.find("(") and plan
+    win_pos = re.search(r"\(\d+\) Window", plan).start()
+    agg_pos = [m.start() for m in
+               re.finditer(r"\(\d+\) HashAggregate", plan)]
+    assert any(p > win_pos for p in agg_pos), plan
