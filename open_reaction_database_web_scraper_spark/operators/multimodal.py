@@ -171,3 +171,78 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     return assets.mapInPandas(resize, RESIZE_SCHEMA)
+
+
+PHASH_CHUNKS = 4          # 16-bit bands over the 64-bit signature
+PHASH_MAX_HAMMING = 6     # near-dup verify threshold
+
+
+def phash64(payload: bytes) -> int:
+    """Block-mean perceptual hash of an opaque payload: 64 equal
+    byte-windows, each window's byte-sum thresholded against the
+    median sum → one bit. Structurally the real pHash pipeline
+    (DCT-block means vs median) with the stub codec's byte-sums
+    standing in for pixel blocks — swap ``decode_real`` features in
+    and the banding/verify machinery below is unchanged."""
+    if not payload:
+        return 0
+    n = max(len(payload) // 64, 1)
+    sums = [sum(payload[i * n:(i + 1) * n]) for i in range(64)]
+    med = sorted(sums)[32]
+    bits = 0
+    for s in sums:
+        bits = (bits << 1) | (1 if s > med else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+@register("multimodal_phash_dedup", oracle=None,
+          tags=("multimodal", "dedup", "approx"))
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection over BINARY media payloads: 64-bit
+    block-mean perceptual signatures (Arrow-batched python pass —
+    the one stage a real codec would own), then the engine's
+    simhash-style scale shape ENTIRELY JVM-side: each signature
+    splits into 4 16-bit bands, candidates meet in a band-equality
+    self-join (near-dups within Hamming ≤ 6 share ≥ 1 exact band by
+    pigeonhole over 4 bands), and ``bit_count(xor)`` verifies.
+
+    Nothing quadratic: pair work is bounded by band-bucket occupancy
+    (the LSH property), the exchange carries (16-bit band, 8-byte
+    sig, id) rows, and the verify is one integer instruction. Binary
+    codec family → rows-only; a planted perturbed-copy test pins
+    recall, and the pair set is deterministic for fixed payloads.
+    Returns (asset_a, asset_b, hamming) pairs.
+    """
+    assets = assets_frame(spark, sf_dir)
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "sig": pd.array([phash64(p) for p in pdf["payload"]],
+                                dtype="int64")})
+
+    sigs = assets.select("asset_id", "payload").mapInPandas(
+        sig_batches, "asset_id bigint, sig bigint")
+    banded = sigs.select(
+        "asset_id", "sig",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(c).alias("band_no"),
+                F.shiftrightunsigned(F.col("sig"), 16 * c)
+                .bitwiseAND(F.lit(0xFFFF)).alias("band"))
+            for c in range(PHASH_CHUNKS)])).alias("b"))
+    a = banded.select(F.col("asset_id").alias("asset_a"),
+                      F.col("sig").alias("sig_a"),
+                      F.col("b.band_no").alias("band_no"),
+                      F.col("b.band").alias("band"))
+    b = banded.select(F.col("asset_id").alias("asset_b"),
+                      F.col("sig").alias("sig_b"),
+                      F.col("b.band_no").alias("band_no"),
+                      F.col("b.band").alias("band"))
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (a.join(b, ["band_no", "band"])
+            .filter(F.col("asset_a") < F.col("asset_b"))
+            .filter(hamming <= PHASH_MAX_HAMMING)
+            .select("asset_a", "asset_b", hamming.alias("hamming"))
+            .distinct())

@@ -232,3 +232,71 @@ def ord_sample_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce(F.col("o.is_desired_product"), F.lit(False))
                  .alias("is_desired")))
     return inp.unionByName(prods)
+
+
+@register(
+    "ord_amount_unit_rollup",
+    oracle=f"""
+    WITH doc AS (
+      SELECT json(content) AS j FROM read_text('{GOLDEN_GLOB}')
+    ), ds AS (
+      SELECT CAST(json_extract(j, '$.' || k || '.reactions')
+                  AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), r AS (
+      SELECT UNNEST(rx) AS r FROM ds
+    ), e AS (
+      SELECT UNNEST(CAST(json_extract(r, '$.inputsMap') AS JSON[]))
+               AS entry
+      FROM r
+    ), c AS (
+      SELECT UNNEST(CAST(json_extract(entry, '$[1].components')
+                         AS JSON[])) AS comp
+      FROM e
+    )
+    SELECT CASE
+             WHEN json_extract(comp, '$.amount.moles') IS NOT NULL
+               THEN 'moles'
+             WHEN json_extract(comp, '$.amount.volume') IS NOT NULL
+               THEN 'volume'
+             WHEN json_extract(comp, '$.amount.mass') IS NOT NULL
+               THEN 'mass'
+             ELSE 'none' END AS kind,
+           COALESCE(
+             json_extract_string(comp, '$.amount.moles.units'),
+             json_extract_string(comp, '$.amount.volume.units'),
+             json_extract_string(comp, '$.amount.mass.units'),
+             'N/A') AS units,
+           COUNT(*) AS n_components
+    FROM c GROUP BY 1, 2
+    """,
+    tags=("ord", "agg"),
+)
+def ord_amount_unit_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantitative-domain audit of the golden corpus: input
+    components counted by oneof-amount KIND (moles/volume/mass/none)
+    and unit — the distribution SURVEY.md §1.3 documents (418 MOLE,
+    350 LITER + 4 MILLILITER, 1 GRAM across the five capture files'
+    reaction records, duplicates included) — i.e. the
+    oneof-normalization semantics of web_scrpaer_2.py:124-145
+    verified AS AN AGGREGATE over every component, not just per
+    formatted row.
+
+    Shape: two explodes (map values → components) then one tiny hash
+    aggregate on the (kind, unit) domain; the oneof pick is the same
+    struct-nullness CASE the formatter uses, cross-checked against
+    DuckDB's independent JSON walk of the raw files.
+    """
+    rx = read_ord_documents(spark, GOLDEN_GLOB)
+    comp = (rx.select(F.explode(F.map_values("inputs")).alias("inp"))
+            .select(F.explode("inp.components").alias("c")))
+    amt = F.col("c.amount")
+    kind = (F.when(amt["moles"].isNotNull(), "moles")
+            .when(amt["volume"].isNotNull(), "volume")
+            .when(amt["mass"].isNotNull(), "mass")
+            .otherwise("none"))
+    units = F.coalesce(amt["moles"]["units"], amt["volume"]["units"],
+                       amt["mass"]["units"], F.lit("N/A"))
+    return (comp.select(kind.alias("kind"), units.alias("units"))
+            .groupBy("kind", "units")
+            .agg(F.count("*").alias("n_components")))

@@ -451,3 +451,36 @@ def test_nullsafe_join_keeps_null_bucket(spark, sf_dir):
     assert None in rows and rows[None] > 0
     total = load(spark, sf_dir, "orders").count()
     assert sum(rows.values()) == total
+
+
+# ------------------------------------------------------------ phash dedup
+
+def test_phash_dedup_planted_perturbed_copy(spark, tmp_path):
+    """A document plus a lightly perturbed copy must pair up; an
+    unrelated random-ish document must not."""
+    base = " ".join(f"tok{i % 97}" for i in range(400))
+    perturbed = base[:-12] + " tokX tokY"           # tail nudge
+    other = " ".join(f"zz{i * 7 % 89}" for i in range(50, 450))
+    df = spark.createDataFrame(
+        [(0, base, "en", "s", len(base)),
+         (1, perturbed, "en", "s", len(perturbed)),
+         (2, other, "en", "s", len(other))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    pairs = {(r.asset_a, r.asset_b)
+             for r in run("multimodal_phash_dedup", spark,
+                          str(tmp_path)).collect()}
+    assert (0, 1) in pairs
+    assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def test_phash_identical_payloads_hamming_zero(spark, tmp_path):
+    t = "same payload " * 40
+    df = spark.createDataFrame(
+        [(0, t, "en", "s", len(t)), (1, t, "en", "s", len(t))],
+        "doc_id long, text string, lang string, source string, "
+        "n_chars long")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = run("multimodal_phash_dedup", spark, str(tmp_path)).collect()
+    assert [(r.asset_a, r.asset_b, r.hamming) for r in rows] == [(0, 1, 0)]
