@@ -371,3 +371,72 @@ def scan_text_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
      .select("text").coalesce(4)
      .write.mode("overwrite").text(out))
     return spark.read.text(out).select(F.col("value").alias("line"))
+
+
+ZORDER_BITS = 16  # bits per dimension in the interleaved key
+
+
+def zorder_key(x, y, x_max, y_max):
+    """64-bit Morton (Z-order) value of two columns, each normalized
+    to ZORDER_BITS via its max: bit i of x lands at position 2i, bit
+    i of y at 2i+1. Pure JVM integer expressions (a fixed 16-step
+    shift/mask unroll — whole-stage codegen folds it flat)."""
+    nx = F.floor(x.cast("double") / x_max * ((1 << ZORDER_BITS) - 1)) \
+        .cast("long")
+    ny = F.floor(y.cast("double") / y_max * ((1 << ZORDER_BITS) - 1)) \
+        .cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = (z.bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(nx, i)
+                        .bitwiseAND(F.lit(1)), 2 * i))
+            .bitwiseOR(
+            F.shiftleft(F.shiftrightunsigned(ny, i)
+                        .bitwiseAND(F.lit(1)), 2 * i + 1)))
+    return z
+
+
+@register(
+    "sink_zorder_clustered",
+    oracle=f"""
+    SELECT COUNT(*) AS cnt, {dsum_sql('l_quantity')} AS qty
+    FROM lineitem
+    WHERE l_partkey < 100 AND l_suppkey < 100
+    """,
+    tags=("sink", "layout"),
+)
+def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustered layout: rows range-partitioned and sorted
+    on the Morton interleave of TWO filter dimensions (l_partkey,
+    l_suppkey), so each output file covers a small RECTANGLE of the
+    (part, supp) plane and min/max statistics skip files for
+    predicates on EITHER dimension — what single-key clustering
+    (sink_parquet_clustered) cannot give the second column. This is
+    the OPTIMIZE ZORDER layout move, built from stock primitives:
+    normalize each key by its max (1-row aggregate broadcast),
+    interleave bits JVM-side, repartitionByRange + sort on z, write.
+
+    The returned frame is a two-dimension box-filter aggregate over
+    the re-read — a layout bug that drops/duplicates rows breaks the
+    oracle hash; the per-file rectangle property itself is pinned by
+    the dedicated skipping test (both dims' per-file spans ≪ their
+    domains).
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    maxes = li.agg(F.max("l_partkey").cast("double").alias("pmax"),
+                   F.max("l_suppkey").cast("double").alias("smax"))
+    z = zorder_key(F.col("l_partkey"), F.col("l_suppkey"),
+                   F.col("pmax"), F.col("smax"))
+    out = _sink_dir("sink_zorder_clustered")
+    (li.crossJoin(F.broadcast(maxes))
+     .withColumn("zval", z)
+     .repartitionByRange(8, "zval")
+     .sortWithinPartitions("zval")
+     .drop("pmax", "smax", "zval")
+     .write.mode("overwrite").parquet(out))
+    back = spark.read.parquet(out)
+    box = back.filter((F.col("l_partkey") < 100)
+                      & (F.col("l_suppkey") < 100))
+    return box.agg(F.count("*").alias("cnt"),
+                   dsum("l_quantity").alias("qty"))

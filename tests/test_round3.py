@@ -484,3 +484,36 @@ def test_phash_identical_payloads_hamming_zero(spark, tmp_path):
     df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
     rows = run("multimodal_phash_dedup", spark, str(tmp_path)).collect()
     assert [(r.asset_a, r.asset_b, r.hamming) for r in rows] == [(0, 1, 0)]
+
+
+# -------------------------------------------------------------- z-order
+
+def test_zorder_files_cover_rectangles_not_stripes(spark, sf_dir):
+    """After the z-order sink runs, each output file must cover a
+    bounded RECTANGLE of the (partkey, suppkey) plane: the average
+    per-file span of BOTH dimensions stays well under the full
+    domain — the property that lets min/max stats skip files for
+    predicates on either column. (Single-key clustering would give
+    one dimension full-domain span in every file.)"""
+    from open_reaction_database_web_scraper_spark.operators.scans import (
+        _sink_dir)
+    run("sink_zorder_clustered", spark, sf_dir).collect()
+    out = _sink_dir("sink_zorder_clustered")
+    import glob as g
+    files = g.glob(f"{out}/*.parquet")
+    assert len(files) >= 4
+    import pyarrow.parquet as pq
+    p_lo, p_hi, s_lo, s_hi = [], [], [], []
+    for f in files:
+        t = pq.read_table(f, columns=["l_partkey", "l_suppkey"])
+        p = t["l_partkey"].to_pylist()
+        s = t["l_suppkey"].to_pylist()
+        p_lo.append(min(p)); p_hi.append(max(p))
+        s_lo.append(min(s)); s_hi.append(max(s))
+    p_dom = max(p_hi) - min(p_lo) or 1
+    s_dom = max(s_hi) - min(s_lo) or 1
+    p_span = sum(h - l for h, l in zip(p_hi, p_lo)) / len(files) / p_dom
+    s_span = sum(h - l for h, l in zip(s_hi, s_lo)) / len(files) / s_dom
+    # both dims bounded — neither is a full-domain stripe
+    assert p_span < 0.8, p_span
+    assert s_span < 0.8, s_span
