@@ -244,3 +244,55 @@ def agg_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                        cover["day2"] == days["spine_day"])
             .groupBy(F.col("day2").alias("day"))
             .agg(F.count_distinct("user_id").alias("wau")))
+
+
+@register(
+    "event_path_topk",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS step
+      FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY step) AS path
+      FROM ordered WHERE step <= 3
+      GROUP BY user_id
+    )
+    SELECT path, COUNT(*) AS n_users
+    FROM paths GROUP BY path
+    HAVING COUNT(*) >= 2
+    """,
+    tags=("analytics", "window", "path"),
+)
+def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path analysis: each user's first three events as an
+    ordered `a>b>c` path string, counted across users (paths shared
+    by >= 2 users) — the onboarding-flow query behind every
+    product-analytics "paths" view.
+
+    Scale shape: ONE user_id exchange carries the row_number window
+    (WindowGroupLimit prunes to 3 rows per user BEFORE anything
+    else, since the filter is a rank bound), the path assembles
+    INSIDE the row via array_sort over collected (step, type)
+    structs — no second sort, no cross-row string building — and the
+    final count is a hash agg on the path-string domain, map-side
+    combined. Path length is a constant, so state per user is
+    bounded regardless of history length.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first5 = (ev.withColumn("step", F.row_number().over(w))
+              .filter(F.col("step") <= 3))
+    paths = (first5.groupBy("user_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.struct("step", "event_type"))),
+                     lambda s: s["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count("*").alias("n_users"))
+            .filter(F.col("n_users") >= 2))

@@ -394,3 +394,54 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.nth_value("o_orderdate", 2).over(w)
                      .alias("second_order_date"))
             .distinct())
+
+
+@register(
+    "win_running_distinct",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ROW_NUMBER() OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS is_first
+      FROM events
+    )
+    SELECT user_id, event_id,
+           CAST(SUM(is_first) OVER (
+                  PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS distinct_types_so_far
+    FROM flagged
+    """,
+    tags=("window", "distinct"),
+)
+def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count per user over time (how many distinct
+    event types has this user produced up to each event) — the
+    window shape engines cannot express directly because a
+    per-frame DISTINCT would need unbounded per-row set state.
+
+    The scalable identity: a value is counted exactly when it makes
+    its FIRST appearance, so distinct-so-far == running SUM of a
+    first-occurrence flag. Two windows, both on the same user_id
+    exchange (Catalyst stacks them on one shuffle): a row_number
+    over (user, type) marks firsts, a framed running sum
+    accumulates them — O(1) window state instead of a per-frame
+    set, the same state-collapse trick agg_rolling_active_users
+    uses for its sliding distinct.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type")
+    w_first = (Window.partitionBy("user_id", "event_type")
+               .orderBy("ts", "event_id"))
+    flagged = ev.withColumn(
+        "is_first",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0))
+    w_run = (Window.partitionBy("user_id")
+             .orderBy("ts", "event_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return flagged.select(
+        "user_id", "event_id",
+        F.sum("is_first").over(w_run).cast("long")
+        .alias("distinct_types_so_far"))

@@ -517,3 +517,35 @@ def test_zorder_files_cover_rectangles_not_stripes(spark, sf_dir):
     # both dims bounded — neither is a full-domain stripe
     assert p_span < 0.8, p_span
     assert s_span < 0.8, s_span
+
+
+# -------------------------------------------------- running distinct/paths
+
+def test_running_distinct_python_model(spark, sf_dir):
+    ev = sorted(load(spark, sf_dir, "events")
+                .select("user_id", "ts", "event_id", "event_type")
+                .collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    want = {}
+    seen = {}
+    for r in ev:
+        s = seen.setdefault(r.user_id, set())
+        s.add(r.event_type)
+        want[r.event_id] = len(s)
+    got = {r.event_id: r.distinct_types_so_far
+           for r in run("win_running_distinct", spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_event_path_topk_python_model(spark, sf_dir):
+    ev = sorted(load(spark, sf_dir, "events")
+                .select("user_id", "ts", "event_id", "event_type")
+                .collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r.user_id, []).append(r.event_type)
+    from collections import Counter
+    c = Counter(">".join(v[:3]) for v in per_user.values())
+    want = {p: n for p, n in c.items() if n >= 2}
+    got = {r.path: r.n_users
+           for r in run("event_path_topk", spark, sf_dir).collect()}
+    assert got == want
