@@ -541,3 +541,56 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("timestampadd(MICROSECOND, s.t_us, "
                        "TIMESTAMP_NTZ '1970-01-01 00:00:00')")
                 .alias("last_ts")))
+
+
+@register(
+    "stream_incremental_rollup",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY event_type
+    """,
+    tags=("streaming", "incremental", "agg"),
+)
+def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING rollup maintenance: the agg_incremental_merge
+    kernel run continuously — each micro-batch writes its PARTIAL
+    aggregates (count + exact decimal sum per event_type) to a
+    persisted state directory, and the serving read merges partials.
+    History is never rescanned; each batch touches only its own
+    rows, and the state grows by |groups| rows per batch.
+
+    Exactly-once without transactions: every batch writes to its own
+    ``batch=<id>`` subdirectory with mode=overwrite, so a replayed
+    batch (foreachBatch redelivery after failure) OVERWRITES its own
+    partials instead of double-counting — idempotence via
+    deterministic placement, the same recipe Delta-style sinks use
+    under the hood. COUNT/SUM partials are associative and the money
+    sum uses the DECIMAL accumulator, so merge order cannot perturb
+    the converged result — the oracle is the flat batch aggregate.
+    """
+    src = _chunked_events_dir(spark, sf_dir)
+    state = tempfile.mkdtemp(prefix="ordspark_incr_state_")
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        (batch_df.groupBy("event_type")
+         .agg(F.count("*").alias("p_count"),
+              F.sum(F.col("value").cast("decimal(18,4)"))
+              .alias("p_sum"))
+         .coalesce(1)
+         .write.mode("overwrite").parquet(f"{state}/batch={batch_id}"))
+
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (stream.writeStream.foreachBatch(handle)
+         .trigger(availableNow=True)
+         .option("checkpointLocation",
+                 tempfile.mkdtemp(prefix="ordspark_incr_ckpt_"))
+         .start())
+    q.awaitTermination()
+
+    partials = spark.read.parquet(f"{state}/batch=*")
+    return (partials.groupBy("event_type")
+            .agg(F.sum("p_count").alias("n_events"),
+                 F.sum("p_sum").cast("double").alias("total_value")))
