@@ -594,3 +594,45 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (partials.groupBy("event_type")
             .agg(F.sum("p_count").alias("n_events"),
                  F.sum("p_sum").cast("double").alias("total_value")))
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH profile AS (
+      SELECT user_id, COUNT(*) AS lifetime_events
+      FROM events GROUP BY user_id
+    )
+    SELECT e.event_id, e.user_id, p.lifetime_events
+    FROM events e
+    JOIN profile p ON e.user_id = p.user_id
+    WHERE e.event_type = 'purchase'
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the enrichment pattern: a live stream
+    joined per micro-batch against a static (or slowly-refreshed)
+    dimension, here each user's precomputed lifetime-event profile.
+    Structured Streaming re-resolves the static side every batch, so
+    a dim refresh is picked up without restarting the query; state
+    is ZERO (unlike stream-stream joins) because only the stream
+    side flows.
+
+    The static side is built once from the batch table (the profile
+    a nightly job would materialize); the streaming side filters to
+    purchases map-side before the join. Converged output ==  the
+    batch join, which is the oracle. At scale the static side is a
+    broadcast (small dim) or a bucketed table (large dim) — the same
+    join-strategy menu as batch, chosen by Catalyst per batch.
+    """
+    profile = (load(spark, sf_dir, "events")
+               .groupBy("user_id")
+               .agg(F.count("*").alias("lifetime_events")))
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    joined = (stream.filter(F.col("event_type") == "purchase")
+              .join(profile, "user_id")
+              .select("event_id", "user_id", "lifetime_events"))
+    return _run_to_memory(joined, "append")
