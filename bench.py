@@ -83,6 +83,12 @@ OPTIONAL = [
     "text_boilerplate_strip",
     "embedding_quantize_int8",
     "pipeline_clean_corpus",
+    # round 3, tranche 2
+    "graph_pagerank",
+    "graph_triangle_count",
+    "event_markov_transitions",
+    "export_jsonl_sharded",
+    "dedup_semdedup",
 ]
 
 

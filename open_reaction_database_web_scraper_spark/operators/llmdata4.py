@@ -1,0 +1,131 @@
+"""Round-3 tranche 2: corpus export + semantic dedup [E].
+
+The reference ends every run by serializing its accumulated corpus
+to a single JSON file (web_scrpaer_2.py:545-548) — fine for 241
+documents, lethal for 100 TB (one writer, one file, no parallel
+read downstream). `export_jsonl_sharded` is the production version:
+size-targeted JSONL shards with a verified manifest.
+`dedup_semdedup` adds the embedding-space dedup (SemDeDup,
+Abbas et al. 2023: cluster, then drop near-identical members per
+cluster) that text-hash dedup cannot see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load
+from ..functions.vector_math import cosine_similarity
+from ..registry import register
+from .scans import _sink_dir
+from .vectors import _lsh_tables
+
+# Target shard payload in characters — tiny here so the sf0.01
+# fixture exercises multi-shard layout; production would use ~256 MB.
+_SHARD_TARGET_CHARS = 32_768
+
+
+@register(
+    "export_jsonl_sharded",
+    oracle=f"""
+    WITH t AS (
+      SELECT GREATEST(1, CAST(CEIL(SUM(n_chars) / {_SHARD_TARGET_CHARS}.0)
+                              AS BIGINT)) AS n_shards
+      FROM documents
+    )
+    SELECT CAST(doc_id % n_shards AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+    FROM documents, t
+    GROUP BY CAST(doc_id % n_shards AS BIGINT)
+    """,
+    tags=("sink", "llm-data"),
+)
+def export_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-targeted sharded JSONL export — the training-data hand-off
+    format (one `{{"doc_id":…,"text":…}}` object per line, shard files
+    sized for the data-loader). Returns the manifest of the RE-READ
+    shards, so a sink bug (lost docs, mis-assigned shard) breaks the
+    oracle hash.
+
+    Scale shape: the shard count derives from one global SUM —
+    carried as a 1-row broadcast join, never collected — and shard
+    assignment is `doc_id % n_shards`, a pure row-local function, so
+    any re-run (or any subset of a 100 TB corpus) re-derives the
+    same layout with no coordination table. `repartition(shard)`
+    makes each output task own exactly one shard directory: file
+    count == shard count, no small-file spray. The JSONL re-read is
+    schema-pinned (no sampling inference pass over 100 TB).
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_shards = docs.agg(
+        F.greatest(
+            F.lit(1),
+            F.ceil(F.sum("n_chars") / float(_SHARD_TARGET_CHARS))
+            .cast("bigint")).alias("n_shards"))
+    sharded = (docs.crossJoin(F.broadcast(n_shards))
+               .select("doc_id", "text", "lang", "n_chars",
+                       (F.col("doc_id") % F.col("n_shards"))
+                       .cast("bigint").alias("shard")))
+    out = _sink_dir("export_jsonl_sharded")
+    (sharded.repartition(F.col("shard"))
+     .write.mode("overwrite").partitionBy("shard").json(out))
+    back = spark.read.schema(
+        "doc_id bigint, text string, lang string, n_chars bigint, "
+        "shard bigint").json(out)
+    return back.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars_total"))
+
+
+SEMDEDUP_TAU = 0.95   # cosine threshold: drop members this close to rep
+_SEM_PLANE_BASE = 4000  # plane namespace disjoint from the ANN tables
+
+
+@register("dedup_semdedup", oracle=None, tags=("dedup", "vector"))
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: semantic near-duplicate removal in embedding space.
+    Vectors are clustered by a 10-bit sign-LSH signature (the cheap
+    stand-in for the paper's k-means cells — same plumbing, no
+    iterative fit), each cluster elects its minimum-vec_id member as
+    representative, and any other member with cosine ≥ 0.95 to the
+    representative is dropped. Returns per-cluster audit rows.
+
+    Why representative-only comparison: the paper's within-cluster
+    pairwise pass is O(k²) per cluster — the same trap as
+    dedup_clusters' old sha self-join. Comparing members to ONE
+    representative is O(k), catches the dominant case (piles of
+    near-identical boilerplate embeddings land in one cell), and
+    composes: survivors can be re-bucketed with shifted planes for a
+    second sweep (same recall argument as multi-table LSH).
+
+    Scale shape: signature is a codegen'd fold over a plane-weight
+    literal (no Python, no shuffle); cluster assembly is ONE
+    hash-agg on the 8-byte signature; the member↔rep comparison is
+    an equi-join on cluster id whose small side (one rep per
+    cluster) is corpus/cluster-count sized — broadcast only because
+    cluster count is bounded by 2^bits here; at 100 TB it stays a
+    shuffle join and still touches each vector once.
+
+    No SQL oracle: reproducing the plane-weight fold in DuckDB would
+    re-implement the operator, not check it; semantics are pinned by
+    planted-duplicate tests (tests/test_round3b.py).
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("v"))
+    sig = _lsh_tables(spark, F.col("v"), n_tables=1, bits=10,
+                      plane_base=_SEM_PLANE_BASE)
+    clustered = emb.withColumn("cluster", F.element_at(sig, 1))
+    reps = (clustered.groupBy("cluster")
+            .agg(F.min("vec_id").alias("rep_id"),
+                 F.min_by("v", "vec_id").alias("rep_v")))
+    scored = (clustered.join(reps, "cluster")
+              .withColumn("cos_to_rep",
+                          cosine_similarity(F.col("v"), F.col("rep_v"))))
+    return (scored.select(
+        "cluster", "vec_id", "label", "rep_id",
+        F.round("cos_to_rep", 6).alias("cos_to_rep"),
+        ((F.col("vec_id") != F.col("rep_id"))
+         & (F.col("cos_to_rep") >= SEMDEDUP_TAU)).alias("dropped")))

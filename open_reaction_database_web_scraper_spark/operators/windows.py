@@ -32,7 +32,7 @@ def win_row_number_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("l_orderkey").orderBy("l_linenumber")
     return (load(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_linenumber",
-                    F.row_number().over(w).alias("rn")))
+                    F.row_number().over(w).cast("bigint").alias("rn")))
 
 
 @register(
@@ -52,8 +52,8 @@ def win_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
     return load(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_retailprice",
-        F.rank().over(w).alias("price_rank"),
-        F.dense_rank().over(w).alias("price_dense"))
+        F.rank().over(w).cast("bigint").alias("price_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("price_dense"))
 
 
 @register(
@@ -180,7 +180,7 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal",
-        F.ntile(4).over(w).alias("balance_quartile"))
+        F.ntile(4).over(w).cast("bigint").alias("balance_quartile"))
 
 
 @register(

@@ -55,8 +55,10 @@ def load_all_operators() -> None:
         curation,
         dedup,
         filters,
+        graph,
         joins,
         llmdata3,
+        llmdata4,
         maintenance,
         multimodal,
         ord_queries,

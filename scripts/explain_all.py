@@ -45,7 +45,12 @@ ALLOW = {
                                 # the keyword composition)
                                 "assoc_pair_lift",
                                 "corpus_mix_report",
-                                "text_keyword_topk"},
+                                "text_keyword_topk",
+                                # 1-row broadcasts again: |V| for the
+                                # damping base / the census scalars /
+                                # the shard-count aggregate
+                                "graph_pagerank",
+                                "graph_triangle_count"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),

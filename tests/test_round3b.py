@@ -1,0 +1,207 @@
+"""Semantic pins for the round-3 tranche-2 operators (graph,
+llmdata4).
+
+The differential sweep covers the oracled four (graph_pagerank,
+graph_triangle_count, event_markov_transitions,
+export_jsonl_sharded) value-for-value vs DuckDB; these tests pin
+the docstring claims on PLANTED inputs where the expected answer is
+derivable by hand: rank conservation and hub dominance for
+PageRank, an exact triangle census on a known graph, transition
+rows summing to 1, shard-manifest completeness, and SemDeDup
+dropping a planted near-identical vector while keeping orthogonal
+ones.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_reaction_database_web_scraper_spark.operators.llmdata4 import (
+    _SHARD_TARGET_CHARS,
+    SEMDEDUP_TAU,
+)
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+
+load_all_operators()
+
+_PR_SCALE = 1_000_000_000_000
+
+
+def run(name, spark, sf_dir):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+# ---------------------------------------------------------- pagerank
+
+@pytest.fixture(scope="module")
+def star_lineitem_dir(spark, tmp_path_factory):
+    """Part 1 supplied by every supplier (hub); parts 2-5 by exactly
+    one supplier each (leaves). 4 suppliers."""
+    d = tmp_path_factory.mktemp("star_li")
+    rows = []
+    ok = 0
+    for s in range(1, 5):
+        rows.append((ok, 1, s)); ok += 1           # hub edges
+        rows.append((ok, 1 + s, s)); ok += 1       # leaf edges
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_suppkey bigint") \
+        .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+def test_pagerank_conservation_and_hub(spark, star_lineitem_dir):
+    out = {r.node: r.rank_fp
+           for r in run("graph_pagerank", spark, star_lineitem_dir).collect()}
+    # 1 hub part + 4 leaf parts + 4 suppliers = 9 nodes
+    assert len(out) == 9
+    # Integer floors only ever lose mass: total in (0.97, 1.0] * SCALE.
+    total = sum(out.values())
+    assert 0.97 * _PR_SCALE < total <= _PR_SCALE
+    # The hub part out-ranks every leaf part and every supplier.
+    hub = out["p:1"]
+    for node, r in out.items():
+        if node != "p:1":
+            assert hub > r, (node, r, hub)
+    # Symmetric leaves get identical ranks (exact integer equality —
+    # the determinism claim).
+    leaf_ranks = {out[f"p:{p}"] for p in range(2, 6)}
+    assert len(leaf_ranks) == 1
+
+
+# ---------------------------------------------------------- triangles
+
+@pytest.fixture(scope="module")
+def triangle_lineitem_dir(spark, tmp_path_factory):
+    """Orders inducing edges: K3 on parts {1,2,3} plus pendant edge
+    3-4. Edges {12,13,23,34}: 1 triangle, wedges = 1+1+3+0... degs:
+    1:2, 2:2, 3:3, 4:1 -> wedges = 1+1+3+0 = 5."""
+    d = tmp_path_factory.mktemp("tri_li")
+    rows = [
+        (1, 1, 1), (1, 2, 1),          # order 1 -> edge 1-2
+        (2, 1, 1), (2, 3, 1),          # edge 1-3
+        (3, 2, 1), (3, 3, 1),          # edge 2-3
+        (4, 3, 1), (4, 4, 1),          # edge 3-4
+        (5, 1, 1), (5, 2, 1),          # duplicate edge 1-2 (distinct'd)
+    ]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_suppkey bigint") \
+        .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    return str(d)
+
+
+def test_triangle_census_exact(spark, triangle_lineitem_dir):
+    row = run("graph_triangle_count", spark, triangle_lineitem_dir) \
+        .collect()[0]
+    assert row.n_nodes == 4
+    assert row.n_edges == 4
+    assert row.n_wedges == 5
+    assert row.n_triangles == 1
+
+
+def test_triangle_multi_item_order_clique(spark, tmp_path_factory):
+    """One order containing 4 distinct parts -> K4: C(4,3)=4
+    triangles, 6 edges, wedges = 4*C(3,2) = 12."""
+    d = tmp_path_factory.mktemp("k4_li")
+    rows = [(1, p, 1) for p in range(1, 5)]
+    spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_suppkey bigint") \
+        .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    row = run("graph_triangle_count", spark, str(d)).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) \
+        == (4, 6, 12, 4)
+
+
+# ------------------------------------------------------------ markov
+
+def test_markov_rows_normalize(spark, sf_dir):
+    rows = run("event_markov_transitions", spark, sf_dir).collect()
+    by_prev: dict[str, float] = {}
+    for r in rows:
+        by_prev[r.prev_type] = by_prev.get(r.prev_type, 0.0) + r.p
+    for prev, total in by_prev.items():
+        assert math.isclose(total, 1.0, abs_tol=1e-4), (prev, total)
+
+
+def test_markov_tiny_chain(spark, tmp_path_factory):
+    """a->b->b->a for one user: transitions ab=1, bb=1, ba=1."""
+    d = tmp_path_factory.mktemp("mk_ev")
+    rows = [(i, 7, t, 0.0, None)
+            for i, t in enumerate(["a", "b", "b", "a"])]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, "
+              "event_type string, value double, props string") \
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, cast(event_id as int), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')")) \
+        .write.mode("overwrite").parquet(f"{d}/events.parquet")
+    got = {(r.prev_type, r.next_type): (r.n, r.p)
+           for r in run("event_markov_transitions", spark, str(d)).collect()}
+    assert got == {("a", "b"): (1, 1.0), ("b", "b"): (1, 0.5),
+                   ("b", "a"): (1, 0.5)}
+
+
+# ------------------------------------------------------------ export
+
+def test_export_manifest_complete(spark, sf_dir):
+    import duckdb
+    man = run("export_jsonl_sharded", spark, sf_dir).collect()
+    src_docs, src_chars = duckdb.sql(
+        f"SELECT COUNT(*), SUM(n_chars) FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchone()
+    assert sum(r.n_docs for r in man) == src_docs
+    assert sum(r.n_chars_total for r in man) == src_chars
+    n_shards = max(1, math.ceil(src_chars / _SHARD_TARGET_CHARS))
+    assert {r.shard for r in man} == set(range(n_shards))
+
+
+# ---------------------------------------------------------- semdedup
+
+@pytest.fixture(scope="module")
+def planted_embeddings_dir(spark, tmp_path_factory):
+    """vec 0/1: identical direction (cos=1) -> 1 dropped. vec 2:
+    orthogonal to both -> kept. vec 3: same bucket direction as 0
+    but only ~0.7 cosine -> kept (below tau)."""
+    d = tmp_path_factory.mktemp("sem_emb")
+    base = [1.0, 0.2, -0.3, 0.8] + [0.05] * 12
+    near = [x * 2.0 for x in base]                     # cos == 1.0
+    far = [1.0, 0.2, -0.3, 0.8] + [-1.4] * 12          # same-ish bucket dir
+    orth = [-b for b in base]                          # cos == -1, other cell
+    rows = [(0, base, 0), (1, near, 0), (2, orth, 1), (3, far, 0)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<double>, label bigint") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    return str(d)
+
+
+def test_semdedup_drops_planted_duplicate(spark, planted_embeddings_dir):
+    out = {r.vec_id: r for r in
+           run("dedup_semdedup", spark, planted_embeddings_dir).collect()}
+    assert len(out) == 4
+    # The scaled copy shares vec 0's cluster (same sign pattern),
+    # scores cos 1.0 to the representative, and is dropped.
+    assert out[1].cluster == out[0].cluster
+    assert out[1].rep_id == 0
+    assert out[1].cos_to_rep == pytest.approx(1.0)
+    assert out[1].dropped
+    # Representatives are never dropped; dissimilar members survive.
+    assert not out[0].dropped
+    assert not out[2].dropped
+    if out[3].cluster == out[0].cluster:
+        assert out[3].cos_to_rep < SEMDEDUP_TAU
+        assert not out[3].dropped
+
+
+def test_semdedup_real_corpus_sane(spark, sf_dir):
+    df = run("dedup_semdedup", spark, sf_dir)
+    agg = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("dropped").cast("long")).alias("n_drop")).collect()[0]
+    assert agg.n == 500
+    # Random embeddings should rarely hit cos >= 0.95 to a rep.
+    assert agg.n_drop < agg.n * 0.2
