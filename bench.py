@@ -89,6 +89,10 @@ OPTIONAL = [
     "event_markov_transitions",
     "export_jsonl_sharded",
     "dedup_semdedup",
+    "graph_bfs_levels",
+    "quality_gate_reasons",
+    "sample_weighted_bernoulli",
+    "scan_observed_metrics",
 ]
 
 

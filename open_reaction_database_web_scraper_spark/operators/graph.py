@@ -225,6 +225,83 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_nodes", "n_edges", "n_wedges", "n_triangles"))
 
 
+_BFS_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), edges AS (
+  SELECT 'p:' || l_partkey AS src, 's:' || l_suppkey AS dst FROM pairs
+  UNION ALL
+  SELECT 's:' || l_suppkey AS src, 'p:' || l_partkey AS dst FROM pairs
+), l0 AS (
+  SELECT DISTINCT 's:' || s_suppkey AS node, 0 AS level
+  FROM supplier WHERE s_suppkey <= 2
+), r1 AS (
+  SELECT node, MIN(level) AS level FROM (
+    SELECT node, level FROM l0
+    UNION ALL
+    SELECT e.dst AS node, 1 AS level FROM l0 JOIN edges e ON l0.node = e.src
+  ) GROUP BY node
+), r2 AS (
+  SELECT node, MIN(level) AS level FROM (
+    SELECT node, level FROM r1
+    UNION ALL
+    SELECT e.dst AS node, r1.level + 1 AS level
+    FROM r1 JOIN edges e ON r1.node = e.src
+  ) GROUP BY node
+), r3 AS (
+  SELECT node, MIN(level) AS level FROM (
+    SELECT node, level FROM r2
+    UNION ALL
+    SELECT e.dst AS node, r2.level + 1 AS level
+    FROM r2 JOIN edges e ON r2.node = e.src
+  ) GROUP BY node
+)
+SELECT node, CAST(level AS BIGINT) AS level FROM r3 WHERE level <= 3
+"""
+
+
+@register("graph_bfs_levels", oracle=_BFS_ORACLE, tags=("graph", "iterative"))
+def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability: hop distance (≤3) from a fixed seed
+    set of suppliers through the part–supplier graph — the supply-chain
+    blast-radius query ("if these suppliers fail, which parts and
+    which second-tier suppliers are affected, and how directly").
+
+    Scale shape: textbook frontier BFS as three unrolled
+    expand-and-min rounds — each round is one equi-join of the
+    current reachable set against the edge table plus one min-level
+    hash agg, both keyed on the vertex id. The reachable set is
+    carried whole (not just the frontier) so the min-agg
+    deduplicates revisits in the same shuffle that merges levels; no
+    driver-side visited set, nothing broadcast that grows with the
+    graph. An unbounded-depth variant would loop until
+    `new_level == old_level` row counts converge, checkpointing
+    every ~10 rounds (same recipe as dedup_clusters' label
+    propagation, dedup.py:226).
+    """
+    pairs = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = (pairs.select(p.alias("src"), s.alias("dst"))
+             .unionAll(pairs.select(s.alias("src"), p.alias("dst"))))
+    reached = (load(spark, sf_dir, "supplier")
+               .filter(F.col("s_suppkey") <= 2)
+               .select(F.concat(F.lit("s:"),
+                                F.col("s_suppkey").cast("string"))
+                       .alias("node"))
+               .distinct()
+               .withColumn("level", F.lit(0)))
+    for _ in range(3):
+        expanded = (reached.join(edges, reached.node == edges.src)
+                    .select(F.col("dst").alias("node"),
+                            (F.col("level") + 1).alias("level")))
+        reached = (reached.unionAll(expanded)
+                   .groupBy("node").agg(F.min("level").alias("level")))
+    return reached.filter(F.col("level") <= 3) \
+                  .select("node", F.col("level").cast("bigint").alias("level"))
+
+
 _MARKOV_ORACLE = """
 WITH seq AS (
   SELECT user_id, event_type,

@@ -79,6 +79,132 @@ def export_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("n_chars_total"))
 
 
+@register(
+    "quality_gate_reasons",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id, lang,
+             CAST(LENGTH(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(REPLACE(text, ' ', '')) AS BIGINT) AS n_nonspace,
+             CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[0-9]', '',
+                                                       'g')) AS BIGINT)
+               AS n_digits,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars_t
+      FROM documents
+    ), gated AS (
+      SELECT doc_id, lang, n_tokens,
+             CONCAT_WS('|',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN n_tokens > 1000 THEN 'too_long' END,
+               CASE WHEN n_tokens >= 20 AND n_nonspace > n_tokens * 12
+                 THEN 'long_words' END,
+               CASE WHEN n_digits * 5 > n_chars_t THEN 'digit_heavy' END)
+               AS reasons
+      FROM sig
+    )
+    SELECT doc_id, lang, n_tokens, reasons,
+           reasons = '' AS keep
+    FROM gated
+    """,
+    tags=("text", "llm-data", "quality"),
+)
+def quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble quality gate with an audit trail: every document
+    gets a keep/drop decision plus the pipe-joined list of WHICH
+    rules fired (too_short / too_long / long_words / digit_heavy) —
+    the reason column is what makes a 100 TB filter debuggable
+    (per-rule kill counts, rule-overlap analysis, appeals) instead
+    of a black-box boolean.
+
+    All signals are integer counts compared with cross-multiplied
+    integer thresholds (mean token length > 12 is
+    `n_nonspace > n_tokens*12`; digit ratio > 20% is
+    `n_digits*5 > n_chars`), so no float ever forms and both
+    engines agree bit-for-bit. One map-only pass — no shuffle at
+    all; CONCAT_WS skips the NULLs of rules that did not fire in
+    both engines, and `keep` is simply "no reason fired".
+    """
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    n_nonspace = F.length(F.expr("replace(text, ' ', '')")).cast("bigint")
+    n_digits = (F.length("text")
+                - F.length(F.regexp_replace("text", "[0-9]", ""))
+                ).cast("bigint")
+    n_chars_t = F.length("text").cast("bigint")
+    sig = docs.select(
+        "doc_id", "lang", n_tokens.alias("n_tokens"),
+        n_nonspace.alias("n_nonspace"), n_digits.alias("n_digits"),
+        n_chars_t.alias("n_chars_t"))
+    reasons = F.concat_ws(
+        "|",
+        F.when(F.col("n_tokens") < 20, "too_short"),
+        F.when(F.col("n_tokens") > 1000, "too_long"),
+        F.when((F.col("n_tokens") >= 20)
+               & (F.col("n_nonspace") > F.col("n_tokens") * 12),
+               "long_words"),
+        F.when(F.col("n_digits") * 5 > F.col("n_chars_t"), "digit_heavy"))
+    return sig.select(
+        "doc_id", "lang", "n_tokens", reasons.alias("reasons"),
+        (reasons == "").alias("keep"))
+
+
+@register(
+    "sample_weighted_bernoulli",
+    oracle="""
+    WITH t AS (
+      SELECT CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
+      FROM documents
+    ), marked AS (
+      SELECT lang, n_chars,
+             ((doc_id * 2654435761) % 4294967296) <
+               (n_chars * 4294967296) // (10 * avg_chars) AS picked
+      FROM documents, t
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           CAST(SUM(CASE WHEN picked THEN n_chars ELSE 0 END) AS BIGINT)
+             AS sampled_chars
+    FROM marked GROUP BY lang
+    """,
+    tags=("sample", "llm-data"),
+)
+def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted Bernoulli sample at an expected
+    10% char-mass rate: doc i is kept iff
+    hash(doc_id) < M·(n_chars_i / avg_chars)·0.10, i.e. inclusion
+    probability proportional to document length — the standard way
+    to sample a fixed token budget rather than a fixed doc count.
+
+    Determinism is the whole design: the coin is the same Knuth
+    multiplicative hash as split_train_test (exact 64-bit integer
+    arithmetic), and the threshold is cross-multiplied into one
+    integer floor-division — no float forms, so any engine, any
+    shard, any re-run picks the identical sample. The mean doc
+    length is pre-divided into `avg_chars` BEFORE entering the
+    per-row product, so the biggest intermediate is n_chars·2³² —
+    overflow-safe however many docs the corpus has (the naive
+    n_chars·2³²·n_docs form blows int64 around 10⁹ docs). Totals
+    ride a 1-row broadcast join; the audit output (per-language
+    sampled share) is one map-side-combined hash agg.
+    """
+    docs = load(spark, sf_dir, "documents")
+    t = docs.agg(F.expr("CAST(SUM(n_chars) DIV COUNT(*) AS BIGINT)")
+                 .alias("avg_chars"))
+    picked = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+              < F.expr("(n_chars * 4294967296) DIV (10 * avg_chars)"))
+    return (docs.crossJoin(F.broadcast(t))
+            .select("lang", "n_chars", picked.alias("picked"))
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("picked"), 1).otherwise(0))
+                 .cast("bigint").alias("n_sampled"),
+                 F.sum(F.when(F.col("picked"), F.col("n_chars"))
+                       .otherwise(0)).cast("bigint")
+                 .alias("sampled_chars")))
+
+
 SEMDEDUP_TAU = 0.95   # cosine threshold: drop members this close to rep
 _SEM_PLANE_BASE = 4000  # plane namespace disjoint from the ANN tables
 

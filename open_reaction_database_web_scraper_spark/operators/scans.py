@@ -440,3 +440,55 @@ def sink_zorder_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
                       & (F.col("l_suppkey") < 100))
     return box.agg(F.count("*").alias("cnt"),
                    dsum("l_quantity").alias("qty"))
+
+
+@register(
+    "scan_observed_metrics",
+    oracle="""
+    SELECT COUNT(*) AS n_scanned,
+           CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_high_value,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_null_cust,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_price
+    FROM orders
+    """,
+    tags=("scan", "observability"),
+)
+def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality counters for free via ``df.observe``: the
+    metrics (row count, high-value count, null-key count, exact
+    decimal price mass) accumulate as accumulator-style aggregates
+    DURING the same pass that drives the main job — no second scan
+    of a 100 TB table just to know what flowed through it. This is
+    the engine-level version of the reference's crawl accounting
+    (success/skip tallies incremented while scraping,
+    web_scrpaer_2.py:461-462, printed at :339-346 — counters riding
+    the work, never a re-crawl).
+
+    The observed pass here feeds a representative downstream job (a
+    noop-format write, the cheapest full-materialization action);
+    the returned frame is the metrics row itself. The decimal sum
+    uses the same exact-accumulator idiom as every money aggregate
+    in this package, so the observed value is bit-identical to the
+    oracle's.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation("qa")
+    orders = load(spark, sf_dir, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_scanned"),
+        F.sum(F.when(F.col("o_totalprice") > 100000, 1).otherwise(0))
+        .cast("bigint").alias("n_high_value"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_null_cust"),
+        dsum("o_totalprice").alias("total_price"))
+    orders.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_scanned"], m["n_high_value"], m["n_null_cust"],
+          m["total_price"])],
+        "n_scanned bigint, n_high_value bigint, n_null_cust bigint, "
+        "total_price double")

@@ -50,7 +50,10 @@ ALLOW = {
                                 # damping base / the census scalars /
                                 # the shard-count aggregate
                                 "graph_pagerank",
-                                "graph_triangle_count"},
+                                "graph_triangle_count",
+                                # 1-row broadcast: the avg-doc-length
+                                # aggregate behind the threshold
+                                "sample_weighted_bernoulli"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),

@@ -37,12 +37,17 @@ COPIES = 10
 OPS = {
     "graph_pagerank": "lineitem",
     "graph_triangle_count": "lineitem",
+    "graph_bfs_levels": "lineitem",
     "event_markov_transitions": "events",
     "export_jsonl_sharded": "documents",
+    "quality_gate_reasons": "documents",
+    "sample_weighted_bernoulli": "documents",
     "dedup_semdedup": "embeddings",
+    "scan_observed_metrics": "orders",
 }
 KEYS = {"events": "event_id", "lineitem": "l_orderkey",
-        "documents": "doc_id", "embeddings": "vec_id"}
+        "documents": "doc_id", "embeddings": "vec_id",
+        "supplier": "s_suppkey", "orders": "o_orderkey"}
 
 
 def time_op(spark, name: str, sf_dir: str) -> float:
@@ -60,10 +65,17 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     big = tempfile.mkdtemp(prefix="ordspark_scaleup_r3b_")
-    for table in sorted(set(OPS.values())):
+    # graph_bfs_levels reads supplier too: copies shift s_suppkey by
+    # the SAME amount as lineitem's l_suppkey so the graphs line up,
+    # and the seed set (s_suppkey <= 2) stays in copy 0 only — a
+    # fixed blast-radius probe against a 10x bigger graph.
+    s_shift = (load(spark, sf_dir, "lineitem")
+               .agg(F.max("l_suppkey")).collect()[0][0] + 1)
+    for table in sorted(set(OPS.values()) | {"supplier"}):
         df = load(spark, sf_dir, table)
         key = KEYS[table]
-        shift = df.agg(F.max(key)).collect()[0][0] + 1
+        shift = (s_shift if table == "supplier"
+                 else df.agg(F.max(key)).collect()[0][0] + 1)
         copies = (df.withColumn(
             "copy", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
             .withColumn(key, F.col(key) + F.col("copy") * F.lit(shift)))

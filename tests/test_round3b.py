@@ -205,3 +205,86 @@ def test_semdedup_real_corpus_sane(spark, sf_dir):
     assert agg.n == 500
     # Random embeddings should rarely hit cos >= 0.95 to a rep.
     assert agg.n_drop < agg.n * 0.2
+
+
+# --------------------------------------------------------------- bfs
+
+def test_bfs_levels_on_planted_chain(spark, tmp_path_factory):
+    """Graph p1-s1, p1-s5, p2-s5 with seed s1 (s_suppkey <= 2):
+    s:1=0, p:1=1, s:5=2, p:2=3."""
+    d = tmp_path_factory.mktemp("bfs_li")
+    spark.createDataFrame(
+        [(1, 1, 1), (2, 1, 5), (3, 2, 5)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint") \
+        .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (5, "s5", 1, 0.0)],
+        "s_suppkey bigint, s_name string, s_nationkey int, "
+        "s_acctbal double") \
+        .write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    got = {r.node: r.level
+           for r in run("graph_bfs_levels", spark, str(d)).collect()}
+    assert got == {"s:1": 0, "p:1": 1, "s:5": 2, "p:2": 3}
+
+
+# ------------------------------------------------------ quality gate
+
+def test_quality_gate_planted_reasons(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("qg_docs")
+    ok = " ".join(["word"] * 30)
+    short = "tiny doc"
+    digits = " ".join(["12345"] * 25)
+    longw = " ".join(["x" * 20] * 25)
+    rows = [(0, ok, "en", "s", len(ok)),
+            (1, short, "en", "s", len(short)),
+            (2, digits, "en", "s", len(digits)),
+            (3, longw, "en", "s", len(longw))]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {r.doc_id: r for r in
+           run("quality_gate_reasons", spark, str(d)).collect()}
+    assert got[0].keep and got[0].reasons == ""
+    assert got[1].reasons == "too_short" and not got[1].keep
+    assert got[2].reasons == "digit_heavy"
+    assert got[3].reasons == "long_words"
+
+
+# ------------------------------------------------- weighted sampling
+
+def test_weighted_sample_matches_python_model(spark, sf_dir):
+    import duckdb
+    rows = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')").fetchall()
+    avg = sum(r[2] for r in rows) // len(rows)
+    expect: dict[str, list[int]] = {}
+    for doc_id, lang, n_chars in rows:
+        n, s, c = expect.setdefault(lang, [0, 0, 0])
+        picked = ((doc_id * 2654435761) % 4294967296
+                  < (n_chars * 4294967296) // (10 * avg))
+        expect[lang] = [n + 1, s + picked, c + (n_chars if picked else 0)]
+    got = {r.lang: [r.n_docs, r.n_sampled, r.sampled_chars]
+           for r in run("sample_weighted_bernoulli", spark, sf_dir)
+           .collect()}
+    assert got == expect
+
+
+# --------------------------------------------------- observed metrics
+
+def test_observed_metrics_equal_direct_aggregate(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.catalog import load as _load
+    from pyspark.sql import functions as F2
+    from open_reaction_database_web_scraper_spark.functions.numeric import dsum
+
+    row = run("scan_observed_metrics", spark, sf_dir).collect()[0]
+    direct = _load(spark, sf_dir, "orders").agg(
+        F2.count(F2.lit(1)).alias("n"),
+        F2.sum(F2.when(F2.col("o_totalprice") > 100000, 1).otherwise(0))
+        .alias("hv"),
+        dsum("o_totalprice").alias("tp")).collect()[0]
+    assert row.n_scanned == direct.n
+    assert row.n_high_value == direct.hv
+    assert row.n_null_cust == 0
+    assert row.total_price == direct.tp
