@@ -288,3 +288,54 @@ def test_observed_metrics_equal_direct_aggregate(spark, sf_dir):
     assert row.n_high_value == direct.hv
     assert row.n_null_cust == 0
     assert row.total_price == direct.tp
+
+
+# ----------------------------------------------------------- plan pins
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_quality_gate_plan_is_map_only(spark, sf_dir):
+    """The audit column must be free: no exchange anywhere."""
+    plan = plan_of(spark, sf_dir, "quality_gate_reasons")
+    assert "Exchange" not in plan, plan
+
+
+def test_graph_plans_have_no_cartesian(spark, sf_dir):
+    """The graph census and BFS must never degrade to a cartesian
+    or a nested loop over data-sized inputs (the 1-row |V| broadcast
+    in pagerank is the allowed exception, checked by explain_all)."""
+    for name in ("graph_triangle_count", "graph_bfs_levels"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, (name, plan)
+    bfs = plan_of(spark, sf_dir, "graph_bfs_levels")
+    assert "BroadcastNestedLoopJoin" not in bfs, bfs
+
+
+def test_markov_single_user_exchange(spark, sf_dir):
+    """LAG + normalize must reuse ONE user_id shuffle; the only other
+    exchange feeds the tiny pair-domain agg/window."""
+    plan = plan_of(spark, sf_dir, "event_markov_transitions")
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges <= 3, plan
+
+
+def test_export_one_file_per_shard(spark, sf_dir):
+    """repartition(shard) + partitionBy(shard) must put each shard's
+    rows in exactly one data file — the no-small-file-spray claim."""
+    import glob
+    import os
+
+    from open_reaction_database_web_scraper_spark.operators.scans import (
+        _sink_dir,
+    )
+
+    man = run("export_jsonl_sharded", spark, sf_dir).collect()
+    out = _sink_dir("export_jsonl_sharded")
+    for r in man:
+        files = [f for f in glob.glob(os.path.join(
+            out, f"shard={r.shard}", "*")) if not f.endswith(".crc")]
+        assert len(files) == 1, (r.shard, files)
