@@ -216,7 +216,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            .join(av, F.col("dst") == F.col("av.node"))
            .select(F.size(F.array_intersect(
                F.col("au.nbrs"), F.col("av.nbrs"))).alias("k"))
-           .agg(F.sum("k").cast("bigint").alias("n_triangles")))
+           # an edge whose head has no out-neighbors drops out of the
+           # inner adjacency join (contributes 0 triangles); with NO
+           # closable edge at all the sum is over zero rows — 0, not
+           # NULL (the triangle-free-graph case)
+           .agg(F.coalesce(F.sum("k"), F.lit(0)).cast("bigint")
+                .alias("n_triangles")))
     stats = deg.agg(
         F.count("*").alias("n_nodes"),
         F.expr("SUM(deg * (deg - 1) DIV 2)").alias("n_wedges"))

@@ -313,3 +313,107 @@ def test_quantize_empty_embeddings(spark, empty_embeddings_dir):
         spark, empty_embeddings_dir)
     assert df.collect() == []
     assert df.columns == ["vec_id", "dim", "code", "err"]
+
+
+# Round-3 tranche-2 ops: empty graphs / corpora / event logs
+
+@pytest.fixture(scope="module")
+def empty_graph_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_graph")
+    spark.createDataFrame(
+        [], "l_orderkey bigint, l_partkey bigint, l_suppkey bigint") \
+        .write.mode("overwrite").parquet(f"{d}/lineitem.parquet")
+    spark.createDataFrame(
+        [], "s_suppkey bigint, s_name string, s_nationkey int, "
+            "s_acctbal double") \
+        .write.mode("overwrite").parquet(f"{d}/supplier.parquet")
+    return str(d)
+
+
+@pytest.mark.parametrize("name", ["graph_pagerank", "graph_bfs_levels"])
+def test_empty_graph_no_throw(spark, empty_graph_dir, name):
+    df = REGISTRY[name].fn(spark, empty_graph_dir)
+    assert df.collect() == []
+    assert len(df.columns) > 0
+
+
+def test_empty_graph_triangle_census_zeros(spark, empty_graph_dir):
+    """The census aggregates an empty edge set: one row of
+    zeros/nulls rather than a throw."""
+    rows = REGISTRY["graph_triangle_count"].fn(
+        spark, empty_graph_dir).collect()
+    assert len(rows) <= 1
+    if rows:
+        assert (rows[0].n_nodes or 0) == 0
+        assert (rows[0].n_triangles or 0) == 0
+
+
+def test_single_edge_graph(spark, tmp_path):
+    """One lineitem row: a 2-node graph. PageRank conserves mass,
+    census sees 1 node-pair table with no co-purchase edge."""
+    spark.createDataFrame(
+        [(1, 7, 3)],
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    pr = {r.node: r.rank_fp for r in
+          REGISTRY["graph_pagerank"].fn(spark, str(tmp_path)).collect()}
+    assert set(pr) == {"p:7", "s:3"}
+    # Symmetric 2-cycle: both nodes keep exactly 1/2 (minus floor dust).
+    assert pr["p:7"] == pr["s:3"]
+    tri = REGISTRY["graph_triangle_count"].fn(
+        spark, str(tmp_path)).collect()
+    # single-part orders induce NO co-purchase edges
+    assert len(tri) <= 1
+    if tri:
+        assert (tri[0].n_edges or 0) == 0
+
+
+@pytest.mark.parametrize("name", ["event_markov_transitions"])
+def test_empty_events_no_throw_r3b(spark, empty_events_dir, name):
+    df = REGISTRY[name].fn(spark, empty_events_dir)
+    assert df.collect() == []
+    assert len(df.columns) > 0
+
+
+DOC_OPS_R3B = ["export_jsonl_sharded", "quality_gate_reasons",
+               "sample_weighted_bernoulli"]
+
+
+@pytest.mark.parametrize("name", DOC_OPS_R3B)
+def test_empty_documents_no_throw_r3b(spark, empty_docs_dir, name):
+    df = REGISTRY[name].fn(spark, empty_docs_dir)
+    rows = df.collect()
+    assert len(rows) <= 1
+    assert len(df.columns) > 0
+
+
+@pytest.mark.parametrize("name", DOC_OPS_R3B)
+def test_single_document_no_throw_r3b(spark, one_doc_dir, name):
+    rows = REGISTRY[name].fn(spark, one_doc_dir).collect()
+    assert len(rows) == 1
+    if name == "export_jsonl_sharded":
+        assert rows[0].n_docs == 1
+    if name == "quality_gate_reasons":
+        assert rows[0].reasons == "too_short"
+
+
+def test_semdedup_empty_embeddings(spark, empty_embeddings_dir):
+    df = REGISTRY["dedup_semdedup"].fn(spark, empty_embeddings_dir)
+    assert df.collect() == []
+
+
+@pytest.fixture(scope="module")
+def empty_orders_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_ord")
+    spark.createDataFrame(
+        [], "o_orderkey bigint, o_custkey bigint, o_totalprice double, "
+            "o_orderdate timestamp, o_orderstatus string") \
+        .write.mode("overwrite").parquet(f"{d}/orders.parquet")
+    return str(d)
+
+
+def test_observed_metrics_empty_orders(spark, empty_orders_dir):
+    rows = REGISTRY["scan_observed_metrics"].fn(
+        spark, empty_orders_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_scanned == 0
