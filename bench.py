@@ -93,6 +93,8 @@ OPTIONAL = [
     "quality_gate_reasons",
     "sample_weighted_bernoulli",
     "scan_observed_metrics",
+    "join_asof_tolerance",
+    "profile_benford_digits",
 ]
 
 

@@ -630,3 +630,75 @@ def join_nullsafe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("bucket").eqNullSafe(F.col("d_bucket")))
             .groupBy(F.col("d_bucket").alias("bucket"))
             .agg(F.count("*").alias("n_orders")))
+
+
+@register(
+    "join_asof_tolerance",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase'
+    ), matched AS (
+      SELECT p.event_id, p.user_id, p.ts, c.click_id, c.ts AS click_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND p.ts >= c.ts
+    )
+    SELECT event_id, user_id, ts,
+           CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN click_id END AS click_id,
+           CASE WHEN epoch_us(ts) - epoch_us(click_ts) <= 3600000000
+                THEN click_ts END AS click_ts
+    FROM matched
+    """,
+    tags=("join", "asof"),
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound — the feature-store
+    point-in-time lookup: the latest click at-or-before each
+    purchase counts ONLY if it is at most 1 hour old; older matches
+    are rejected to NULL rather than silently serving stale state.
+
+    Same one-shuffle union+window emulation as join_asof (the bound
+    cannot be pushed into the carry — the newest candidate might be
+    stale while none younger exists, so reject-after-match is the
+    correct semantics, matching the oracle's ASOF-then-CASE). The
+    staleness test compares epoch MICROSECONDS as exact integers
+    (second-granularity diffs would truncate differently between
+    engines on sub-second timestamps), so the boundary row (exactly
+    1 h old: kept) is deterministic in both engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"))
+              .select("user_id", "ts",
+                      F.lit(0).alias("is_purchase"),
+                      F.lit(None).cast("long").alias("event_id"),
+                      "click_id",
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.lit(1).alias("is_purchase"),
+                         "event_id",
+                         F.lit(None).cast("long").alias("click_id"),
+                         F.lit(None).cast(ev.schema["ts"].dataType)
+                         .alias("click_ts")))
+    unioned = clicks.unionByName(purchases)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_purchase")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = unioned.select(
+        "user_id", "ts", "is_purchase", "event_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"))
+    fresh = F.expr(
+        "timestampdiff(MICROSECOND, click_ts, ts) <= 3600000000")
+    return (carried.filter(F.col("is_purchase") == 1)
+            .select("event_id", "user_id", "ts",
+                    F.when(fresh, F.col("click_id")).alias("click_id"),
+                    F.when(fresh, F.col("click_ts")).alias("click_ts")))

@@ -290,3 +290,47 @@ def merge_upsert_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderkey", F.col("v.o_totalprice"),
                     "o_orderstatus", F.col("v.version"),
                     F.col("v.is_current")))
+
+
+@register(
+    "profile_benford_digits",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                              AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), counts AS (
+      SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit
+    ), t AS (SELECT SUM(n) AS total FROM counts)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS share,
+           ROUND(LOG10(1 + 1.0 / digit), 6) AS benford_expected
+    FROM counts, t
+    """,
+    tags=("profile", "quality"),
+)
+def profile_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs the
+    Benford expectation — the classic anomaly screen for fabricated
+    or truncated numeric columns, run as a profiling query.
+
+    The digit is extracted integer-only: price → exact cents BIGINT
+    → first character of its decimal rendering (integer-to-string is
+    deterministic in every engine, unlike float formatting or
+    log10-based digit math at powers of ten). One map-side-combined
+    hash agg on a 9-value domain plus a 1-row total join; shares
+    divide exact integers, so both engines round the same double.
+    """
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.expr(
+        "CAST(SUBSTR(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)"
+        " AS STRING), 1, 1) AS BIGINT)")
+    counts = (orders.select(digit.alias("digit"))
+              .groupBy("digit").agg(F.count("*").alias("n")))
+    t = counts.agg(F.sum("n").alias("total"))
+    return (counts.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(F.col("n").cast("double") / F.col("total"), 6)
+                    .alias("share"),
+                    F.round(F.log10(1 + 1.0 / F.col("digit")), 6)
+                    .alias("benford_expected")))

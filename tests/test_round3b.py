@@ -339,3 +339,34 @@ def test_export_one_file_per_shard(spark, sf_dir):
         files = [f for f in glob.glob(os.path.join(
             out, f"shard={r.shard}", "*")) if not f.endswith(".crc")]
         assert len(files) == 1, (r.shard, files)
+
+
+# ------------------------------------------------- as-of w/ tolerance
+
+def test_asof_tolerance_rejects_stale_match(spark, tmp_path):
+    """click at t0; purchase A 30 min later (kept), purchase B 2 h
+    later (matched but STALE -> NULLed)."""
+    rows = [(1, 7, "click", 0), (2, 7, "purchase", 1800),
+            (3, 7, "purchase", 7200)]
+    spark.createDataFrame(
+        [(i, u, t, off) for i, u, t, off in rows],
+        "event_id bigint, user_id bigint, event_type string, "
+        "off bigint") \
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, cast(off as int), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')")) \
+        .withColumn("value", F.lit(0.0)).drop("off") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.event_id: r.click_id for r in
+           run("join_asof_tolerance", spark, str(tmp_path)).collect()}
+    assert got == {2: 1, 3: None}
+
+
+def test_benford_shares_sum_to_one(spark, sf_dir):
+    rows = run("profile_benford_digits", spark, sf_dir).collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert math.isclose(sum(r.share for r in rows), 1.0, abs_tol=1e-4)
+    # integer-exact counts reconcile with the share denominator
+    total = sum(r.n for r in rows)
+    for r in rows:
+        assert math.isclose(r.share, round(r.n / total, 6), abs_tol=1e-9)
