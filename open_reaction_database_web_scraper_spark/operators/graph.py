@@ -35,7 +35,20 @@ from ..registry import register
 _PR_SCALE = 1_000_000_000_000
 
 
-_PAGERANK_ORACLE = """
+def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric part–supplier edge list: distinct (part, supplier)
+    pairs from lineitem, vertex ids 'p:<key>' / 's:<key>', both
+    directions. Shared by graph_pagerank and graph_bfs_levels (the
+    two oracle SQL texts carry matching copies)."""
+    pairs = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    return (pairs.select(p.alias("src"), s.alias("dst"))
+            .unionAll(pairs.select(s.alias("src"), p.alias("dst"))))
+
+
+_PAGERANK_ORACLE = f"""
 WITH pairs AS (
   SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
 ), edges AS (
@@ -48,14 +61,14 @@ WITH pairs AS (
   SELECT COUNT(*) AS n_nodes FROM deg
 ), r0 AS (
   SELECT node, deg,
-         CAST(1000000000000 // n_nodes AS BIGINT) AS rank_fp
+         CAST({_PR_SCALE} // n_nodes AS BIGINT) AS rank_fp
   FROM deg, n
 ), i1 AS (
   SELECT e.dst AS node, SUM((85 * (r.rank_fp // r.deg)) // 100) AS s
   FROM r0 r JOIN edges e ON r.node = e.src GROUP BY e.dst
 ), r1 AS (
   SELECT d.node, d.deg,
-         CAST((15 * 1000000000000) // (100 * n.n_nodes) + i.s AS BIGINT)
+         CAST((15 * {_PR_SCALE}) // (100 * n.n_nodes) + i.s AS BIGINT)
            AS rank_fp
   FROM deg d JOIN i1 i ON d.node = i.node, n
 ), i2 AS (
@@ -63,7 +76,7 @@ WITH pairs AS (
   FROM r1 r JOIN edges e ON r.node = e.src GROUP BY e.dst
 ), r2 AS (
   SELECT d.node, d.deg,
-         CAST((15 * 1000000000000) // (100 * n.n_nodes) + i.s AS BIGINT)
+         CAST((15 * {_PR_SCALE}) // (100 * n.n_nodes) + i.s AS BIGINT)
            AS rank_fp
   FROM deg d JOIN i2 i ON d.node = i.node, n
 ), i3 AS (
@@ -71,7 +84,7 @@ WITH pairs AS (
   FROM r2 r JOIN edges e ON r.node = e.src GROUP BY e.dst
 )
 SELECT d.node,
-       CAST((15 * 1000000000000) // (100 * n.n_nodes) + i.s AS BIGINT)
+       CAST((15 * {_PR_SCALE}) // (100 * n.n_nodes) + i.s AS BIGINT)
          AS rank_fp
 FROM deg d JOIN i3 i ON d.node = i.node, n
 """
@@ -100,12 +113,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncate lineage — with 3 unrolled iterations the plan stays
     shallow enough that checkpointing would cost more than it saves.
     """
-    pairs = (load(spark, sf_dir, "lineitem")
-             .select("l_partkey", "l_suppkey").distinct())
-    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
-    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    edges = (pairs.select(p.alias("src"), s.alias("dst"))
-             .unionAll(pairs.select(s.alias("src"), p.alias("dst"))))
+    edges = _bipartite_edges(spark, sf_dir)
     deg = (edges.groupBy("src").agg(F.count("*").alias("deg"))
            .withColumnRenamed("src", "node"))
     n = deg.agg(F.count("*").alias("n_nodes"))
@@ -284,12 +292,7 @@ def graph_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ~10 rounds (same recipe as dedup_clusters' label
     propagation, dedup.py:226).
     """
-    pairs = (load(spark, sf_dir, "lineitem")
-             .select("l_partkey", "l_suppkey").distinct())
-    p = F.concat(F.lit("p:"), F.col("l_partkey").cast("string"))
-    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
-    edges = (pairs.select(p.alias("src"), s.alias("dst"))
-             .unionAll(pairs.select(s.alias("src"), p.alias("dst"))))
+    edges = _bipartite_edges(spark, sf_dir)
     reached = (load(spark, sf_dir, "supplier")
                .filter(F.col("s_suppkey") <= 2)
                .select(F.concat(F.lit("s:"),

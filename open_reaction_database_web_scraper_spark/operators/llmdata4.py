@@ -51,9 +51,12 @@ def export_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the shard count derives from one global SUM —
     carried as a 1-row broadcast join, never collected — and shard
-    assignment is `doc_id % n_shards`, a pure row-local function, so
-    any re-run (or any subset of a 100 TB corpus) re-derives the
-    same layout with no coordination table. `repartition(shard)`
+    assignment is `doc_id % n_shards`, a pure row-local function:
+    any re-run over the same corpus re-derives the identical layout
+    with no coordination table, and GIVEN a shard count, any worker
+    re-derives any doc's shard locally (a strict subset run would
+    derive a smaller n_shards — pin the count when exporting
+    incrementally). `repartition(shard)`
     makes each output task own exactly one shard directory: file
     count == shard count, no small-file spray. The JSONL re-read is
     schema-pinned (no sampling inference pass over 100 TB).
@@ -94,6 +97,7 @@ def export_jsonl_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), gated AS (
       SELECT doc_id, lang, n_tokens,
              CONCAT_WS('|',
+               CASE WHEN n_tokens IS NULL THEN 'null_text' END,
                CASE WHEN n_tokens < 20 THEN 'too_short' END,
                CASE WHEN n_tokens > 1000 THEN 'too_long' END,
                CASE WHEN n_tokens >= 20 AND n_nonspace > n_tokens * 12
@@ -137,6 +141,10 @@ def quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_chars_t.alias("n_chars_t"))
     reasons = F.concat_ws(
         "|",
+        # NULL text nulls every count, so no other rule can fire —
+        # without an explicit rule a contentless row would sail
+        # through with keep = true
+        F.when(F.col("n_tokens").isNull(), "null_text"),
         F.when(F.col("n_tokens") < 20, "too_short"),
         F.when(F.col("n_tokens") > 1000, "too_long"),
         F.when((F.col("n_tokens") >= 20)
@@ -152,11 +160,13 @@ def quality_gate_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sample_weighted_bernoulli",
     oracle="""
     WITH t AS (
-      SELECT CAST(SUM(n_chars) // COUNT(*) AS BIGINT) AS avg_chars
+      SELECT GREATEST(1, CAST(SUM(n_chars) // COUNT(*) AS BIGINT))
+        AS avg_chars
       FROM documents
     ), marked AS (
       SELECT lang, n_chars,
-             ((doc_id * 2654435761) % 4294967296) <
+             ((doc_id % 65536) * 2654435761
+              + ((doc_id // 65536) % 65536) * 2041643008) % 4294967296 <
                (n_chars * 4294967296) // (10 * avg_chars) AS picked
       FROM documents, t
     )
@@ -177,22 +187,29 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
     probability proportional to document length — the standard way
     to sample a fixed token budget rather than a fixed doc count.
 
-    Determinism is the whole design: the coin is the same Knuth
-    multiplicative hash as split_train_test (exact 64-bit integer
-    arithmetic), and the threshold is cross-multiplied into one
-    integer floor-division — no float forms, so any engine, any
-    shard, any re-run picks the identical sample. The mean doc
-    length is pre-divided into `avg_chars` BEFORE entering the
-    per-row product, so the biggest intermediate is n_chars·2³² —
-    overflow-safe however many docs the corpus has (the naive
-    n_chars·2³²·n_docs form blows int64 around 10⁹ docs). Totals
-    ride a 1-row broadcast join; the audit output (per-language
-    sampled share) is one map-side-combined hash agg.
+    Determinism is the whole design: the coin is the Knuth
+    multiplicative hash (doc_id·2654435761 mod 2³²) evaluated by
+    SPLIT MULTIPLY — lo16·C + hi16·(C·2¹⁶ mod 2³²), identical by
+    modular arithmetic — so the biggest coin intermediate is
+    ~1.7e14 and the hash stays exact past doc_id 2³² (the direct
+    product overflows int64 at doc_id ≈ 3.5e9, which ANSI mode
+    turns into a job-killing error and non-ANSI into a silently
+    biased sample). The threshold cross-multiplies into one integer
+    floor-division with the mean doc length pre-divided (biggest
+    intermediate n_chars·2³²) and clamped to ≥1, so an all-empty
+    corpus divides by 1, not 0. No float ever forms: any engine,
+    any shard, any re-run picks the identical sample. Totals ride a
+    1-row broadcast join; the audit output (per-language sampled
+    share) is one map-side-combined hash agg.
     """
     docs = load(spark, sf_dir, "documents")
-    t = docs.agg(F.expr("CAST(SUM(n_chars) DIV COUNT(*) AS BIGINT)")
-                 .alias("avg_chars"))
-    picked = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    t = docs.agg(F.expr(
+        "GREATEST(1, CAST(SUM(n_chars) DIV COUNT(*) AS BIGINT))")
+        .alias("avg_chars"))
+    # 2041643008 == (2654435761 * 65536) % 2^32
+    picked = (F.expr("((doc_id % 65536) * 2654435761"
+                     " + ((doc_id DIV 65536) % 65536) * 2041643008)"
+                     " % 4294967296")
               < F.expr("(n_chars * 4294967296) DIV (10 * avg_chars)"))
     return (docs.crossJoin(F.broadcast(t))
             .select("lang", "n_chars", picked.alias("picked"))
@@ -247,11 +264,15 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = (clustered.groupBy("cluster")
             .agg(F.min("vec_id").alias("rep_id"),
                  F.min_by("v", "vec_id").alias("rep_v")))
+    # round BEFORE the threshold test so the emitted cos_to_rep and
+    # the dropped flag agree at the boundary (a consumer recomputing
+    # `cos_to_rep >= tau` from the audit row must reach the same
+    # verdict)
     scored = (clustered.join(reps, "cluster")
               .withColumn("cos_to_rep",
-                          cosine_similarity(F.col("v"), F.col("rep_v"))))
+                          F.round(cosine_similarity(
+                              F.col("v"), F.col("rep_v")), 6)))
     return (scored.select(
-        "cluster", "vec_id", "label", "rep_id",
-        F.round("cos_to_rep", 6).alias("cos_to_rep"),
+        "cluster", "vec_id", "label", "rep_id", "cos_to_rep",
         ((F.col("vec_id") != F.col("rep_id"))
          & (F.col("cos_to_rep") >= SEMDEDUP_TAU)).alias("dropped")))

@@ -370,3 +370,51 @@ def test_benford_shares_sum_to_one(spark, sf_dir):
     total = sum(r.n for r in rows)
     for r in rows:
         assert math.isclose(r.share, round(r.n / total, 6), abs_tol=1e-9)
+
+
+# ------------------------------------------- review-pass regressions
+
+def test_quality_gate_null_text_gets_reason(spark, tmp_path):
+    """NULL text nulls every signal; without an explicit rule the
+    row would pass with keep=true and no audit trail."""
+    spark.createDataFrame(
+        [(0, None, "en", "s", 0),
+         (1, " ".join(["w"] * 30), "en", "s", 59)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {r.doc_id: r for r in
+           run("quality_gate_reasons", spark, str(tmp_path)).collect()}
+    assert got[0].reasons == "null_text" and not got[0].keep
+    assert got[1].keep
+
+
+def test_weighted_sample_survives_all_empty_corpus(spark, tmp_path):
+    """avg_chars would be 0 (ANSI DIV-by-zero kill) without the
+    GREATEST(1, ...) clamp."""
+    spark.createDataFrame(
+        [(i, "", "en", "s", 0) for i in range(5)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = run("sample_weighted_bernoulli", spark, str(tmp_path)).collect()
+    assert rows[0].n_docs == 5 and rows[0].n_sampled == 0
+
+
+def test_weighted_sample_huge_doc_id_no_overflow(spark, tmp_path):
+    """doc_id beyond 2^32: the direct Knuth product overflows int64
+    (ANSI error / silent wrap); the split-multiply coin must keep
+    matching the mathematical hash."""
+    big = 2**40 + 12345
+    spark.createDataFrame(
+        [(big, "x" * 50, "en", "s", 50),
+         (7, "y" * 50, "en", "s", 50)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = run("sample_weighted_bernoulli", spark, str(tmp_path)).collect()
+    # model: avg=50, threshold = 50*2^32 // 500
+    thr = (50 * 4294967296) // 500
+    expect = sum(1 for d in (big, 7)
+                 if ((d % 4294967296) * 2654435761) % 4294967296 < thr)
+    assert rows[0].n_sampled == expect
