@@ -226,6 +226,39 @@ def join_range_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("follows_within_hour")))
 
 
+def _asof_click_carry(ev):
+    """Shared as-of emulation core for join_asof / join_asof_tolerance:
+    tag clicks and purchases, union, and carry the last-seen click
+    forward per user with ``last(ignorenulls)`` — ONE shuffle total.
+    Clicks sort before purchases at equal ts (is_purchase 0 < 1), so
+    an equal-ts click is visible to the purchase — ASOF '>='
+    semantics; duplicate clicks per (user, ts) pre-reduce to
+    MAX(event_id) so both engines are deterministic."""
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("event_id").alias("click_id"))
+              .select("user_id", "ts",
+                      F.lit(0).alias("is_purchase"),
+                      F.lit(None).cast("long").alias("event_id"),
+                      "click_id",
+                      F.col("ts").alias("click_ts")))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("user_id", "ts",
+                         F.lit(1).alias("is_purchase"),
+                         "event_id",
+                         F.lit(None).cast("long").alias("click_id"),
+                         F.lit(None).cast(ev.schema["ts"].dataType)
+                         .alias("click_ts")))
+    unioned = clicks.unionByName(purchases)
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "is_purchase")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return unioned.select(
+        "user_id", "ts", "is_purchase", "event_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
+        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"))
+
+
 @register(
     "join_asof",
     oracle="""
@@ -255,32 +288,7 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ASOF's ``>=`` semantics; duplicate clicks per (user, ts) are
     pre-reduced to MAX(event_id) so both engines are deterministic.
     """
-    ev = load(spark, sf_dir, "events")
-    clicks = (ev.filter(F.col("event_type") == "click")
-              .groupBy("user_id", "ts")
-              .agg(F.max("event_id").alias("click_id"))
-              .select("user_id", "ts",
-                      F.lit(0).alias("is_purchase"),
-                      F.lit(None).cast("long").alias("event_id"),
-                      "click_id",
-                      F.col("ts").alias("click_ts")))
-    purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts",
-                         F.lit(1).alias("is_purchase"),
-                         "event_id",
-                         F.lit(None).cast("long").alias("click_id"),
-                         F.lit(None).cast(ev.schema["ts"].dataType)
-                         .alias("click_ts")))
-    unioned = clicks.unionByName(purchases)
-    # clicks sort before purchases at equal ts (is_purchase 0 < 1),
-    # so an equal-ts click is visible to the purchase — ASOF '>='.
-    w = (Window.partitionBy("user_id")
-         .orderBy("ts", "is_purchase")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        "user_id", "ts", "is_purchase", "event_id",
-        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
-        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"))
+    carried = _asof_click_carry(load(spark, sf_dir, "events"))
     return (carried.filter(F.col("is_purchase") == 1)
             .select("event_id", "user_id", "ts", "click_id", "click_ts"))
 
@@ -672,30 +680,7 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines on sub-second timestamps), so the boundary row (exactly
     1 h old: kept) is deterministic in both engines.
     """
-    ev = load(spark, sf_dir, "events")
-    clicks = (ev.filter(F.col("event_type") == "click")
-              .groupBy("user_id", "ts")
-              .agg(F.max("event_id").alias("click_id"))
-              .select("user_id", "ts",
-                      F.lit(0).alias("is_purchase"),
-                      F.lit(None).cast("long").alias("event_id"),
-                      "click_id",
-                      F.col("ts").alias("click_ts")))
-    purchases = (ev.filter(F.col("event_type") == "purchase")
-                 .select("user_id", "ts",
-                         F.lit(1).alias("is_purchase"),
-                         "event_id",
-                         F.lit(None).cast("long").alias("click_id"),
-                         F.lit(None).cast(ev.schema["ts"].dataType)
-                         .alias("click_ts")))
-    unioned = clicks.unionByName(purchases)
-    w = (Window.partitionBy("user_id")
-         .orderBy("ts", "is_purchase")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = unioned.select(
-        "user_id", "ts", "is_purchase", "event_id",
-        F.last("click_id", ignorenulls=True).over(w).alias("click_id"),
-        F.last("click_ts", ignorenulls=True).over(w).alias("click_ts"))
+    carried = _asof_click_carry(load(spark, sf_dir, "events"))
     fresh = F.expr(
         "timestampdiff(MICROSECOND, click_ts, ts) <= 3600000000")
     return (carried.filter(F.col("is_purchase") == 1)

@@ -51,9 +51,11 @@ ALLOW = {
                                 # the shard-count aggregate
                                 "graph_pagerank",
                                 "graph_triangle_count",
-                                # 1-row broadcast: the avg-doc-length
-                                # aggregate behind the threshold
-                                "sample_weighted_bernoulli"},
+                                # 1-row broadcasts: the avg-doc-length
+                                # aggregate behind the threshold / the
+                                # digit-count total behind the shares
+                                "sample_weighted_bernoulli",
+                                "profile_benford_digits"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),
@@ -64,7 +66,11 @@ ALLOW = {
 # window/join queries are ordinary batch plans and ARE audited.
 SKIP_NAMES = {"stream_watermark_late", "stream_dedup_stateful",
               "stream_rate_limit", "stream_foreachbatch_retry",
-              "stream_custom_stateful", "stream_session_stateful"}
+              "stream_custom_stateful", "stream_session_stateful",
+              # runs its observed pass eagerly inside fn() and
+              # returns a driver-local metrics row — the returned
+              # plan is a LocalTableScan, not the job's dataflow
+              "scan_observed_metrics"}
 
 
 def plan_of(df) -> str:

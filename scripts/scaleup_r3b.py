@@ -80,15 +80,15 @@ def main() -> None:
             "copy", F.explode(F.sequence(F.lit(0), F.lit(COPIES - 1))))
             .withColumn(key, F.col(key) + F.col("copy") * F.lit(shift)))
         if table == "lineitem":
-            p_shift, s_shift = (
-                df.agg(F.max("l_partkey"), F.max("l_suppkey"))
-                .collect()[0])
+            # NOTE: do not rebind s_shift here — supplier copies must
+            # use the SAME +1 shift so graph vertex ids line up
+            p_shift = df.agg(F.max("l_partkey")).collect()[0][0] + 1
             copies = (copies.withColumn(
                 "l_partkey",
-                F.col("l_partkey") + F.col("copy") * F.lit(p_shift + 1))
+                F.col("l_partkey") + F.col("copy") * F.lit(p_shift))
                 .withColumn(
                 "l_suppkey",
-                F.col("l_suppkey") + F.col("copy") * F.lit(s_shift + 1)))
+                F.col("l_suppkey") + F.col("copy") * F.lit(s_shift)))
         if table == "events":
             user_shift = df.agg(F.max("user_id")).collect()[0][0] + 1
             copies = copies.withColumn(
