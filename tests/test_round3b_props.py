@@ -130,3 +130,82 @@ def test_bfs_levels_match_python_bfs(spark, tmp_path_factory, rows):
     got = {r.node: r.level for r in
            REGISTRY["graph_bfs_levels"].fn(spark, tmp).collect()}
     assert got == level
+
+
+# ------------------------------------------ tolerance as-of vs model
+
+events_strat = st.lists(
+    st.tuples(st.sampled_from(["click", "purchase"]),
+              st.integers(min_value=0, max_value=8000),   # seconds
+              st.integers(min_value=1, max_value=3)),     # user
+    min_size=1, max_size=25)
+
+
+@given(evs=events_strat)
+@_SETTINGS
+def test_asof_tolerance_matches_model(spark, tmp_path_factory, evs):
+    """Generated click/purchase sequences with same-ts collisions and
+    boundary gaps (incl. exactly 3600 s): the operator must match the
+    straight-line 'latest click <= ts, fresh within 1 h' model."""
+    from pyspark.sql import functions as F
+
+    tmp = str(tmp_path_factory.mktemp("asof_prop"))
+    rows = [(i, u, t, off) for i, (t, off, u) in enumerate(evs)]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "off bigint") \
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, cast(off as int), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')")) \
+        .withColumn("value", F.lit(0.0)).drop("off") \
+        .write.mode("overwrite").parquet(f"{tmp}/events.parquet")
+
+    clicks: dict[tuple[int, int], int] = {}
+    for i, u, t, off in rows:
+        if t == "click":
+            k = (u, off)
+            clicks[k] = max(clicks.get(k, -1), i)
+    expect = {}
+    for i, u, t, off in rows:
+        if t != "purchase":
+            continue
+        cand = [(o, cid) for (cu, o), cid in clicks.items()
+                if cu == u and o <= off]
+        if cand:
+            o, cid = max(cand)
+            expect[i] = cid if off - o <= 3600 else None
+        else:
+            expect[i] = None
+    got = {r.event_id: r.click_id for r in
+           REGISTRY["join_asof_tolerance"].fn(spark, tmp).collect()}
+    assert got == expect
+
+
+@given(chars=st.lists(st.integers(min_value=0, max_value=40000),
+                      min_size=1, max_size=30))
+@_SETTINGS
+def test_export_manifest_matches_model(spark, tmp_path_factory, chars):
+    """Generated char-length distributions (incl. 0-char docs and
+    single-doc corpora): shard count and per-shard totals must match
+    the ceil/modulo model."""
+    import math as m
+
+    from open_reaction_database_web_scraper_spark.operators.llmdata4 \
+        import _SHARD_TARGET_CHARS
+
+    tmp = str(tmp_path_factory.mktemp("exp_prop"))
+    rows = [(i, "x" * min(c, 100), "en", "s", c)
+            for i, c in enumerate(chars)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    n_shards = max(1, m.ceil(sum(chars) / _SHARD_TARGET_CHARS))
+    expect: dict[int, list[int]] = {}
+    for i, c in enumerate(chars):
+        sh = i % n_shards
+        n, tot = expect.get(sh, (0, 0))
+        expect[sh] = (n + 1, tot + c)
+    got = {r.shard: (r.n_docs, r.n_chars_total) for r in
+           REGISTRY["export_jsonl_sharded"].fn(spark, tmp).collect()}
+    assert got == expect
