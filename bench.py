@@ -95,6 +95,8 @@ OPTIONAL = [
     "scan_observed_metrics",
     "join_asof_tolerance",
     "profile_benford_digits",
+    "sql_tpch_q7",
+    "sql_tpch_q14",
 ]
 
 

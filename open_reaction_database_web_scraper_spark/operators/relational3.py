@@ -286,3 +286,84 @@ def assoc_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_both") * F.col("n_users")
                             / (F.col("n_a") * F.col("n_b")), 6)
                     .alias("lift")))
+
+
+_Q7_SQL = """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM supplier s
+    JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+    JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    GROUP BY n1.n_name, n2.n_name,
+             CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
+"""
+
+
+@register("sql_tpch_q7", oracle=_Q7_SQL, tags=("sql", "join"))
+def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping between two nations) as RAW SQL —
+    the self-aliased-dimension shape: nation joins in TWICE under
+    different roles (supplier's vs customer's), with a symmetric
+    OR pair predicate that only the pairing of BOTH aliases can
+    resolve (neither scan can push the disjunction alone).
+
+    Scale shape: Catalyst plans the two 25-row nation aliases as
+    independent broadcasts and leaves the residual OR as a join
+    filter AFTER both decodes; the fact side still shuffles only for
+    the big equi-joins. Revenue uses the exact decimal-accumulator
+    idiom (same text both engines); the ship-year is grouped as
+    BIGINT so neither engine's EXTRACT integer width leaks into the
+    schema (reference analog: per-dataset × per-kind tallies,
+    web_scrpaer_2.py:461-462).
+    """
+    from .sql_surface import _register_views
+    _register_views(spark, sf_dir,
+                    ("supplier", "lineitem", "orders", "customer",
+                     "nation"))
+    return spark.sql(_Q7_SQL)
+
+
+_Q14_SQL = """
+    SELECT 100.00
+           * CAST(CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                 THEN CAST(l.l_extendedprice AS DECIMAL(18,4))
+                      * (1 - CAST(l.l_discount AS DECIMAL(18,4)))
+                 ELSE CAST(0 AS DECIMAL(18,4)) END) AS DECIMAL(38,4))
+                  AS DOUBLE)
+           / CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                           * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                       AS DECIMAL(38,4)) AS DOUBLE) AS promo_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+"""
+
+
+@register("sql_tpch_q14", oracle=_Q14_SQL, tags=("sql", "join", "agg"))
+def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion revenue share) as RAW SQL — the
+    conditional-aggregate-over-join shape reduced to ONE global
+    row: a date-sliced fact scan joined to the part dimension, with
+    a CASE-gated numerator and ungated denominator accumulated in
+    the SAME pass (one aggregate, not two queries).
+
+    Scale shape: the shipdate range prunes at the parquet scan
+    (PushedFilters), part joins by AQE choice, and both sums are
+    exact DECIMAL partials merged map-side; each sum is cast to
+    DOUBLE BEFORE the division (Spark's decimal÷decimal truncates
+    by its result-scale rule while DuckDB promotes to double —
+    dividing the doubles is the same IEEE op in both engines, no
+    ROUND tolerance needed).
+    """
+    from .sql_surface import _register_views
+    _register_views(spark, sf_dir, ("lineitem", "part"))
+    return spark.sql(_Q14_SQL)

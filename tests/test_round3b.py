@@ -418,3 +418,15 @@ def test_weighted_sample_huge_doc_id_no_overflow(spark, tmp_path):
     expect = sum(1 for d in (big, 7)
                  if ((d % 4294967296) * 2654435761) % 4294967296 < thr)
     assert rows[0].n_sampled == expect
+
+
+def test_q7_double_nation_broadcast_and_q14_pushdown(spark, sf_dir):
+    """Q7's twice-joined nation dimension must appear as TWO
+    broadcast hash joins (one per role); Q14's shipdate slice must
+    reach the lineitem parquet scan."""
+    q7 = plan_of(spark, sf_dir, "sql_tpch_q7")
+    assert q7.count("BroadcastHashJoin") >= 2, q7
+    assert "CartesianProduct" not in q7
+    q14 = plan_of(spark, sf_dir, "sql_tpch_q14")
+    assert "PushedFilters: [" in q14, q14
+    assert "l_shipdate" in q14.split("PushedFilters")[1][:400], q14
