@@ -97,6 +97,8 @@ OPTIONAL = [
     "profile_benford_digits",
     "sql_tpch_q7",
     "sql_tpch_q14",
+    "sql_tpch_q6",
+    "sql_tpch_q10",
 ]
 
 

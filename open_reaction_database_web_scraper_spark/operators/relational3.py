@@ -367,3 +367,66 @@ def sql_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sql_surface import _register_views
     _register_views(spark, sf_dir, ("lineitem", "part"))
     return spark.sql(_Q14_SQL)
+
+
+_Q6_SQL = """
+    SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * CAST(l_discount AS DECIMAL(18,4)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@register("sql_tpch_q6", oracle=_Q6_SQL, tags=("sql", "agg", "pushdown"))
+def sql_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change) as RAW SQL — the purest
+    pushdown benchmark: no join, one global sum, FOUR conjunctive
+    range predicates that must all reach the parquet scan. At 100 TB
+    this query is entirely I/O-bound on how much the scan can skip
+    (row-group min/max on shipdate/discount/quantity), which is why
+    every engine demo uses it; the plan shows PushedFilters with all
+    four bounds and a two-column ReadSchema.
+    """
+    from .sql_surface import _register_views
+    _register_views(spark, sf_dir, ("lineitem",))
+    return spark.sql(_Q6_SQL)
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l.l_discount AS DECIMAL(18,4))))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-07-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@register("sql_tpch_q10", oracle=_Q10_SQL, tags=("sql", "join", "topk"))
+def sql_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting, top-20 lost-revenue
+    customers) as RAW SQL — the selective-fact double-slice shape: a
+    quarter slice on orders AND a returnflag slice on lineitem both
+    push to their scans BEFORE the three-way join, so the join feeds
+    on two pre-shrunk sides; nation decodes by broadcast and the
+    ORDER BY/LIMIT plans as TakeOrderedAndProject (per-task heaps,
+    no global sort). c_custkey in the sort seals the top-20 cut
+    against revenue ties in both engines.
+    """
+    from .sql_surface import _register_views
+    _register_views(spark, sf_dir,
+                    ("customer", "orders", "lineitem", "nation"))
+    return spark.sql(_Q10_SQL)

@@ -430,3 +430,14 @@ def test_q7_double_nation_broadcast_and_q14_pushdown(spark, sf_dir):
     q14 = plan_of(spark, sf_dir, "sql_tpch_q14")
     assert "PushedFilters: [" in q14, q14
     assert "l_shipdate" in q14.split("PushedFilters")[1][:400], q14
+
+
+def test_q6_pushdown_and_schema_pruning(spark, sf_dir):
+    """Q6's four range predicates must reach the lineitem scan and
+    the scan must read only the three touched columns."""
+    plan = plan_of(spark, sf_dir, "sql_tpch_q6")
+    pushed = plan.split("PushedFilters")[1][:500]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+    schema = plan.split("ReadSchema")[1][:300]
+    assert "l_extendedprice" in schema and "l_orderkey" not in schema, plan
