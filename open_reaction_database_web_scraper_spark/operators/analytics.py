@@ -24,13 +24,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.numeric import dsum, dsum_sql
+from ..functions.numeric import dsum_sql
 from ..registry import register
 
 
-@register(
-    "event_funnel",
-    oracle="""
+# Shared with stream_funnel_stateful (streaming/jobs.py): the
+# stream converges to exactly this batch row.
+FUNNEL_ORACLE_SQL = """
     WITH e1 AS (
       SELECT user_id, event_type, ts,
              MIN(CASE WHEN event_type = 'view' THEN ts END)
@@ -57,7 +57,12 @@ from ..registry import register
            COUNT(t_click) AS n_clicked,
            COUNT(t_purchase) AS n_purchased
     FROM per_user
-    """,
+    """
+
+
+@register(
+    "event_funnel",
+    oracle=FUNNEL_ORACLE_SQL,
     tags=("analytics", "window"),
 )
 def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -84,16 +84,23 @@ def strip_shared_blocks(docs: DataFrame) -> DataFrame:
     """Core of the boilerplate strip (shared with the
     pipeline_clean_corpus capstone): (doc_id, text) in →
     (doc_id, clean_text) out for docs with ≥1 surviving block —
-    callers left-join and COALESCE('') for fully-stripped docs."""
+    callers left-join and COALESCE('') for fully-stripped docs.
+
+    Known cost: the chunk stream feeds BOTH the shared-count
+    aggregate and the anti-join probe side, and the two branches
+    project differently, so Catalyst cannot reuse the exchange —
+    tokenize/slice/hash runs twice per query. At the 100 TB posture
+    a production run would persist (or checkpoint) the hashed chunk
+    stream between the two uses; kept un-materialized here so the
+    registered query stays a single pipelined job."""
     toks = docs.select("doc_id", F.split("text", " ").alias("toks"))
-    n_blocks = (F.size("toks") + _BW - 1).cast("long") / F.lit(_BW)
+    n_blocks = F.expr(f"(size(toks) + {_BW} - 1) DIV {_BW}").cast("int")
     chunks = (toks.select(
         "doc_id",
         F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.floor(n_blocks).cast("int") - 1),
+            F.sequence(F.lit(0), n_blocks - 1),
             lambda i: F.array_join(
                 F.slice("toks", i * _BW + 1, _BW), " "))))
-        .withColumnRenamed("pos", "pos")
         .withColumnRenamed("col", "chunk")
         .withColumn("h", F.xxhash64("chunk")))
     shared = (chunks.groupBy("h")
@@ -171,7 +178,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tagged AS (
       SELECT lang, n_chars,
-             CASE WHEN (doc_id * 2654435761) % 4294967296 % 10 < 9
+             CASE WHEN ((doc_id % 65536) * 2654435761
+                        + ((doc_id // 65536) % 65536) * 2041643008)
+                       % 4294967296 % 10 < 9
                   THEN 'train' ELSE 'test' END AS split
       FROM documents
     )
@@ -189,18 +198,27 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     The assignment is a Knuth multiplicative hash of the doc id
     (doc_id x 2654435761 mod 2³², then mod 10) — decorrelated from
     any id-ordering pattern, unlike the raw ``doc_id % 10``
-    sample_deterministic_mod uses, yet still exact 64-bit integer
-    arithmetic both engines (and any future engine) reproduce
-    bit-for-bit. That determinism is the point: re-running the split
-    on a 100 TB corpus — or on one shard of it — lands every doc on
-    the same side, so train/test never leak across runs and the
-    split needs no persisted assignment table. One map-side-combined
-    hash aggregate; nothing shuffles but (lang, split) partials.
+    sample_deterministic_mod uses. The product is evaluated by
+    SPLIT MULTIPLY (lo16·C + hi16·(C·2¹⁶ mod 2³²) — identical by
+    modular arithmetic, same trick as sample_weighted_bernoulli):
+    the direct doc_id·C form overflows int64 at doc_id ≈ 3.5e9,
+    where DuckDB hard-errors and non-ANSI Spark silently wraps
+    negative — and a negative % lands every overflowed id in
+    'train', quietly destroying the 90/10 ratio at exactly the
+    corpus scale this docstring targets. Split-multiplied, the
+    arithmetic is exact 64-bit integer both engines reproduce
+    bit-for-bit at any id. Re-running the split on a 100 TB corpus
+    — or on one shard of it — lands every doc on the same side, so
+    train/test never leak across runs and the split needs no
+    persisted assignment table. One map-side-combined hash
+    aggregate; nothing shuffles but (lang, split) partials.
     """
     docs = load(spark, sf_dir, "documents")
+    # 2041643008 == (2654435761 * 65536) % 2^32
     split = F.when(
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-        % 10 < 9, "train").otherwise("test")
+        F.expr("((doc_id % 65536) * 2654435761"
+               " + ((doc_id DIV 65536) % 65536) * 2041643008)"
+               " % 4294967296") % 10 < 9, "train").otherwise("test")
     return (docs.select("lang", "n_chars", split.alias("split"))
             .groupBy("lang", "split")
             .agg(F.count("*").alias("n_docs"),

@@ -113,10 +113,14 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = (load(spark, sf_dir, "part")
            .select("p_retailprice", "p_size").distinct())
     # Fixed clamped band domain (num_histogram_fixed convention):
-    # TPC-H retail prices live in [900, 2100); 16 bands of 75.
+    # the driver's retail prices live in [900, 1000); 16 bands of
+    # 6.25 so the banded sweep actually spreads over all 16
+    # partitions (the earlier 75-wide bands assumed TPC-H's
+    # [900, 2100) domain and collapsed onto 2 bands here). Any
+    # monotone clamped banding is correctness-neutral.
     n_bands = 16
     band = F.least(
-        F.greatest(F.floor((F.col("p_retailprice") - 900.0) / 75.0),
+        F.greatest(F.floor((F.col("p_retailprice") - 900.0) / 6.25),
                    F.lit(0)),
         F.lit(n_bands - 1)).alias("band")
     pts = pts.select("p_retailprice", "p_size", band)
@@ -135,9 +139,10 @@ def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry = band_max.select(
         "band", F.max("bmax").over(lower).alias("carry_max"))
 
+    # greatest() already skips NULL arguments, so one -1 fallback
+    # (first row of band 0: both sides NULL) is the only case left.
     dominated = (F.coalesce(
-        F.greatest(F.col("run_max"), F.col("carry_max")),
-        F.col("run_max"), F.col("carry_max"), F.lit(-1))
+        F.greatest(F.col("run_max"), F.col("carry_max")), F.lit(-1))
         >= F.col("p_size"))
     return (swept.join(F.broadcast(carry), "band", "left")
             .filter(~dominated)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.numeric import dsum, dsum_sql
+from ..functions.numeric import davg, dsum_sql
 from ..registry import register
 
 
@@ -91,9 +91,7 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     hourly = (ev.groupBy("event_type",
                          F.date_trunc("hour", F.col("ts")).alias("h"))
-              .agg((F.sum(F.col("value").cast("decimal(18,4)"))
-                    .cast("double")
-                    / F.count("value")).alias("v")))
+              .agg(davg("value").alias("v")))
     spine = (hourly.groupBy("event_type")
              .agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
              .select("event_type",
@@ -233,11 +231,13 @@ def win_streak_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT e.event_id, e.event_type, e.value,
            ROUND((e.value - m.s1 / m.n)
-                 / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n)),
+                 / sqrt(GREATEST(
+                     m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 0.0)),
                  4) AS z
     FROM events e JOIN m ON e.event_type = m.event_type
     WHERE ABS((e.value - m.s1 / m.n)
-              / sqrt(m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n))) > 3
+              / sqrt(GREATEST(
+                  m.s2 / m.n - (m.s1 / m.n) * (m.s1 / m.n), 0.0))) > 3
     """,
     tags=("timeseries", "stats"),
 )
@@ -267,8 +267,18 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.sum(dec * dec).cast("decimal(38,4)").cast("double")
               .alias("s2")))
     mean = F.col("s1") / F.col("n")
-    z = ((F.col("value") - mean)
-         / F.sqrt(F.col("s2") / F.col("n") - mean * mean))
+    # Constant-group guards: (1) clamp the variance at 0 — exact
+    # sums can land a 1-ULP-negative double after s2/n - mean²,
+    # where DuckDB's sqrt ERRORS and Spark's returns NaN (and NaN
+    # compares greater than 3, emitting every row of the group);
+    # (2) divide with try_divide — under ANSI (this session's
+    # default) a plain /0 on the zero-variance group kills the job,
+    # while try_divide yields NULL, matching DuckDB's NULL, and the
+    # filter drops the group.
+    z = F.try_divide(
+        F.col("value") - mean,
+        F.sqrt(F.greatest(
+            F.col("s2") / F.col("n") - mean * mean, F.lit(0.0))))
     return (ev.join(F.broadcast(m), "event_type")
             .filter(F.abs(z) > 3)
             .select("event_id", "event_type", "value",
@@ -332,7 +342,8 @@ def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
      AND CAST(epoch_us(p.ts) AS DOUBLE)
            >= CAST(epoch_us(v.ts) AS DOUBLE)
      AND CAST(epoch_us(p.ts) AS DOUBLE)
-           < CAST(epoch_us(v.ts) AS DOUBLE) + v.value * 60000000.0
+           < CAST(epoch_us(v.ts) AS DOUBLE)
+             + LEAST(v.value, 1440.0) * 60000000.0
     GROUP BY v.event_id
     """,
     tags=("join", "interval"),
@@ -347,11 +358,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     form — each interval replicates to every hour bucket it covers
     (``sequence`` over its own span), while the instant side keeps
     its single bucket, so every true pair meets in EXACTLY one
-    (user, bucket) cell and no dedup is needed. Replication cost is
-    interval length / bucket width — data-dependent but bounded by
-    the longest window (~8 h here → ≤9 buckets), never by row count;
-    the join itself stays a plain shuffled equi-join on (user_id,
-    bucket) with the containment predicate as residual.
+    (user, bucket) cell and no dedup is needed. Window length is
+    CLAMPED at 24 h in the semantics (oracle too): without the
+    clamp, one corrupt duration row would make ``sequence`` build a
+    multi-million-element array and OOM its executor — the
+    replication bound must be enforced, not assumed (real data here
+    tops out ~8 h → ≤9 buckets, unchanged by the clamp); the join
+    itself stays a plain shuffled equi-join on (user_id, bucket)
+    with the containment predicate as residual.
 
     Time arithmetic parity: both sides compare exact epoch-microsec
     integers lifted to DOUBLE (all < 2^53, so exact) and the only
@@ -368,7 +382,14 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("event_id").alias("view_id"),
                      "user_id",
                      us.alias("v_us"),
-                     (us + F.col("value") * 60000000.0).alias("v_end")))
+                     # clamp [0, 1440] min: a negative corrupt value
+                     # would otherwise make sequence() DESCEND over
+                     # an unbounded bucket range (empty window either
+                     # way — the oracle's negative v_end matches no
+                     # purchase)
+                     (us + F.greatest(
+                         F.least(F.col("value"), F.lit(1440.0)),
+                         F.lit(0.0)) * 60000000.0).alias("v_end")))
     views = views.withColumn(
         "bkt",
         F.explode(F.sequence(

@@ -15,7 +15,9 @@ seen-set dedup (:422), politeness rate limit (:459).
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import time
 import uuid
@@ -24,12 +26,47 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
+from ..operators.analytics import FUNNEL_ORACLE_SQL
 from ..registry import register
 
 # Raw parquet schema of the chunk files we write (ts kept as NTZ —
 # we rewrite the chunks ourselves, so no nanos issue on re-read).
 _EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
                   "event_type string, value double, props string")
+
+
+_TMPDIRS: list[str] = []
+
+
+def _tmpdir(prefix: str) -> str:
+    """mkdtemp that is actually cleaned up: every streaming job used
+    to leak its chunk/checkpoint/sink dirs (each holding a copy of
+    the events table) into /tmp on every invocation — repeated
+    sweeps accumulated unbounded copies of the dataset. Registered
+    for removal at interpreter exit."""
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _TMPDIRS:
+        atexit.register(_cleanup_tmpdirs)
+    _TMPDIRS.append(d)
+    return d
+
+
+def _cleanup_tmpdirs() -> None:
+    for d in _TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def _events_stream(spark: SparkSession, src: str,
+                   cast_ltz: bool = False) -> DataFrame:
+    """The shared replay-source contract: schema-pinned file stream,
+    one chunk file per micro-batch (single-sourced here — it was
+    repeated at every job). ``cast_ltz`` converts ts NTZ→LTZ for
+    jobs that need watermarks (event-time requires TIMESTAMP)."""
+    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    if cast_ltz:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
@@ -48,7 +85,7 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
             dup = dup.unionByName(ev)
         ev = dup
     chunk = F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
-    out = tempfile.mkdtemp(prefix="ordspark_stream_src_")
+    out = _tmpdir("ordspark_stream_src_")
     chunked = ev.withColumn("chunk", chunk)
     # Parquet part files get UUID names, so chunk order can't be
     # recovered from filenames afterwards — record which file each
@@ -95,10 +132,7 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     passes its end. Replayed over 4 time-ordered micro-batches; the
     returned frame is every finalized window."""
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    # Watermarks require TIMESTAMP (with zone); NTZ → LTZ cast.
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, src, cast_ltz=True)
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
            .agg(F.count("*").alias("cnt"))
@@ -121,9 +155,7 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``dropDuplicates`` state. Result equals the batch distinct
     counts: the duplicate deliveries are absorbed by state."""
     src = _chunked_events_dir(spark, sf_dir, copies=2)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    stream = _events_stream(spark, src, cast_ltz=True)
     deduped = (stream.withWatermark("ts", "1 hour")
                .dropDuplicates(["event_id"])
                .groupBy("event_type").agg(F.count("*").alias("n_unique")))
@@ -144,8 +176,7 @@ def stream_rate_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
     source throttling. Returns (n_batches, total_rows): 4 batches of
     one chunk file each."""
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _events_stream(spark, src)
     batches: list[tuple[int, int]] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -178,16 +209,13 @@ def stream_foreachbatch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
     are routed to a dead-letter sink instead of poisoning the batch.
     Returns (outcome, n_rows) counts across the whole stream."""
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
-    good_dir = tempfile.mkdtemp(prefix="ordspark_fb_good_")
-    dead_dir = tempfile.mkdtemp(prefix="ordspark_fb_dead_")
-    attempts: dict[int, int] = {}
+    stream = _events_stream(spark, src)
+    good_dir = _tmpdir("ordspark_fb_good_")
+    dead_dir = _tmpdir("ordspark_fb_dead_")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         max_retries = 3
         for attempt in range(1, max_retries + 1):
-            attempts[batch_id] = attempt
             try:
                 bad = batch_df.filter(F.col("event_type") == "error")
                 # Simulated transient failure: batches containing
@@ -206,14 +234,24 @@ def stream_foreachbatch_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     q = (stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="ordspark_fb_ckpt_"))
+                 _tmpdir("ordspark_fb_ckpt_"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
     good = spark.read.schema(_EVENTS_SCHEMA).parquet(good_dir)
     dead = spark.read.schema(_EVENTS_SCHEMA).parquet(dead_dir)
-    return (good.select(F.lit("processed").alias("outcome"))
-            .unionByName(dead.select(F.lit("dead_letter").alias("outcome")))
-            .groupBy("outcome").agg(F.count("*").alias("n_rows")))
+    counts = (good.select(F.lit("processed").alias("outcome"))
+              .unionByName(dead.select(F.lit("dead_letter")
+                                       .alias("outcome")))
+              .groupBy("outcome").agg(F.count("*").alias("n_rows")))
+    # The oracle's COUNT(*) branches emit a row even at zero; an
+    # outcome with no rows must still report n_rows=0, not vanish
+    # (an all-clean or all-error replay would otherwise row-count
+    # mismatch).
+    outcomes = spark.createDataFrame(
+        [("processed",), ("dead_letter",)], "outcome string")
+    return (outcomes.join(counts, "outcome", "left")
+            .select("outcome",
+                    F.coalesce("n_rows", F.lit(0)).alias("n_rows")))
 
 
 @register(
@@ -238,8 +276,7 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _events_stream(spark, src)
 
     def update(key, pdfs, state: GroupState):
         # Exact accumulation: values are ≤2-decimal, so a 1e-4-scaled
@@ -274,7 +311,12 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_session_stateful",
     oracle="""
-    WITH mx AS (SELECT MAX(ts) AS m FROM events),
+    -- Spark's EventTimeWatermarkExec floors the observed max event
+    -- time to MILLISECONDS before subtracting the delay; mirror that
+    -- here, or a session ending in the sub-ms gap flakes the diff.
+    WITH mx AS (SELECT make_timestamp(
+                    (epoch_us(MAX(ts)) // 1000) * 1000) AS m
+                FROM events),
     marked AS (
       SELECT user_id, ts,
              CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -309,9 +351,7 @@ def stream_session_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark (max event time − 10 min) — in-order replay finalizes
     exactly those."""
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src)
-              .withColumn("ts", F.col("ts").cast("timestamp")))
+    stream = _events_stream(spark, src, cast_ltz=True)
     agg = (stream.withWatermark("ts", "10 minutes")
            .groupBy(F.session_window("ts", "30 minutes").alias("w"),
                     "user_id")
@@ -373,34 +413,7 @@ def fold_funnel_state(state: tuple, pdfs) -> tuple:
 
 @register(
     "stream_funnel_stateful",
-    oracle="""
-    WITH e1 AS (
-      SELECT user_id, event_type, ts,
-             MIN(CASE WHEN event_type = 'view' THEN ts END)
-               OVER (PARTITION BY user_id) AS t_view
-      FROM events
-    ), e2 AS (
-      SELECT *, MIN(CASE WHEN event_type = 'click' AND ts > t_view
-                         THEN ts END)
-                  OVER (PARTITION BY user_id) AS t_click
-      FROM e1
-    ), e3 AS (
-      SELECT user_id, t_view, t_click,
-             MIN(CASE WHEN event_type = 'purchase' AND ts > t_click
-                      THEN ts END)
-               OVER (PARTITION BY user_id) AS t_purchase
-      FROM e2
-    ), per_user AS (
-      SELECT user_id, MAX(t_view) AS t_view, MAX(t_click) AS t_click,
-             MAX(t_purchase) AS t_purchase
-      FROM e3 GROUP BY user_id
-    )
-    SELECT COUNT(*) AS n_users,
-           COUNT(t_view) AS n_viewed,
-           COUNT(t_click) AS n_clicked,
-           COUNT(t_purchase) AS n_purchased
-    FROM per_user
-    """,
+    oracle=FUNNEL_ORACLE_SQL,
     tags=("streaming", "stateful", "analytics"),
 )
 def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,8 +437,7 @@ def stream_funnel_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _events_stream(spark, src)
 
     def update(key, pdfs, state: GroupState):
         t_view, t_click, t_purch = fold_funnel_state(
@@ -495,8 +507,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _events_stream(spark, src)
 
     def update(key, pdfs, state: GroupState):
         best = state.get if state.exists else None  # (us, id, type, val)
@@ -571,7 +582,7 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the converged result — the oracle is the flat batch aggregate.
     """
     src = _chunked_events_dir(spark, sf_dir)
-    state = tempfile.mkdtemp(prefix="ordspark_incr_state_")
+    state = _tmpdir("ordspark_incr_state_")
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         (batch_df.groupBy("event_type")
@@ -581,12 +592,11 @@ def stream_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
          .coalesce(1)
          .write.mode("overwrite").parquet(f"{state}/batch={batch_id}"))
 
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _events_stream(spark, src)
     q = (stream.writeStream.foreachBatch(handle)
          .trigger(availableNow=True)
          .option("checkpointLocation",
-                 tempfile.mkdtemp(prefix="ordspark_incr_ckpt_"))
+                 _tmpdir("ordspark_incr_ckpt_"))
          .start())
     q.awaitTermination()
 
@@ -630,8 +640,7 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                .groupBy("user_id")
                .agg(F.count("*").alias("lifetime_events")))
     src = _chunked_events_dir(spark, sf_dir)
-    stream = (spark.readStream.schema(_EVENTS_SCHEMA)
-              .option("maxFilesPerTrigger", 1).parquet(src))
+    stream = _events_stream(spark, src)
     joined = (stream.filter(F.col("event_type") == "purchase")
               .join(profile, "user_id")
               .select("event_id", "user_id", "lifetime_events"))

@@ -28,7 +28,7 @@ T0 = datetime(2024, 1, 1)
 
 
 # (price-cents, size) — tight domains force duplicates and
-# band-boundary collisions (bands are 75 wide starting at 900)
+# band-boundary collisions (bands are 6.25 wide starting at 900)
 points = st.lists(
     st.tuples(st.integers(min_value=90000, max_value=94500),
               st.integers(min_value=1, max_value=6)),

@@ -441,3 +441,82 @@ def test_q6_pushdown_and_schema_pruning(spark, sf_dir):
         assert col in pushed, plan
     schema = plan.split("ReadSchema")[1][:300]
     assert "l_extendedprice" in schema and "l_orderkey" not in schema, plan
+
+
+# -------------------------------------- tranche-1 review regressions
+
+def test_zscore_constant_group_emits_nothing(spark, tmp_path):
+    """A constant-valued event type's variance can land 1 ULP below
+    zero; unclamped, DuckDB's sqrt errors and Spark emits the whole
+    group with z=NaN. Clamped, both drop the group."""
+    rows = [(i, 7, "ping", 0.05) for i in range(4)] + \
+           [(10, 8, "buy", 1.0), (11, 8, "buy", 100.0)]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "value double") \
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, cast(event_id as int), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = run("anomaly_zscore", spark, str(tmp_path)).collect()
+    assert all(r.event_type != "ping" for r in got)
+    import math as m
+    assert all(not m.isnan(r.z) for r in got)
+
+
+def test_split_huge_doc_id_no_overflow(spark, tmp_path):
+    """doc_id past 2^32 overflowed the direct Knuth product (DuckDB
+    error / Spark silent negative-wrap into 'train'); split-multiply
+    must assign by the true hash."""
+    big = 2**41 + 99
+    spark.createDataFrame(
+        [(big, "doc one text", "en", "s", 12),
+         (3, "doc two text", "en", "s", 12)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    got = {(r.lang, r.split): r.n_docs for r in
+           run("split_train_test", spark, str(tmp_path)).collect()}
+    expect: dict[tuple[str, str], int] = {}
+    for d in (big, 3):
+        s = "train" if ((d % 4294967296) * 2654435761) \
+            % 4294967296 % 10 < 9 else "test"
+        expect[("en", s)] = expect.get(("en", s), 0) + 1
+    assert got == expect
+
+
+def test_interval_overlap_corrupt_duration_clamped(spark, tmp_path):
+    """A 5e8-minute 'view' would explode into ~8M hour buckets
+    unclamped; the 24 h clamp keeps it to <=25 buckets and a
+    negative duration matches nothing."""
+    rows = [(1, 7, "view", 5e8), (2, 7, "purchase", 0.0),
+            (3, 9, "view", -30.0), (4, 9, "purchase", 0.0)]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "value double") \
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, cast(event_id as int), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.view_id: r.n_purchases for r in
+           run("join_interval_overlap", spark, str(tmp_path)).collect()}
+    # view 1's (clamped) 24 h window still contains purchase 2;
+    # view 3's negative window contains nothing
+    assert got == {1: 1}
+
+
+def test_foreachbatch_retry_reports_zero_outcomes(spark, tmp_path):
+    """A replay with no 'error' rows must still report BOTH outcome
+    rows (dead_letter=0) — the oracle's COUNT(*) branches always
+    emit a row, and so must the stream's summary."""
+    rows = [(i, 7, "view", 0.0, None) for i in range(6)]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "value double, props string") \
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, cast(event_id as int), "
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00')")) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {r.outcome: r.n_rows for r in
+           run("stream_foreachbatch_retry", spark, str(tmp_path)).collect()}
+    assert got == {"processed": 6, "dead_letter": 0}
