@@ -12,7 +12,6 @@ the container has no image/audio libraries — behind
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Iterator
 
 import pandas as pd
@@ -21,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .scans import _sink_dir
 
 ASSET_SCHEMA = ("asset_id bigint, payload binary, "
                 "meta struct<fmt: string, n_bytes: long, source: string>")
@@ -69,7 +69,10 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = assets_frame(spark, sf_dir)
 
     # Parquet round-trip: binary + nested struct must survive the sink.
-    out = tempfile.mkdtemp(prefix="ordspark_multimodal_")
+    # _sink_dir: stable per-process path, overwritten in place and
+    # cleaned at exit — a bare mkdtemp leaked a full parquet copy of
+    # the assets table on every invocation
+    out = _sink_dir("multimodal_columns")
     assets.write.mode("overwrite").parquet(out)
     back = spark.read.schema(ASSET_SCHEMA).parquet(out)
 
@@ -159,7 +162,10 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            resized = [p[:: max(1, len(p) // budget)] if p else b""
+            # ceil-division stride: floor let any payload under 2x
+            # the budget pass through whole (stride 1) and overshoot
+            # up to ~2x elsewhere; ceil caps output at the budget
+            resized = [p[:: max(1, -(-len(p) // budget))] if p else b""
                        for p in pdf["payload"]]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -203,8 +209,15 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one stage a real codec would own), then the engine's
     simhash-style scale shape ENTIRELY JVM-side: each signature
     splits into 4 16-bit bands, candidates meet in a band-equality
-    self-join (near-dups within Hamming ≤ 6 share ≥ 1 exact band by
-    pigeonhole over 4 bands), and ``bit_count(xor)`` verifies.
+    self-join, and ``bit_count(xor)`` verifies against the Hamming-6
+    threshold. Recall contract, stated precisely: pigeonhole over 4
+    bands guarantees a shared band only for Hamming ≤ 3; pairs at
+    distance 4-6 are found unless their flipped bits spread across
+    all four bands — the standard probabilistic-recall trade every
+    banded-LSH scheme makes (guaranteeing 6 needs ≥ 7 bands, whose
+    9-bit buckets would explode candidate occupancy). A production
+    sweep raises recall by re-banding with rotated boundaries, same
+    as dedup_embed_cosine's OR-amplified tables.
 
     Nothing quadratic: pair work is bounded by band-bucket occupancy
     (the LSH property), the exchange carries (16-bit band, 8-byte

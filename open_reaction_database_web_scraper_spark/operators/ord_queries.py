@@ -56,8 +56,12 @@ def ord_dataset_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     capture files summed — web_scrpaer_2.py:461-462 on real data,
     cross-checked against DuckDB's JSON reader."""
     rx = read_ord_documents(spark, GOLDEN_GLOB)
+    # count reaction_pos, not reaction_id: the oracle counts array
+    # ELEMENTS (len(rx)), and a failure record without a reaction_id
+    # is still an element — only the posexplode_outer empty-dataset
+    # placeholder (reaction_pos NULL) must not count.
     return rx.groupBy("dataset_id").agg(
-        F.count("reaction_id").alias("total_reactions"),
+        F.count("reaction_pos").alias("total_reactions"),
         F.coalesce(F.sum(F.when(F.col("success"), 1)), F.lit(0))
         .alias("successful_scrapes"))
 

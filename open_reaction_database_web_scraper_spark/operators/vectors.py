@@ -188,6 +188,19 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of the full corpus.
     """
     queries, corpus = _queries_and_corpus(spark, sf_dir)
+    # Spherical k-means: normalize BEFORE assignment so the argmax-dot
+    # cell choice is genuinely "nearest by angle" — on raw vectors the
+    # largest-norm centroid swallows most of a skewed-norm corpus
+    # (assignment by dot, update by L2 mean = two different
+    # objectives; cells collapse and probing loses its pruning).
+    # Cosine scoring downstream is scale-invariant, so normalized
+    # vectors change cell shapes, not result values.
+    corpus = corpus.withColumn("nrm", l2_norm(F.col("c"))).select(
+        "neighbor_id",
+        F.transform("c", lambda x: x / F.col("nrm")).alias("c"))
+    queries = queries.withColumn("nrm", l2_norm(F.col("q"))).select(
+        "query_id",
+        F.transform("q", lambda x: x / F.col("nrm")).alias("q"))
 
     # --- train: deterministic seeds + one distributed Lloyd step.
     seeds = (corpus.orderBy("neighbor_id").limit(N_CELLS)
@@ -278,10 +291,15 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-normalize ONCE per vector: the pair stage then scores with
     # a bare dot product instead of dot/(|a||b|) — at ~16 candidates
     # per vector per table that triples the rerank's arithmetic
-    # otherwise (each pair re-derives both norms)
-    emb = emb.select(
-        "vec_id", "e",
-        F.transform("e", lambda x: x / l2_norm(F.col("e"))).alias("en"))
+    # otherwise (each pair re-derives both norms). The norm is
+    # materialized as its own column FIRST: referencing l2_norm("e")
+    # inside the transform lambda would re-evaluate the whole
+    # aggregate fold per ELEMENT (Spark doesn't hoist loop-invariant
+    # subtrees out of HOF lambdas) — O(d²) per row instead of O(d).
+    emb = (emb.withColumn("nrm", l2_norm(F.col("e")))
+           .select("vec_id", "e",
+                   F.transform("e", lambda x: x / F.col("nrm"))
+                   .alias("en")))
     bits = min(max(int(math.ceil(math.log2(max(n, 2)
                                            / DEDUP_TARGET_BUCKET))),
                    DEDUP_MIN_BITS), DEDUP_MAX_BITS)
@@ -351,7 +369,15 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     in tests/test_vectors.py.
     """
     queries, corpus = _queries_and_corpus(spark, sf_dir)
-    dim = 64
+    # Derive the embedding width from the data (one first() on the
+    # scan — bounded metadata, same posture as the IVF centroid
+    # collect). Hardcoding 64 made any other corpus silently slice
+    # past the array end: NULL subvector distances, empty ADC join,
+    # recall collapse with no error.
+    dim = corpus.select(F.size("c").alias("d")).first()["d"]
+    if dim is None or dim % PQ_M != 0:
+        raise ValueError(
+            f"vector_ann_pq requires dim divisible by {PQ_M}, got {dim}")
     sub = dim // PQ_M
 
     # --- train: seeds (first PQ_K corpus vectors), one Lloyd step.

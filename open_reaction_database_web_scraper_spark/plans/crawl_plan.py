@@ -92,9 +92,19 @@ def _dataset_ordinal(reactions: DataFrame) -> DataFrame:
 def _reaction_ordinal(df: DataFrame) -> DataFrame:
     """1-based reaction ordinal within each dataset, by ingestion
     position (reaction_pos) — the reference's listing order within a
-    dataset (web_scrpaer_2.py:445)."""
+    dataset (web_scrpaer_2.py:445).
+
+    The bronze grain keeps EMPTY datasets as a single
+    reaction_pos=NULL row (posexplode_outer); that placeholder must
+    get a NULL ordinal, not row_number 1 — otherwise any reaction
+    slice covering ordinal 1 emits a phantom reaction for every
+    empty dataset (the reference's loop body simply never runs
+    there)."""
     w = Window.partitionBy("dataset_id").orderBy("reaction_pos")
-    return df.withColumn("reaction_ord", F.row_number().over(w))
+    return df.withColumn(
+        "reaction_ord",
+        F.when(F.col("reaction_pos").isNotNull(),
+               F.row_number().over(w)))
 
 
 def _between(ord_col: str, start: int | None, end: int | None) -> F.Column:

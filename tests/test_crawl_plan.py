@@ -77,3 +77,25 @@ def test_mode_single_target(spark, reactions):
 def test_unknown_mode_rejected():
     with pytest.raises(ValueError):
         CrawlPlan(mode="mode7")
+
+
+def test_empty_dataset_placeholder_not_sliced_as_reaction_one(spark):
+    """The bronze grain keeps empty datasets as one reaction_pos=NULL
+    row (posexplode_outer); a reaction slice covering ordinal 1 must
+    NOT emit that placeholder as a phantom reaction (the reference's
+    per-reaction loop never runs on an empty dataset)."""
+    rows = [("dsA", 0, "ord-A-0", True),
+            ("dsA", 1, "ord-A-1", True),
+            ("dsEmpty", None, None, None)]
+    reactions = spark.createDataFrame(
+        rows, "dataset_id string, reaction_pos int, reaction_id string, "
+              "success boolean")
+    plan = CrawlPlan(mode="uniform_range", dataset_start=1,
+                     dataset_end=10, reaction_start=1, reaction_end=1)
+    got = _got(apply_plan(reactions, plan))
+    assert got == [("dsA", "ord-A-0")]
+    # whole-dataset mode still carries the empty-dataset record
+    plan2 = CrawlPlan(mode="specific_datasets",
+                      dataset_ids=("dsA", "dsEmpty"))
+    got2 = _got(apply_plan(reactions, plan2))
+    assert ("dsEmpty", None) in got2
