@@ -129,6 +129,12 @@ def main() -> None:
         except Exception:
             pass  # a warm-up failure surfaces in the timed run
 
+    # Drop caches left by the warm-up pass (a few ops cache small
+    # reused intermediates, e.g. minhash signatures) so no query's
+    # timed run inherits another's pinned storage — and so leftover
+    # cached blocks can't accumulate across the ~60-query sweep and
+    # perturb late queries via eviction pressure.
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
@@ -137,6 +143,7 @@ def main() -> None:
         # Materialize every row and column without collecting payloads.
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

@@ -49,9 +49,13 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql queries."""
-    for t in TABLES:
+def register_views(spark: SparkSession, sf_dir: str,
+                   tables: tuple[str, ...] = TABLES) -> None:
+    """(Re-)bind temp views for ``tables`` at ``sf_dir`` for
+    spark.sql queries. Idempotent and metadata-only; scans still
+    prune columns and push filters exactly as the DataFrame path
+    does."""
+    for t in tables:
         load(spark, sf_dir, t).createOrReplaceTempView(t)
 
 

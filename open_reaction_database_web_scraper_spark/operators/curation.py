@@ -82,7 +82,8 @@ def interleave_sources_weighted(spark: SparkSession,
 
 
 PACK_BUDGET = 2048   # character budget per packed training sequence
-PACK_SHARDS = 8      # parallel packing shards per language
+PACK_SHARDS = 8          # minimum packing shards per language
+PACK_GROUP_DOCS = 50_000  # target docs per (lang, shard) pandas group
 
 
 def _pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -122,15 +123,26 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     over (lang, shard) groups — the one place a Pandas UDF is the
     honest tool. Scale comes from the SHARD axis, not the group
     scan: docs are sharded by a hash of doc_id, each shard packs
-    independently in O(|shard|), and PACK_SHARDS scales with the
-    cluster (waste is bounded: ≤ one partial bin per shard). The
+    independently in O(|shard|), and the shard COUNT follows the
+    corpus size (docs / PACK_GROUP_DOCS, min PACK_SHARDS) so a
+    group's pandas frame stays bounded at any scale (waste is
+    bounded: ≤ one partial bin per shard). The
     returned frame is the per-bin rollup; bin membership itself is
     property-tested (every doc exactly once, no bin over budget
     unless a single oversized doc, deterministic across runs).
     """
-    docs = load(spark, sf_dir, "documents").select(
+    base = load(spark, sf_dir, "documents")
+    # Shard count derives from the corpus (ceil(n/PACK_GROUP_DOCS),
+    # floored at PACK_SHARDS): applyInPandas materializes each
+    # (lang, shard) group as ONE in-memory pandas frame, so a FIXED
+    # shard count means group size grows with the corpus until the
+    # Arrow collection OOMs — the bound must follow the data. One
+    # count() scalar (bounded driver state, IVF-centroid posture).
+    n_docs = base.count()
+    n_shards = max(PACK_SHARDS, -(-n_docs // PACK_GROUP_DOCS))
+    docs = base.select(
         "doc_id", "lang", "n_chars",
-        F.pmod(F.xxhash64("doc_id"), F.lit(PACK_SHARDS)).cast("int")
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
         .alias("shard"))
     packed = (docs.groupBy("lang", "shard")
               .applyInPandas(_pack_group, _PACK_SCHEMA))

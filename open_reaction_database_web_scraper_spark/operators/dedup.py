@@ -42,11 +42,17 @@ def _shingles(tokens: F.Column) -> F.Column:
 
 
 def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs."""
+    """(doc_id, shingle) pairs, duplicates KEPT: the only consumer
+    (minhash_signatures) reduces by per-doc MIN, which is
+    duplicate-insensitive — min over the multiset equals min over
+    the set — so an explicit distinct() here would add a full
+    exchange of 3-word shingle STRINGS for nothing (at 100 TB that
+    text shuffle would dominate the whole minhash job; without it
+    the explode feeds the map-side-combined min partials directly
+    and only 8-byte partial signatures ever shuffle)."""
     docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
-    return (docs.select("doc_id",
-                        F.explode(_shingles(_tokens())).alias("shingle"))
-            .distinct())
+    return docs.select("doc_id",
+                       F.explode(_shingles(_tokens())).alias("shingle"))
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,7 +139,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bitwise majority vote), candidates via 16-bit chunk equality
     (any doc pair within Hamming distance 3 shares ≥1 of 4 chunks),
     verified with bit_count(xor) ≤ 3."""
-    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = fanout(load(spark, sf_dir, "documents")
+                  .select("doc_id", "text"))
     tok = docs.select(
         "doc_id", F.explode(_tokens()).alias("token")
     ).withColumn("th", F.xxhash64("token"))
@@ -191,7 +198,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair generator is pluggable; adjacent ids keep the
     oracle exact while exercising the full set-similarity plumbing:
     explode → distinct → pair join → intersection/union counts)."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fanout(load(spark, sf_dir, "documents"))
     tok = (docs.select("doc_id", F.explode(_tokens()).alias("word"))
            .distinct())
     sizes = tok.groupBy("doc_id").agg(F.count("*").alias("n"))
@@ -253,6 +260,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    else:
+        # Exhausting max_iter without hitting the fixpoint would
+        # silently return UNDER-MERGED clusters (a >max_iter-diameter
+        # chain) — the failure mode the convergence check exists to
+        # prevent; fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "rounds; raise max_iter (graph diameter exceeds it)")
+    sym.unpersist()
     return labels
 
 
@@ -421,9 +437,12 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     |answer|, and the levenshtein call survives only as a per-pair
     assertion. Same candidates-then-verify contract as
     dedup_minhash_lsh, with exact recall — hence oracled, where the
-    sketch ops are rows-only. key-a < key-b canonicalizes pair order;
-    the final distinct guards duplicate-name corpora (distance-0
-    pairs match on every position).
+    sketch ops are rows-only. custkey-a < custkey-b canonicalizes
+    pair order; a distance-0 pair matches on EVERY position, so the
+    join emits it L times — deduped on the KEY pair (not the name
+    projection: with 3+ customers sharing a name the oracle emits
+    one row per key pair, and a name-level distinct would collapse
+    them and break row-count parity).
     """
     cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     # key i = name with char i replaced by a NUL sentinel, then
@@ -446,10 +465,13 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     a, b = keyed.alias("a"), keyed.alias("b")
     return (a.join(b, (F.col("a.wk") == F.col("b.wk"))
                    & (F.col("a.c_custkey") < F.col("b.c_custkey")))
-            .select(F.col("a.c_name").alias("name_a"),
+            .select(F.col("a.c_custkey").alias("key_a"),
+                    F.col("b.c_custkey").alias("key_b"),
+                    F.col("a.c_name").alias("name_a"),
                     F.col("b.c_name").alias("name_b"),
                     F.levenshtein("a.c_name", "b.c_name")
-                    .alias("edit_dist"))
+                    .cast("bigint").alias("edit_dist"))
             .filter((F.col("edit_dist") <= 1)
                     & (F.length("name_a") == F.length("name_b")))
-            .distinct())
+            .dropDuplicates(["key_a", "key_b"])
+            .select("name_a", "name_b", "edit_dist"))

@@ -12,17 +12,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..catalog import TABLES, load
+from ..catalog import register_views as _register_views  # noqa: F401
 from ..registry import register
 
-
-def _register_views(spark: SparkSession, sf_dir: str,
-                    tables: tuple[str, ...]) -> None:
-    """(Re-)bind temp views for `tables` at `sf_dir`. Idempotent and
-    cheap — view creation is metadata only; scans still prune columns
-    and push filters exactly as the DataFrame path does."""
-    for t in tables:
-        load(spark, sf_dir, t).createOrReplaceTempView(t)
+# _register_views is catalog.register_views with an explicit table
+# subset — one view-binding code path, re-exported under the name
+# the SQL-surface modules import.
 
 
 # Shared verbatim by Spark and DuckDB: ANSI joins, TIMESTAMP
