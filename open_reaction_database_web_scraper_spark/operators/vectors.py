@@ -176,7 +176,14 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Train: seed centroids = the first N_CELLS corpus vectors (by
     vec_id — deterministic), refined by one Lloyd iteration computed
-    distributively (posexplode dims → per-(cell, dim) mean → re-nest).
+    distributively (posexplode dims → per-(cell, dim) mean →
+    re-nest) over a deterministic ~20% hash-SAMPLE of the corpus —
+    the production IVF shape: quantizer quality needs a
+    representative sample, not the full corpus, so train cost stays
+    a constant fraction while indexing scans everything exactly
+    once (FAISS trains on ≲100k vectors for billion-vector
+    indexes). The sample is a pure function of neighbor_id, so the
+    index is reproducible across runs and shards.
     Index: each corpus vector is assigned to its nearest centroid —
     a broadcast join against N_CELLS rows + ``min_by`` argmin, one
     shuffle keyed by vec_id. Probe: each query scores only the
@@ -202,13 +209,18 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id",
         F.transform("q", lambda x: x / F.col("nrm")).alias("q"))
 
-    # --- train: deterministic seeds + one distributed Lloyd step.
+    # --- train: deterministic seeds + one distributed Lloyd step
+    # over a hash-sample (seeds always included so no cell starves
+    # on tiny corpora).
     seeds = (corpus.orderBy("neighbor_id").limit(N_CELLS)
              .withColumn("cell_id",
                          F.row_number().over(
                              Window.orderBy("neighbor_id")) - 1)
              .select("cell_id", F.col("c").alias("centroid")))
-    assign0 = (corpus.crossJoin(F.broadcast(seeds))
+    train = corpus.filter(
+        (F.pmod(F.xxhash64("neighbor_id"), F.lit(5)) == 0)
+        | (F.col("neighbor_id") < N_QUERIES + N_CELLS))
+    assign0 = (train.crossJoin(F.broadcast(seeds))
                .withColumn("dist", -dot(F.col("c"), F.col("centroid")))
                .groupBy("neighbor_id")
                .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
