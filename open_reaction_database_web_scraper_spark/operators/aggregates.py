@@ -404,8 +404,12 @@ def agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"), F.lit(0.001), F.lit(0.99), F.lit(42))
         .alias("sk"))
     sk_bytes = bytes(skdf.collect()[0].sk)
+    # NULL event_types crash both the python sort (None < str) and
+    # the JVM probe (estimateCount(null) NPEs); the sketch aggregate
+    # itself skips NULLs, so the probe list must too.
     types = sorted(r.event_type for r in
-                   ev.select("event_type").distinct().collect())
+                   ev.select("event_type").distinct()
+                   .filter(F.col("event_type").isNotNull()).collect())
     jvm = spark.sparkContext._jvm
     bis = jvm.java.io.ByteArrayInputStream(sk_bytes)
     sketch = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bis)

@@ -288,7 +288,8 @@ def event_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
     first5 = (ev.withColumn("step", F.row_number().over(w))
               .filter(F.col("step") <= 3))
     paths = (first5.groupBy("user_id")

@@ -342,7 +342,8 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever shuffle after the first agg. p divides exact integers, so
     both engines round the identical double.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
     seq = (load(spark, sf_dir, "events")
            .select("user_id", "event_type", "ts", "event_id")
            .withColumn("prev_type", F.lag("event_type").over(w))

@@ -251,7 +251,7 @@ def _asof_click_carry(ev):
                          .alias("click_ts")))
     unioned = clicks.unionByName(purchases)
     w = (Window.partitionBy("user_id")
-         .orderBy("ts", "is_purchase")
+         .orderBy(F.asc_nulls_last("ts"), "is_purchase")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return unioned.select(
         "user_id", "ts", "is_purchase", "event_id",

@@ -77,13 +77,7 @@ def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     does the positional self-join instead)."""
     docs = load(spark, sf_dir, "documents")
     toks = _tokens()
-    n = F.size(toks) - 1  # number of bigrams
-    # sequence(0, -1) would generate a descending array → guard.
-    bigrams = F.when(n >= 1, F.transform(
-        F.sequence(F.lit(0), n - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
-    ).otherwise(F.array().cast("array<string>"))
-    return (docs.select(F.explode(bigrams).alias("bigram"))
+    return (docs.select(F.explode(_wgrams(toks, 2)).alias("bigram"))
             .groupBy("bigram").agg(F.count("*").alias("cnt"))
             .filter(F.col("cnt") >= 10))
 
@@ -273,7 +267,8 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.regexp_replace("text", REDACT_RE, "[REDACTED]").alias("redacted"),
-        F.regexp_count("text", F.lit(REDACT_RE)).alias("n_redactions"))
+        F.regexp_count("text", F.lit(REDACT_RE)).cast("long")
+        .alias("n_redactions"))
 
 
 DECON_W = 5            # decontamination n-gram width
@@ -490,7 +485,8 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            ROUND(-list_sum(list_transform(list_distinct(chars),
                  c -> (len(list_filter(chars, x -> x = c)) / n)
-                      * log2(len(list_filter(chars, x -> x = c)) / n))),
+                      * log2(len(list_filter(chars, x -> x = c)) / n)))
+                 + 0.0,
                  6) AS char_entropy
     FROM prep
     """,
@@ -514,10 +510,14 @@ def text_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     chars = F.split("text", "")
     n = F.length("text").cast("double")
     p_of = lambda c: F.size(F.filter(chars, lambda x: x == c)) / n  # noqa: E731
+    # + 0.0 normalizes the all-same-character case: the negated sum
+    # is -0.0, whose string render ('-0.0' vs '0.0') differs between
+    # pandas paths and flips the driver hash; adding positive zero
+    # canonicalizes it in BOTH engines (IEEE: -0.0 + 0.0 == +0.0).
     entropy = -F.aggregate(
         F.transform(F.array_distinct(chars),
                     lambda c: p_of(c) * F.log2(p_of(c))),
-        F.lit(0.0), lambda acc, v: acc + v)
+        F.lit(0.0), lambda acc, v: acc + v) + F.lit(0.0)
     return (fanout(docs)
             .select("doc_id", F.round(entropy, 6).alias("char_entropy")))
 

@@ -95,7 +95,8 @@ def win_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Neighboring-row access per user (event-to-event gaps) [E]."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
     return load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts",
         F.lag("ts").over(w).alias("prev_ts"),
@@ -119,7 +120,7 @@ def win_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative spend per customer; exact decimal accumulator →
     identical doubles in any engine."""
     w = (Window.partitionBy("o_custkey")
-         .orderBy("o_orderdate", "o_orderkey")
+         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return load(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderkey",
@@ -154,7 +155,7 @@ def win_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         # but free to eliminate).
         F.datediff(F.to_date("o_orderdate"),
                    F.lit("1990-01-01").cast("date")).cast("bigint"))
-    w = (Window.partitionBy("o_custkey").orderBy("day_no")
+    w = (Window.partitionBy("o_custkey").orderBy(F.asc_nulls_last("day_no"))
          .rangeBetween(-30, Window.currentRow))
     return od.select(
         "o_custkey", "o_orderkey", "day_no",
@@ -177,7 +178,8 @@ def win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (balance, key) order is total so tile assignment is deterministic.
     Partitioned window on purpose: a global NTILE is a single-partition
     sort — unusable at scale — whereas per-nation quartiles distribute."""
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     return load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal",
         F.ntile(4).over(w).cast("bigint").alias("balance_quartile"))
@@ -198,7 +200,8 @@ def win_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percent_rank / cume_dist of account balance within nation —
     distribution-position analytics; partitioned window, total order,
     exact rational arithmetic (rank-1)/(n-1) in both engines."""
-    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.asc_nulls_last("c_acctbal"), "c_custkey")
     return load(spark, sf_dir, "customer").select(
         "c_custkey", "c_nationkey", "c_acctbal",
         F.percent_rank().over(w).alias("pct_rank"),
@@ -227,7 +230,8 @@ def win_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     stops at CURRENT ROW, which silently turns last_value into "this
     row" in both engines; pinning the frame in both sides is the
     test."""
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     return load(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts",
@@ -262,7 +266,8 @@ def win_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) memory per row at any scale. The tie-break on event_id
     makes the carried value deterministic under equal timestamps.
     """
-    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = (Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     filtered = F.when(F.col("event_type") == "purchase", F.col("value"))
     return load(spark, sf_dir, "events").select(
@@ -310,7 +315,8 @@ def win_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestamps — without it the session count itself could flake.
     """
     ev = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id")
     flagged = ev.select(
         "user_id", "ts", "event_id",
         F.when(
@@ -387,7 +393,7 @@ def win_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per customer."""
     o = load(spark, sf_dir, "orders")
     w = (Window.partitionBy("o_custkey")
-         .orderBy("o_orderdate", "o_orderkey")
+         .orderBy(F.asc_nulls_last("o_orderdate"), "o_orderkey")
          .rowsBetween(Window.unboundedPreceding,
                       Window.unboundedFollowing))
     return (o.select("o_custkey",
@@ -434,12 +440,12 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type")
     w_first = (Window.partitionBy("user_id", "event_type")
-               .orderBy("ts", "event_id"))
+               .orderBy(F.asc_nulls_last("ts"), "event_id"))
     flagged = ev.withColumn(
         "is_first",
         F.when(F.row_number().over(w_first) == 1, 1).otherwise(0))
     w_run = (Window.partitionBy("user_id")
-             .orderBy("ts", "event_id")
+             .orderBy(F.asc_nulls_last("ts"), "event_id")
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return flagged.select(
         "user_id", "event_id",

@@ -520,3 +520,88 @@ def test_foreachbatch_retry_reports_zero_outcomes(spark, tmp_path):
     got = {r.outcome: r.n_rows for r in
            run("stream_foreachbatch_retry", spark, str(tmp_path)).collect()}
     assert got == {"processed": 6, "dead_letter": 0}
+
+
+# --------------------------------- NULL-robustness oracle parity
+
+def _fixture_dir_with(spark, tmp_path, table, df):
+    """Write `df` as `table` in tmp_path (as a single FILE — DuckDB's
+    view binder reads plain file paths, not Spark part-file dirs) and
+    symlink every OTHER driver table from sf0.001 (testing.compare
+    registers ALL tables as DuckDB views, so the directory must be
+    complete)."""
+    import glob
+    import os
+    import shutil
+
+    from open_reaction_database_web_scraper_spark.catalog import TABLES
+    staging = f"{tmp_path}/_stage_{table}"
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = glob.glob(f"{staging}/part-*.parquet")[0]
+    shutil.move(part, f"{tmp_path}/{table}.parquet")
+    for t in TABLES:
+        if t != table:
+            dst = f"{tmp_path}/{t}.parquet"
+            if not os.path.exists(dst):
+                os.symlink(f"/root/testdata/sf0.001/{t}.parquet", dst)
+    return str(tmp_path)
+
+
+def _null_events_dir(spark, tmp_path):
+    """Events with a NULL ts row mixed in (junk timestamps are
+    routine at ingest)."""
+    rows = [(0, 7, "view", 0.0, None, 0), (1, 7, "click", 0.0, None, 30),
+            (2, 7, "purchase", 1.0, None, None),  # NULL ts
+            (3, 8, "view", 0.0, None, 5)]
+    df = (spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "value double, props string, off int")
+          .withColumn("ts", F.expr(
+              "timestampadd(SECOND, off, "
+              "TIMESTAMP_NTZ '2024-01-01 00:00:00')"))
+          .drop("off"))
+    return _fixture_dir_with(spark, tmp_path, "events", df)
+
+
+@pytest.mark.parametrize("name", ["win_lag_lead", "win_sessionize_gaps",
+                                  "win_running_distinct",
+                                  "event_markov_transitions"])
+def test_null_ts_window_oracle_parity(spark, tmp_path, name):
+    """Spark sorts ASC NULLS FIRST, DuckDB NULLS LAST — unpinned,
+    every ts-ordered window diverges on a NULL timestamp row. The
+    asc_nulls_last pins must keep oracle parity on such data."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+    d = _null_events_dir(spark, tmp_path)
+    spec = REGISTRY[name]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d, name)
+    assert ok, msg
+
+
+def test_entropy_constant_doc_not_negative_zero(spark, tmp_path):
+    """A doc of identical characters has entropy -(1*log2 1) = -0.0;
+    unnormalized, Spark renders 0.0 and DuckDB -0.0 -> hash flake."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+    d = _fixture_dir_with(spark, tmp_path, "documents", spark.createDataFrame(
+        [(0, "aaaa", "en", "s", 4), (1, "ab ab", "en", "s", 5)],
+        "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"))
+    spec = REGISTRY["text_entropy_quality"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d, "entropy")
+    assert ok, msg
+    rows = {r.doc_id: r.char_entropy
+            for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert rows[0] == 0.0 and str(rows[0]) == "0.0"
+
+
+def test_count_min_sketch_null_type_no_throw(spark, tmp_path):
+    rows = [(0, 7, None, 0.0, None), (1, 7, "view", 0.0, None),
+            (2, 8, "click", 0.0, None)]
+    (spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, "
+              "value double, props string")
+     .withColumn("ts", F.expr("TIMESTAMP_NTZ '2024-01-01 00:00:00'"))
+     .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet"))
+    got = {r.event_type: r.est_count for r in
+           REGISTRY["agg_count_min_sketch"].fn(spark, str(tmp_path))
+           .collect()}
+    assert got == {"view": 1, "click": 1}
