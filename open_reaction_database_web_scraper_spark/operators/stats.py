@@ -53,13 +53,20 @@ def agg_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Both engines compute the SAME double expressions over the SAME
-# exact decimal power sums, so results match bit-for-bit; ROUND(…, 6)
-# is belt-and-braces only. The scale-8 power sums are reduced to
-# scale 4 BEFORE the double cast: their scale-8 integer image
-# exceeds 2^53, where DuckDB's int128→double→÷10^scale conversion
-# double-rounds while Spark's BigDecimal rounds once — a 1-ULP,
-# data-dependent divergence (the class that bit agg_multi at sf0.1).
-# At scale 4 the integer image converts exactly, single rounding.
+# exact decimal power sums; ROUND(…, 6) seals the last digits. The
+# scale-8 power sums are reduced to scale 4 before the double cast.
+# Honest envelope note: the price sum-of-squares' scale-4 integer
+# image exceeds 2^53 from ~sf0.01 up, where DuckDB's
+# int128→double→÷10^4 conversion can double-round 1 ULP apart from
+# Spark's single BigDecimal rounding — a residual risk ROUND(,6)
+# absorbs unless a statistic lands exactly on a 6th-decimal round
+# boundary (a scale-0 reduction was tried and REJECTED: the two
+# engines disagree on the half-case of the scale-reducing cast
+# itself, a bigger divergence than the one being fixed).
+# Single-row groups: every (n-1) / zero-variance expression is
+# CASE-gated to NULL on BOTH sides — under ANSI, Spark otherwise
+# ABORTS on the double /0 while DuckDB returns NULL (and sqrt of a
+# negative errors DuckDB) — a crash-vs-result divergence.
 _MOMENTS_ORACLE = """
 WITH sums AS (
   SELECT l_returnflag,
@@ -79,12 +86,18 @@ WITH sums AS (
 )
 SELECT l_returnflag,
        ROUND(sx / n, 6) AS avg_qty,
-       ROUND((sxx - sx * sx / n) / (n - 1), 6) AS var_qty,
-       ROUND(SQRT((sxx - sx * sx / n) / (n - 1)), 6) AS stddev_qty,
-       ROUND((sxy - sx * sy / n) / (n - 1), 6) AS covar_qty_price,
-       ROUND((n * sxy - sx * sy)
-             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 6)
-         AS corr_qty_price
+       CASE WHEN n > 1 THEN
+         ROUND((sxx - sx * sx / n) / (n - 1), 6) END AS var_qty,
+       CASE WHEN n > 1 THEN
+         ROUND(SQRT(GREATEST((sxx - sx * sx / n) / (n - 1), 0.0)), 6)
+       END AS stddev_qty,
+       CASE WHEN n > 1 THEN
+         ROUND((sxy - sx * sy / n) / (n - 1), 6) END AS covar_qty_price,
+       CASE WHEN n > 1 THEN
+         ROUND((n * sxy - sx * sy)
+               / (SQRT(GREATEST(n * sxx - sx * sx, 0.0))
+                  * SQRT(GREATEST(n * syy - sy * sy, 0.0))), 6)
+       END AS corr_qty_price
 FROM sums
 """
 
@@ -114,15 +127,20 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(x * y).cast("decimal(38,4)").cast("double").alias("sxy"))
     n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
     sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    multi = F.col("n") > 1
+    var_ = (sxx - sx * sx / n) / (n - 1)
+    cov_ = (sxy - sx * sy / n) / (n - 1)
+    corr_den = (F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0)))
+                * F.sqrt(F.greatest(n * syy - sy * sy, F.lit(0.0))))
     return sums.select(
         "l_returnflag",
         F.round(sx / n, 6).alias("avg_qty"),
-        F.round((sxx - sx * sx / n) / (n - 1), 6).alias("var_qty"),
-        F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6)
+        F.when(multi, F.round(var_, 6)).alias("var_qty"),
+        F.when(multi, F.round(F.sqrt(F.greatest(var_, F.lit(0.0))), 6))
         .alias("stddev_qty"),
-        F.round((sxy - sx * sy / n) / (n - 1), 6).alias("covar_qty_price"),
-        F.round((n * sxy - sx * sy)
-                / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)), 6)
+        F.when(multi, F.round(cov_, 6)).alias("covar_qty_price"),
+        F.when(multi,
+               F.round(F.try_divide(n * sxy - sx * sy, corr_den), 6))
         .alias("corr_qty_price"))
 
 

@@ -74,7 +74,10 @@ def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH marked AS (
       SELECT user_id, ts,
-             CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             -- strict '>': Spark's session_window MERGES an event landing
+      -- exactly at the current session's end (new start <= end),
+      -- so only a gap STRICTLY greater than 30 min splits
+      CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             + INTERVAL 30 MINUTE
                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                           IS NULL
@@ -98,11 +101,14 @@ def stream_sliding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions per user (30-minute inactivity gap).
 
-    Spark's ``session_window`` merges an event into the session while
-    it starts strictly before last_ts + gap; an event exactly at the
-    boundary opens a new session. The oracle encodes the same strict
-    boundary (``ts >= prev + gap`` → new session) via lag-based
-    sessionization, so both sides agree on edge cases.
+    Boundary semantics, verified against the engine: Spark's
+    ``session_window`` MERGES an event whose start is <= the current
+    session's end — an event landing exactly at last_ts + gap stays
+    in the session; only a STRICTLY larger gap splits. The oracle's
+    lag-based sessionization therefore opens a new session on
+    ``ts > prev + gap`` (an earlier ``>=`` form asserted the
+    inverted boundary and only passed because the data had no
+    exact-30-minute gaps; pinned by a boundary test now).
     """
     ev = load(spark, sf_dir, "events")
     return (ev.groupBy(F.session_window("ts", "30 minutes").alias("w"),

@@ -153,6 +153,13 @@ def _normalize_amount(amt: Column) -> Column:
                             null_unit.alias("mass"))))
 
 
+def _or_empty(col: F.Column, elem_ddl: str) -> F.Column:
+    """NULL-to-empty-array default (``coalesce(col, [])``) with the
+    element type spelled once — the formatter needs this six times
+    and the copies must stay in lockstep."""
+    return F.coalesce(col, F.array().cast(f"array<{elem_ddl}>"))
+
+
 def format_reactions(scraped: DataFrame,
                      data_col: str = "data",
                      success_col: str = "success") -> DataFrame:
@@ -174,13 +181,11 @@ def format_reactions(scraped: DataFrame,
         lambda pair: F.struct(
             pair[0].alias("key"),
             F.struct(F.transform(
-                F.coalesce(
-                    F.from_json(pair[1], RAW_INPUT)["componentsList"],
-                    F.array().cast(f"array<{RAW_COMPONENT}>")),
+                _or_empty(F.from_json(pair[1], RAW_INPUT)["componentsList"],
+                          RAW_COMPONENT),
                 lambda c: F.struct(
                     _decode_identifiers(
-                        F.coalesce(c["identifiersList"],
-                                   F.array().cast(f"array<{IDENT_R}>")))
+                        _or_empty(c["identifiersList"], IDENT_R))
                     .alias("identifiers"),
                     _normalize_amount(c["amount"]).alias("amount"),
                     decode_enum(c["reactionRole"], REACTION_ROLES)
@@ -188,23 +193,19 @@ def format_reactions(scraped: DataFrame,
                 )).alias("components")).alias("value"))))
 
     outcomes = F.flatten(F.transform(
-        F.coalesce(d["outcomesList"],
-                   F.array().cast(
-                       f"array<struct<productsList: array<{RAW_PRODUCT}>>>")),
+        _or_empty(d["outcomesList"],
+                  f"struct<productsList: array<{RAW_PRODUCT}>>"),
         lambda o: F.transform(
-            F.coalesce(o["productsList"],
-                       F.array().cast(f"array<{RAW_PRODUCT}>")),
+            _or_empty(o["productsList"], RAW_PRODUCT),
             lambda p: F.struct(
                 _decode_identifiers(
-                    F.coalesce(p["identifiersList"],
-                               F.array().cast(f"array<{IDENT_R}>")))
+                    _or_empty(p["identifiersList"], IDENT_R))
                 .alias("identifiers"),
                 F.lit("PRODUCT").alias("reaction_role"),
                 F.coalesce(p["isDesiredProduct"], F.lit(False))
                 .alias("is_desired_product"),
                 F.transform(
-                    F.coalesce(p["measurementsList"],
-                               F.array().cast(f"array<{RAW_MEAS}>")),
+                    _or_empty(p["measurementsList"], RAW_MEAS),
                     lambda m: F.struct(
                         m["type"].alias("type"),
                         m["details"].alias("details"),
@@ -258,7 +259,11 @@ def outcomes_flat(reactions: DataFrame) -> DataFrame:
     prods = reactions.select(
         "dataset_id", "reaction_id",
         F.posexplode("outcomes").alias("product_idx", "o"))
-    meas = F.element_at("o.measurements", 1)
+    # try_element_at: plain element_at on an EMPTY (non-null) array
+    # THROWS under Spark 4's default ANSI mode — and the formatter
+    # (and the reference, web_scrpaer_2.py product_info) emit
+    # "measurements": [] routinely; try_ returns NULL instead.
+    meas = F.try_element_at("o.measurements", F.lit(1))
     return prods.select(
         "dataset_id", "reaction_id", "product_idx",
         F.posexplode_outer("o.identifiers").alias("identifier_idx", "ident"),

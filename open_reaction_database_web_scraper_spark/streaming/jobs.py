@@ -319,7 +319,10 @@ def stream_custom_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM events),
     marked AS (
       SELECT user_id, ts,
-             CASE WHEN ts >= LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             -- strict '>': Spark's session_window MERGES an event landing
+      -- exactly at the current session's end (new start <= end),
+      -- so only a gap STRICTLY greater than 30 min splits
+      CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                             + INTERVAL 30 MINUTE
                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
                           IS NULL

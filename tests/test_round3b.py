@@ -605,3 +605,70 @@ def test_count_min_sketch_null_type_no_throw(spark, tmp_path):
            REGISTRY["agg_count_min_sketch"].fn(spark, str(tmp_path))
            .collect()}
     assert got == {"view": 1, "click": 1}
+
+
+def test_session_window_exact_gap_boundary_merges(spark, tmp_path):
+    """Two events exactly 30 min apart: Spark's session_window MERGES
+    them (new start <= current end); the oracle must agree (it used
+    '>=' and split — passing only because the data had no exact
+    gaps)."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+    df = (spark.createDataFrame(
+        [(0, 7, "view", 0.0, None, 0), (1, 7, "view", 0.0, None, 1800),
+         (2, 7, "view", 0.0, None, 5400)],
+        "event_id bigint, user_id bigint, event_type string, "
+        "value double, props string, off int")
+        .withColumn("ts", F.expr(
+            "timestampadd(SECOND, off, TIMESTAMP_NTZ '2024-01-01')"))
+        .drop("off"))
+    d = _fixture_dir_with(spark, tmp_path, "events", df)
+    spec = REGISTRY["stream_session_window"]
+    out = spec.fn(spark, d).collect()
+    # 0s and 1800s merge (boundary); 5400s is 3600s later -> splits
+    assert sorted(r.n_events for r in out) == [1, 2]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d, "session")
+    assert ok, msg
+
+
+def test_stats_moments_single_row_group_null_not_crash(spark, tmp_path):
+    """A 1-row returnflag group: (n-1)=0 divides ABORT under ANSI
+    unless gated; both engines must emit NULL stats for it."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+    rows = [(1, 1, 1, 1, 5.0, 100.0, 0.0, 0.0, "X", "F"),
+            (2, 1, 1, 2, 7.0, 150.0, 0.0, 0.0, "A", "F"),
+            (3, 1, 1, 3, 9.0, 130.0, 0.0, 0.0, "A", "F")]
+    df = (spark.createDataFrame(
+        rows, "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+              "l_linenumber int, l_quantity double, "
+              "l_extendedprice double, l_discount double, l_tax double, "
+              "l_returnflag string, l_linestatus string")
+        .withColumn("l_shipdate",
+                    F.expr("TIMESTAMP '1998-06-01 00:00:00'")))
+    d = _fixture_dir_with(spark, tmp_path, "lineitem", df)
+    spec = REGISTRY["agg_stats_moments"]
+    got = {r.l_returnflag: r for r in spec.fn(spark, d).collect()}
+    assert got["X"].var_qty is None and got["X"].avg_qty == 5.0
+    assert got["A"].var_qty is not None
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d, "moments")
+    assert ok, msg
+
+
+def test_outcomes_flat_empty_measurements_no_throw(spark):
+    """A product with measurements: [] (the formatter and the
+    reference both emit it) must yield NULL meas fields, not an
+    ANSI INVALID_ARRAY_INDEX crash."""
+    from open_reaction_database_web_scraper_spark.sources.ord import (
+        outcomes_flat,
+    )
+    ident = "array<struct<type: string, value: string>>"
+    meas = ("array<struct<type: string, details: string, "
+            "mass: struct<value: double, units: string>>>")
+    schema = (f"dataset_id string, reaction_id string, outcomes "
+              f"array<struct<identifiers: {ident}, reaction_role: string, "
+              f"is_desired_product: boolean, measurements: {meas}>>")
+    df = spark.createDataFrame(
+        [("ds1", "rx1",
+          [([("NAME", "water")], "PRODUCT", True, [])])], schema)
+    rows = outcomes_flat(df).collect()
+    assert len(rows) == 1
+    assert rows[0].meas_type is None
