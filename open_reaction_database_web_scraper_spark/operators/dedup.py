@@ -282,11 +282,15 @@ def _cluster_output(labels: DataFrame) -> DataFrame:
 
 @register("dedup_clusters", oracle=None, tags=("dedup", "iterative"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-duplicate CLUSTERS: connected components over the
-    duplicate graph — the step after pair detection in a real dedup
-    pipeline (keep one representative per cluster).
+    """Duplicate CLUSTERS: connected components over the duplicate
+    graph — the step after pair detection in a real dedup pipeline
+    (keep one representative per cluster). The edge set is the UNION
+    of exact-dup star edges and MinHash-LSH near-dup pairs, the shape
+    a production pipeline feeds its CC step (exact dups are a strict
+    subset of near-dups only when the estimator is perfect, so both
+    sources are kept; union+distinct dedups overlap).
 
-    Edge generation is LINEAR, not quadratic: a sha-equality
+    Exact-edge generation is LINEAR, not quadratic: a sha-equality
     self-join emits k²/2 pairs for a k-copy group (a 10⁵-copy
     boilerplate group — routine in web corpora — would emit 10¹⁰
     edges), so instead each group's hub is ``min(doc_id)`` per
@@ -294,14 +298,18 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     STAR edges, same connectivity, same clusters. One hash-agg plus
     one join back; the text itself never shuffles (only the 32-byte
     digest does). CC then runs via :func:`connected_components`
-    (converges in 1 round on star graphs — the convergence check
-    stops it there instead of burning fixed extra rounds).
+    (O(diameter) rounds with a fixpoint stop — near-dup chains give
+    the graph real diameter, unlike pure stars).
     Returns (doc_id, cluster_id, cluster_size) for docs in clusters
     of ≥2. Iterative → not SQL-expressible → rows-only; planted-
     cluster behavior (edge linearity included) is pinned in tests.
     """
     docs = load(spark, sf_dir, "documents")
-    return _cluster_output(connected_components(exact_dup_star_edges(docs)))
+    near = (REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+            .select(F.col("doc_a").alias("src"),
+                    F.col("doc_b").alias("dst")))
+    edges = exact_dup_star_edges(docs).unionByName(near).distinct()
+    return _cluster_output(connected_components(edges))
 
 
 def exact_dup_star_edges(docs: DataFrame) -> DataFrame:

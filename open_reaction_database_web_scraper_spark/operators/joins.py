@@ -170,15 +170,22 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "join_anti",
     oracle="""
     SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
 )
 def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-existence — the reference's seen-set skip
-    (web_scrpaer_2.py:262,422) as a left-anti join."""
+    (web_scrpaer_2.py:262,422) as a left-anti join: customers with
+    no URGENT order. The anti-join runs against a FILTERED right
+    side (every customer has some order in the test corpus, so an
+    unfiltered anti-join would be vacuously empty — never
+    exercising the unmatched-left path on real data); the priority
+    predicate pushes into the orders scan before the shuffle."""
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT")
     return (c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name"))
 
@@ -474,8 +481,8 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
                            * (1 - CAST(l_discount AS DECIMAL(18,4))))
                        AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
       FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-        AND l_shipdate <  TIMESTAMP '1994-04-01'
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l_shipdate <  TIMESTAMP '1995-04-01'
       GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name, r.total_revenue
@@ -498,8 +505,8 @@ def join_groupwise_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec), so the result is deterministic without a tiebreaker.
     """
     li = load(spark, sf_dir, "lineitem").filter(
-        (F.col("l_shipdate") >= "1994-01-01")
-        & (F.col("l_shipdate") < "1994-04-01"))
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1995-04-01"))
     revenue = (li.groupBy("l_suppkey")
                .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")
                           * (F.lit(1)

@@ -4,10 +4,13 @@ Images / audio / video are carried as opaque ``binary`` columns with
 a typed metadata struct — the ORD ``measurements`` pattern
 (web_scrpaer_2.py:169-182) generalized to media assets. The
 Spark-side plumbing (schema, parquet round-trip, partition-preserving
-``mapInPandas`` batch shape) is real; the codec itself is stubbed —
-the container has no image/audio libraries — behind
-``decode_stub``'s deterministic fake, with ``decode_real`` raising
-``NotImplementedError`` as the marked integration point.
+``mapInPandas`` batch shape) is real, and so is the codec for the
+formats a stdlib parser can serve: ``decode_real`` decodes binary
+PPM/PGM and uncompressed 24-bit BMP in pure python. Formats needing
+an external library (jpeg/png/audio/video — none installed in this
+container) fall back through ``decode`` to ``decode_stub``'s
+deterministic fake; that fallback is the pillow/pyav integration
+point.
 """
 
 from __future__ import annotations
@@ -29,12 +32,81 @@ FEATURE_SCHEMA = ("asset_id bigint, fmt string, n_bytes long, "
                   "byte_sum long, fake_width int, fake_height int")
 
 
-def decode_real(payload: bytes, fmt: str):
-    """Real media decode — requires codec libraries not present in
-    this environment. Plug pillow/torchaudio/pyav here."""
-    raise NotImplementedError(
-        "media codecs unavailable in this container; "
-        "use decode_stub for the deterministic fake")
+def _pnm_header(payload: bytes) -> tuple[bytes, list[int], int]:
+    """Parse a binary PNM (P5/P6) header: magic, [width, height,
+    maxval], and the offset where raster bytes begin. Whitespace-
+    separated tokens with ``#`` comments, per the netpbm spec."""
+    magic = payload[:2]
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    return magic, fields, pos + 1  # single whitespace ends the header
+
+
+def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
+    """Real (pure-python, stdlib-only) decode for the container-
+    friendly raster formats: binary PPM (P6, RGB), binary PGM (P5,
+    gray), and uncompressed 24-bit BMP. Returns the same contract as
+    :func:`decode_stub` — (pixel_sum, width, height) — where
+    pixel_sum covers actual raster bytes only (header and BMP row
+    padding excluded), so the value changes iff pixel data changes.
+    Formats needing an external codec (jpeg/png/audio/video) raise
+    ``ValueError`` and the caller falls back to the stub — that
+    fallback edge is the integration point for pillow/pyav."""
+    if fmt in ("ppm", "pgm"):
+        magic, (w, h, maxval), off = _pnm_header(payload)
+        channels = {b"P6": 3, b"P5": 1}[magic]
+        if maxval > 255:
+            off_bytes = 2  # 16-bit samples, big-endian per spec
+        else:
+            off_bytes = 1
+        n = w * h * channels * off_bytes
+        raster = payload[off:off + n]
+        if len(raster) != n:
+            raise ValueError(f"truncated {fmt}: {len(raster)}/{n} bytes")
+        return sum(raster), w, h
+    if fmt == "bmp":
+        if payload[:2] != b"BM":
+            raise ValueError("not a BMP payload")
+        pix_off = int.from_bytes(payload[10:14], "little")
+        w = int.from_bytes(payload[18:22], "little", signed=True)
+        h = int.from_bytes(payload[22:26], "little", signed=True)
+        bpp = int.from_bytes(payload[28:30], "little")
+        comp = int.from_bytes(payload[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise ValueError(f"unsupported BMP variant bpp={bpp} "
+                             f"compression={comp}")
+        row_bytes = w * 3
+        stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        total = 0
+        for r in range(abs(h)):
+            row = payload[pix_off + r * stride:
+                          pix_off + r * stride + row_bytes]
+            if len(row) != row_bytes:
+                raise ValueError("truncated BMP raster")
+            total += sum(row)
+        return total, w, abs(h)
+    raise ValueError(f"no pure-python codec for fmt={fmt!r}; "
+                     "plug pillow/torchaudio/pyav here")
+
+
+def decode(payload: bytes, fmt: str) -> tuple[int, int, int]:
+    """Codec dispatch: real decode where a stdlib parser exists,
+    deterministic stub elsewhere (the 'txt' driver corpus included).
+    One seam for the whole feature pass, so swapping in a library
+    codec is a one-function change."""
+    try:
+        return decode_real(payload, fmt)
+    except ValueError:
+        return decode_stub(payload, fmt)
 
 
 def decode_stub(payload: bytes, fmt: str) -> tuple[int, int, int]:
@@ -75,10 +147,20 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _sink_dir("multimodal_columns")
     assets.write.mode("overwrite").parquet(out)
     back = spark.read.schema(ASSET_SCHEMA).parquet(out)
+    return extract_features(back)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """Feature-extraction pass over an asset frame (ASSET_SCHEMA):
+    Arrow-batched ``mapInPandas``, one Python round-trip per
+    partition, dispatching per-row through :func:`decode` — real
+    PPM/PGM/BMP decode where the payload is one, deterministic stub
+    otherwise. Module-level so planted binary fixtures can drive the
+    exact production path."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decode_stub(p, m["fmt"])
+            feats = [decode(p, m["fmt"])
                      for p, m in zip(pdf["payload"], pdf["meta"])]
             yield pd.DataFrame({
                 "asset_id": pdf["asset_id"],
@@ -91,7 +173,7 @@ def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         dtype="int32"),
             })
 
-    return back.mapInPandas(extract, FEATURE_SCHEMA)
+    return assets.mapInPandas(extract, FEATURE_SCHEMA)
 
 
 FRAME_BYTES = 256   # bytes per "frame" of the opaque payload

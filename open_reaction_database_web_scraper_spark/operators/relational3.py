@@ -305,8 +305,8 @@ _Q7_SQL = """
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
     JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
-    WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-       OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    WHERE (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_3')
+       OR (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_19')
     GROUP BY n1.n_name, n2.n_name,
              CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT)
 """
@@ -318,7 +318,11 @@ def sql_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     the self-aliased-dimension shape: nation joins in TWICE under
     different roles (supplier's vs customer's), with a symmetric
     OR pair predicate that only the pairing of BOTH aliases can
-    resolve (neither scan can push the disjunction alone).
+    resolve (neither scan can push the disjunction alone). The
+    nation pair (19, 3) is chosen to have supplier+customer volume
+    at EVERY test scale factor — the original (1, 2) pair had no
+    sf0.001 suppliers, so the query was green-by-emptiness there
+    (the vacuous-coverage failure mode diffcheck now fails on).
 
     Scale shape: Catalyst plans the two 25-row nation aliases as
     independent broadcasts and leaves the residual OR as a join

@@ -333,5 +333,5 @@ def date_arith_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_add("d", 90).cast("timestamp").alias("due_date"),
         F.add_months("d", -1).cast("timestamp").alias("prior_month"),
         F.datediff("d", F.lit("1995-01-01").cast("date"))
-        .alias("days_since_95"),
+        .cast("long").alias("days_since_95"),
         F.last_day("d").cast("timestamp").alias("month_end"))

@@ -85,10 +85,24 @@ def _first_diff(s: pd.DataFrame, o: pd.DataFrame) -> str:
 
 
 def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
-            name: str = "?") -> tuple[bool, str]:
-    """Driver-style comparison. Returns (ok, message)."""
+            name: str = "?", fail_on_empty: bool = False) -> tuple[bool, str]:
+    """Driver-style comparison. Returns (ok, message).
+
+    ``fail_on_empty=True`` turns a both-engines-empty result into a
+    FAIL: two empty frames hash-match trivially, so a query whose
+    filter selects nothing is "green" without its body ever
+    executing — the vacuous-coverage failure mode the round-3/4
+    verdicts flagged on ``join_groupwise_max`` (a 1994 date window
+    against 1995+ data) and ``join_anti``. The sweep runs with this
+    on; unit tests with deliberately-empty planted cases leave it
+    off."""
     s_pd = spark_df.toPandas()
     o_pd = run_oracle_df(oracle_sql, sf_dir)
+    if fail_on_empty and len(s_pd) == 0 and len(o_pd) == 0:
+        return False, (f"{name}: VACUOUS — both engines returned 0 rows; "
+                       "the query body never executed on this data "
+                       "(add to the justified allow-list only with a "
+                       "planted-fixture test pinning the non-empty path)")
 
     s_cols = sorted(c.lower() for c in s_pd.columns)
     o_cols = sorted(c.lower() for c in o_pd.columns)

@@ -20,6 +20,14 @@ from open_reaction_database_web_scraper_spark.session import get_session  # noqa
 from open_reaction_database_web_scraper_spark.testing import compare  # noqa: E402
 
 
+# Oracled queries allowed to return 0 rows at the sweep SF. Empty by
+# policy: a name goes here ONLY with a justification string AND a
+# planted-fixture test exercising its non-empty path (the round-3/4
+# verdicts' vacuous-coverage rule). Rows-only queries are exempt from
+# the guard (no oracle to trivially match).
+VACUOUS_ALLOWED: dict[str, str] = {}
+
+
 def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.001"
@@ -38,7 +46,8 @@ def main() -> int:
                 print(f"PASS {name}: rows-only ({n} rows) "
                       f"[{time.time()-t0:.1f}s]")
             else:
-                ok, msg = compare(df, spec.oracle, sf_dir, name)
+                ok, msg = compare(df, spec.oracle, sf_dir, name,
+                                  fail_on_empty=name not in VACUOUS_ALLOWED)
                 print(("PASS " if ok else "FAIL ") + msg +
                       f" [{time.time()-t0:.1f}s]")
                 n_fail += 0 if ok else 1

@@ -1,0 +1,203 @@
+"""Round-5 regression pins: de-vacuated coverage (the round-3/4
+verdicts' top findings), the vacuous-empty guard itself, the
+near-dup edge source in dedup_clusters, and the real PPM/PGM/BMP
+codec behind the multimodal seam."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY, load_all_operators)
+from open_reaction_database_web_scraper_spark.testing import compare
+
+load_all_operators()
+
+
+def run(name, spark, d):
+    return REGISTRY[name].fn(spark, d)
+
+
+# ---------------------------------------------------------------
+# join_groupwise_max: 1995-Q1 window is non-vacuous on driver data,
+# and ties at the max ALL surface (Q15 semantics).
+
+def test_groupwise_max_nonvacuous_on_driver_data(spark, sf_dir):
+    """The round-3/4 verdicts flagged the old 1994-Q1 window as
+    selecting 0 rows (driver l_shipdate starts 1995-01-02), making
+    the green oracle vacuous. Pin the fixed window to real rows."""
+    rows = run("join_groupwise_max", spark, sf_dir).collect()
+    assert len(rows) >= 1
+    assert all(r.total_revenue > 0 for r in rows)
+
+
+def test_groupwise_max_surfaces_all_tied_suppliers(spark, tmp_path):
+    """Two suppliers tied at the quarterly max must BOTH return;
+    a higher-revenue supplier outside the window must not leak in
+    (the filter really gates the aggregate)."""
+    li_rows = [
+        # (orderkey, suppkey, extendedprice, discount, shipdate)
+        (1, 10, 100.0, 0.0, "1995-02-01"),   # supp 10: 100 in-window
+        (2, 20, 50.0, 0.0, "1995-02-02"),    # supp 20: 100 in-window
+        (3, 20, 50.0, 0.0, "1995-03-15"),    #   (two items, same total)
+        (4, 30, 40.0, 0.0, "1995-01-10"),    # supp 30: below max
+        (5, 40, 999.0, 0.0, "1996-06-01"),   # supp 40: out of window
+    ]
+    li = spark.createDataFrame(
+        li_rows, "l_orderkey bigint, l_suppkey bigint, "
+                 "l_extendedprice double, l_discount double, sd string"
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+             F.to_timestamp("sd").alias("l_shipdate"))
+    sup = spark.createDataFrame(
+        [(k, f"Supplier#{k}") for k in (10, 20, 30, 40)],
+        "s_suppkey bigint, s_name string")
+    d = str(tmp_path / "gm")
+    li.write.parquet(f"{d}/lineitem.parquet")
+    sup.write.parquet(f"{d}/supplier.parquet")
+    out = run("join_groupwise_max", spark, d).collect()
+    assert {(r.s_suppkey, r.total_revenue) for r in out} == {
+        (10, 100.0), (20, 100.0)}
+
+
+# ---------------------------------------------------------------
+# join_anti: non-vacuous on driver data + planted unmatched-left pin.
+
+def test_join_anti_nonvacuous_on_driver_data(spark, sf_dir):
+    """Old form anti-joined against ALL orders — every test customer
+    has one, so it was green-by-emptiness. The URGENT-filtered form
+    must return real rows."""
+    assert run("join_anti", spark, sf_dir).count() > 0
+
+
+def test_join_anti_planted_customers_without_urgent(spark, tmp_path):
+    cust = spark.createDataFrame(
+        [(1, "has-urgent"), (2, "has-low-only"), (3, "no-orders")],
+        "c_custkey bigint, c_name string")
+    orders = spark.createDataFrame(
+        [(100, 1, "1-URGENT"), (101, 2, "5-LOW")],
+        "o_orderkey bigint, o_custkey bigint, o_orderpriority string")
+    d = str(tmp_path / "anti")
+    cust.write.parquet(f"{d}/customer.parquet")
+    orders.write.parquet(f"{d}/orders.parquet")
+    out = {r.c_custkey for r in run("join_anti", spark, d).collect()}
+    assert out == {2, 3}
+
+
+# ---------------------------------------------------------------
+# The vacuous-empty guard: both-engines-empty oracled results FAIL
+# when the sweep flag is on, still pass when it is off.
+
+def test_compare_flags_vacuous_empty(spark, sf_dir):
+    df = run("filter_eq", spark, sf_dir).filter(F.lit(False))
+    sql = "SELECT o_orderkey FROM orders WHERE 1 = 0"
+    # force identical schema: take the oracle's single column
+    df = df.select(F.col(df.columns[0]).alias("o_orderkey")).limit(0)
+    ok, msg = compare(df, sql, sf_dir, "t", fail_on_empty=True)
+    assert not ok and "VACUOUS" in msg
+    ok, _ = compare(df, sql, sf_dir, "t", fail_on_empty=False)
+    assert ok
+
+
+# ---------------------------------------------------------------
+# dedup_clusters: near-dup edges are now in the default edge set.
+
+def test_dedup_clusters_merges_neardup_with_exact(spark, tmp_path):
+    """An exact-dup pair that is ALSO near-dup-linked to a third doc
+    must collapse into one 3-doc cluster — only possible if minhash
+    pair edges feed the CC alongside exact star edges."""
+    base = "the quick brown fox jumps over the lazy dog again and again " \
+           "while the river runs south past the old stone mill each day"
+    near = base.replace("stone", "brick")  # high-overlap variant
+    rows = [(0, base), (1, base), (2, near), (3, "zz yy xx ww vv uu")]
+    d = str(tmp_path / "cc")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(f"{d}/documents.parquet")
+    out = run("dedup_clusters", spark, d).collect()
+    by_doc = {r.doc_id: r.cluster_id for r in out}
+    assert set(by_doc) == {0, 1, 2}
+    assert len({by_doc[0], by_doc[1], by_doc[2]}) == 1
+    assert all(r.cluster_size == 3 for r in out)
+
+
+def test_dedup_clusters_nonvacuous_on_driver_data(spark, sf_dir):
+    """Driver corpora contain no exact-dup texts (verdict-verified),
+    so the old exact-only edge source made the registered query emit
+    0 rows outside unit tests. The union edge source must produce
+    real clusters on driver data."""
+    assert run("dedup_clusters", spark, sf_dir).count() > 0
+
+
+# ---------------------------------------------------------------
+# Real codec: PPM/PGM/BMP decode, and the Spark feature pass using it.
+
+def _ppm(w, h, pixel):
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + \
+        bytes([pixel]) * (w * h * 3)
+
+
+def _bmp(w, h, pixel):
+    row = bytes([pixel]) * (w * 3)
+    stride = (w * 3 + 3) & ~3
+    raster = b"".join(row + b"\x00" * (stride - len(row))
+                      for _ in range(h))
+    pix_off = 14 + 40
+    header = (b"BM" + struct.pack("<IHHI", pix_off + len(raster), 0, 0,
+                                  pix_off)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(raster), 2835, 2835, 0, 0))
+    return header + raster
+
+
+def test_decode_real_ppm_pgm_bmp():
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import decode_real
+    s, w, h = decode_real(_ppm(4, 3, 7), "ppm")
+    assert (w, h) == (4, 3) and s == 4 * 3 * 3 * 7
+    pgm = b"P5\n2 2\n255\n" + bytes([9, 9, 9, 9])
+    assert decode_real(pgm, "pgm") == (36, 2, 2)
+    s, w, h = decode_real(_bmp(3, 2, 5), "bmp")
+    # padding bytes excluded from the sum
+    assert (w, h) == (3, 2) and s == 3 * 2 * 3 * 5
+
+
+def test_decode_real_rejects_truncated_and_unknown():
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import decode, decode_real, decode_stub
+    with pytest.raises(ValueError):
+        decode_real(_ppm(4, 3, 7)[:-1], "ppm")
+    with pytest.raises(ValueError):
+        decode_real(b"\xff\xd8\xff", "jpeg")
+    # dispatcher falls back to the stub for library-only formats
+    assert decode(b"abc", "jpeg") == decode_stub(b"abc", "jpeg")
+
+
+def test_extract_features_decodes_planted_binaries(spark):
+    """The production mapInPandas pass must route PPM/BMP payloads
+    through the real codec (exact pixel geometry out) and 'txt'
+    payloads through the stub — in one Arrow batch."""
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import ASSET_SCHEMA, decode_stub, extract_features
+    ppm, bmp, txt = _ppm(8, 5, 3), _bmp(6, 4, 2), b"hello world"
+    rows = [(1, ppm, ("ppm", len(ppm), "unit")),
+            (2, bmp, ("bmp", len(bmp), "unit")),
+            (3, txt, ("txt", len(txt), "unit"))]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+    out = {r.asset_id: r for r in
+           extract_features(assets).collect()}
+    assert (out[1].fake_width, out[1].fake_height) == (8, 5)
+    assert out[1].byte_sum == 8 * 5 * 3 * 3
+    assert (out[2].fake_width, out[2].fake_height) == (6, 4)
+    assert out[2].byte_sum == 6 * 4 * 3 * 2
+    assert (out[3].byte_sum, out[3].fake_width, out[3].fake_height) \
+        == decode_stub(txt, "txt")
+
+
+# ---------------------------------------------------------------
+# date_arith_interval: exact int64 schema vs the DuckDB oracle.
+
+def test_date_arith_days_since_is_long(spark, sf_dir):
+    df = run("date_arith_interval", spark, sf_dir)
+    assert dict(df.dtypes)["days_since_95"] == "bigint"
