@@ -99,6 +99,11 @@ OPTIONAL = [
     "sql_tpch_q14",
     "sql_tpch_q6",
     "sql_tpch_q10",
+    # round 5: de-vacuated / codec-backed paths now doing real work
+    "join_groupwise_max",
+    "dedup_clusters",
+    "multimodal_columns",
+    "multimodal_phash_dedup",
 ]
 
 
