@@ -1,0 +1,114 @@
+"""Determinism-under-parallelism audit → checked-in JSON artifact.
+
+Usage: python scripts/determinism_check.py [sf_dir] [out.json] [name ...]
+
+Runs every registered query twice — once at the session's default
+shuffle parallelism (32) and once at a deliberately different,
+co-prime width (7) — and compares an order-insensitive value hash of
+the two results. On a real cluster the partition count is an
+operational knob (AQE, executor loss, config drift), so any query
+whose OUTPUT depends on it would flap a diff-based regression gate
+at 100 TB even though every small-scale test stays green. This is
+the check the differential oracle cannot do: Spark and DuckDB can
+agree at one parallelism while Spark disagrees with itself at
+another.
+
+Shapes this catches: floating-point aggregation order (the decimal-
+accumulator idiom exists to prevent it), first/last or min_by/max_by
+with ambiguous ties, collect_list order leaking into output,
+rank/row_number with under-specified ORDER BY, seeded-but-partition-
+indexed randomness.
+
+Hashing: rows rendered to strings (arrays included), columns sorted
+by name, rows sorted lexicographically — same value image as the
+driver's compare, extended to array cells (stringified) since this
+check is Spark-vs-Spark and needs no DuckDB parity.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import traceback
+
+sys.path.insert(0, ".")
+
+import pandas as pd  # noqa: E402
+
+from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
+    REGISTRY, load_all_operators)
+from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+
+ALT_PARTITIONS = "7"
+
+# Queries whose OUTPUT may legitimately vary with partition layout,
+# with the reason. Kept EMPTY by policy unless a query's semantics
+# are inherently layout-coupled — document hard, allow rarely.
+LAYOUT_DEPENDENT_OK: dict[str, str] = {}
+
+
+def canon_hash(pdf: pd.DataFrame) -> int:
+    pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    pdf = pdf.astype(object).where(pdf.notna(), None).astype(str)
+    if len(pdf.columns) and len(pdf):
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+    h = pd.util.hash_pandas_object(pdf.reset_index(drop=True),
+                                   index=False)
+    return int(h.sum())
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
+    out_path = next((a for a in args if a.endswith(".json")),
+                    "DETERMINISM_r5.json")
+    names = [a for a in args if "/" not in a and not a.endswith(".json")]
+    load_all_operators()
+    spark = get_session("determinism")
+    spark.sparkContext.setLogLevel("ERROR")
+    base_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    todo = names or sorted(REGISTRY)
+    result: dict = {"sf_dir": sf_dir, "base_partitions": base_parts,
+                    "alt_partitions": ALT_PARTITIONS, "queries": {}}
+    n_bad = 0
+    for name in todo:
+        fn = REGISTRY[name].fn
+        t0 = time.time()
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+            a = fn(spark, sf_dir).toPandas()
+            spark.conf.set("spark.sql.shuffle.partitions", ALT_PARTITIONS)
+            b = fn(spark, sf_dir).toPandas()
+            ha, hb = canon_hash(a), canon_hash(b)
+            if len(a) != len(b):
+                cell = {"status": "NONDET_ROWCOUNT",
+                        "rows": [len(a), len(b)]}
+            elif ha != hb:
+                cell = {"status": "NONDET_VALUES", "rows": len(a)}
+            else:
+                cell = {"status": "deterministic", "rows": len(a)}
+        except Exception:
+            cell = {"status": "error",
+                    "detail": traceback.format_exc(limit=1).splitlines()[-1]}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+        cell["sec"] = round(time.time() - t0, 2)
+        bad = cell["status"] != "deterministic" \
+            and name not in LAYOUT_DEPENDENT_OK
+        if name in LAYOUT_DEPENDENT_OK:
+            cell["allowed"] = LAYOUT_DEPENDENT_OK[name]
+        n_bad += bad
+        result["queries"][name] = cell
+        print(f"{'FAIL' if bad else 'ok  '} {name}: {cell['status']} "
+              f"[{cell['sec']}s]", flush=True)
+    result["n_bad"] = n_bad
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1, sort_keys=True)
+    print(f"\nwrote {out_path}: {len(todo)} queries, {n_bad} bad")
+    return 1 if n_bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -43,6 +43,15 @@ def main() -> int:
             df = spec.fn(spark, sf_dir)
             if spec.oracle is None:
                 n = df.count()
+                # a rows-only check that counts 0 rows verified
+                # nothing — vacuous unless justified (sweep.py's
+                # RO_EMPTY_OK carries the reasons)
+                from scripts.sweep import RO_EMPTY_OK
+                if n == 0 and name not in RO_EMPTY_OK:
+                    n_fail += 1
+                    print(f"FAIL {name}: rows-only but VACUOUS "
+                          f"(0 rows) [{time.time()-t0:.1f}s]")
+                    continue
                 print(f"PASS {name}: rows-only ({n} rows) "
                       f"[{time.time()-t0:.1f}s]")
             else:

@@ -201,3 +201,61 @@ def test_extract_features_decodes_planted_binaries(spark):
 def test_date_arith_days_since_is_long(spark, sf_dir):
     df = run("date_arith_interval", spark, sf_dir)
     assert dict(df.dtypes)["days_since_95"] == "bigint"
+
+
+# ---------------------------------------------------------------
+# Codec property tests: any well-formed PNM/BMP the generators can
+# produce decodes to exact geometry and raster sum.
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(w=st.integers(1, 20), h=st.integers(1, 20),
+       data=st.data())
+def test_ppm_decode_roundtrip_property(w, h, data):
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import decode_real
+    raster = bytes(data.draw(st.lists(
+        st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3)))
+    payload = b"P6 %d %d 255\n" % (w, h) + raster
+    assert decode_real(payload, "ppm") == (sum(raster), w, h)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 12), h=st.integers(1, 12),
+       data=st.data())
+def test_bmp_decode_roundtrip_property(w, h, data):
+    import struct as _s
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import decode_real
+    rows = [bytes(data.draw(st.lists(st.integers(0, 255),
+                                     min_size=w * 3, max_size=w * 3)))
+            for _ in range(h)]
+    stride = (w * 3 + 3) & ~3
+    raster = b"".join(r + b"\xAA" * (stride - len(r)) for r in rows)
+    pix_off = 14 + 40
+    payload = (b"BM" + _s.pack("<IHHI", pix_off + len(raster), 0, 0,
+                               pix_off)
+               + _s.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                         len(raster), 0, 0, 0, 0) + raster)
+    s, gw, gh = decode_real(payload, "bmp")
+    # padding bytes (0xAA) must NOT leak into the sum
+    assert (gw, gh) == (w, h) and s == sum(sum(r) for r in rows)
+
+
+@settings(max_examples=40, deadline=None)
+@given(payload=st.binary(max_size=64),
+       fmt=st.sampled_from(["ppm", "pgm", "bmp", "jpeg", "txt"]))
+def test_decode_dispatch_never_raises_property(payload, fmt):
+    """decode() must totalize: malformed/truncated payloads of any
+    claimed format fall back to the stub, never crash the executor
+    batch (IndexError/struct.error escaping a mapInPandas pass kills
+    the whole task, not the row)."""
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import decode, decode_stub
+    out = decode(payload, fmt)
+    assert isinstance(out, tuple) and len(out) == 3
+    if fmt in ("jpeg", "txt"):
+        assert out == decode_stub(payload, fmt)
