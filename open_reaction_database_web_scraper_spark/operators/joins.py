@@ -169,9 +169,10 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_anti",
     oracle="""
-    SELECT c_custkey, c_name FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                            WHERE o_orderpriority = '1-URGENT')
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
     """,
     tags=("join",),
 )
