@@ -259,3 +259,49 @@ def test_decode_dispatch_never_raises_property(payload, fmt):
     assert isinstance(out, tuple) and len(out) == 3
     if fmt in ("jpeg", "txt"):
         assert out == decode_stub(payload, fmt)
+
+
+# ---------------------------------------------------------------
+# Direct pins for the two rows-only queries no test ran by name.
+
+def test_ord_scan_documents_arities(spark, golden_files):
+    """Bronze scan: one row per reaction element, arities consistent
+    with the raw reader (n_outputs ≥ 0; success flags boolean;
+    row count equals the reader's element count)."""
+    from open_reaction_database_web_scraper_spark.operators.ord_queries \
+        import GOLDEN_GLOB
+    from open_reaction_database_web_scraper_spark.sources.ord import (
+        read_ord_documents)
+    out = run("ord_scan_documents", spark, "unused").collect()
+    n_raw = read_ord_documents(spark, GOLDEN_GLOB).count()
+    assert len(out) == n_raw > 0
+    # empty-dataset placeholder rows carry NULL inputs (the
+    # posexplode_outer shape) — every real row has both arities
+    assert all(r.n_input_tabs is None or r.n_input_tabs >= 0
+               for r in out)
+    assert all(r.n_outcomes >= 0 for r in out)
+    assert any(r.n_input_tabs is not None and r.n_input_tabs > 0
+               for r in out)
+    assert all(r.success in (True, False, None) for r in out)
+
+
+def test_multimodal_columns_query_roundtrip(spark, tmp_path):
+    """The registered query end-to-end: planted documents survive the
+    parquet round-trip and the stub features match the text bytes
+    exactly (fmt 'txt' routes through the stub)."""
+    rows = [(1, "abc", "en", "web", 3), (2, "", "en", "web", 0),
+            (3, "héllo", "fr", "web", 5)]
+    d = str(tmp_path / "mm")
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, "
+              "source string, n_chars bigint") \
+        .write.parquet(f"{d}/documents.parquet")
+    out = {r.asset_id: r for r in
+           run("multimodal_columns", spark, d).collect()}
+    assert set(out) == {1, 2, 3}
+    for doc_id, text in ((1, "abc"), (2, ""), (3, "héllo")):
+        payload = text.encode("utf-8")
+        r = out[doc_id]
+        assert r.n_bytes == len(payload)
+        assert r.byte_sum == sum(payload)
+        assert r.fmt == "txt"
