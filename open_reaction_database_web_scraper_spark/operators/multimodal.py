@@ -63,7 +63,9 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
     fallback edge is the integration point for pillow/pyav."""
     if fmt in ("ppm", "pgm"):
         magic, (w, h, maxval), off = _pnm_header(payload)
-        channels = {b"P6": 3, b"P5": 1}[magic]
+        channels = {b"P6": 3, b"P5": 1}.get(magic)
+        if channels is None:  # e.g. ASCII P3/P2 — not a binary PNM
+            raise ValueError(f"unsupported PNM magic {magic!r}")
         if maxval > 255:
             off_bytes = 2  # 16-bit samples, big-endian per spec
         else:
@@ -98,15 +100,26 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
                      "plug pillow/torchaudio/pyav here")
 
 
+REAL_FMTS = ("ppm", "pgm", "bmp")
+CORRUPT_SENTINEL = (-1, 0, 0)  # impossible for a real decode
+
+
 def decode(payload: bytes, fmt: str) -> tuple[int, int, int]:
-    """Codec dispatch: real decode where a stdlib parser exists,
-    deterministic stub elsewhere (the 'txt' driver corpus included).
-    One seam for the whole feature pass, so swapping in a library
-    codec is a one-function change."""
-    try:
-        return decode_real(payload, fmt)
-    except ValueError:
-        return decode_stub(payload, fmt)
+    """Codec dispatch, total over any (payload, fmt): formats with a
+    stdlib parser go to ``decode_real``; everything else ('txt',
+    jpeg/audio/video — the pillow/pyav integration point) goes to the
+    deterministic stub WITHOUT paying a raise/catch per row. A
+    corrupt payload of a SUPPORTED format returns CORRUPT_SENTINEL
+    (pixel_sum −1), never stub-fabricated geometry — corruption in a
+    media corpus must surface as a flaggable value, and never as an
+    exception either (one bad row would kill the whole Arrow batch's
+    task)."""
+    if fmt in REAL_FMTS:
+        try:
+            return decode_real(payload, fmt)
+        except ValueError:
+            return CORRUPT_SENTINEL
+    return decode_stub(payload, fmt)
 
 
 def decode_stub(payload: bytes, fmt: str) -> tuple[int, int, int]:
@@ -236,9 +249,10 @@ RESIZE_SCHEMA = ("asset_id bigint, fmt string, orig_bytes long, "
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pass: ``mapInPandas`` over Arrow batches, one Python
     round-trip per partition — the batch shape a real pillow/opencv
-    resize would use. The codec is the deterministic stub (payload
-    resampled by byte-striding to a fixed budget); ``decode_real`` is
-    the marked integration point for a real library."""
+    resize would use. The resampling is the deterministic stub
+    (payload byte-strided to a fixed budget); a real library resize
+    plugs into ``decode``'s stub fallback alongside the stdlib
+    PPM/PGM/BMP codecs."""
     assets = assets_frame(spark, sf_dir)
     target_w, target_h, budget = 64, 64, 4096
 

@@ -23,6 +23,26 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .catalog import TABLES
 
+# --- vacuity allow-lists, shared by scripts/diffcheck.py and
+# scripts/sweep.py (one home so the two gates can never drift).
+#
+# Oracled queries allowed to return 0 rows at the sweep SF. Empty by
+# policy: a name goes here ONLY with a justification string AND a
+# planted-fixture test exercising its non-empty path.
+VACUOUS_ALLOWED: dict[str, str] = {}
+
+# Rows-only queries where 0 rows IS the correct answer on driver
+# data, each with the reason and the planted test pinning the
+# non-empty path.
+RO_EMPTY_OK: dict[str, str] = {
+    "dedup_embed_cosine":
+        "driver embeddings are isotropic random 64-dim vectors (max "
+        "pairwise cosine 0.51 at sf0.01 / 0.60 at sf0.1, measured), "
+        "so the 0.95 near-dup threshold correctly finds no pairs; "
+        "non-empty path pinned by the planted base/near/ortho test "
+        "(tests/test_streaming_equiv.py).",
+}
+
 
 def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
     """Run oracle SQL on DuckDB and fetch via pandas (driver path)."""

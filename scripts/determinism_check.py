@@ -23,6 +23,14 @@ Hashing: rows rendered to strings (arrays included), columns sorted
 by name, rows sorted lexicographically — same value image as the
 driver's compare, extended to array cells (stringified) since this
 check is Spark-vs-Spark and needs no DuckDB parity.
+
+The artifact records each query's canonical hash (at the base
+width), so a SECOND run in a different process — e.g. under
+``SPARK_GRAFT_CPUS=8`` for a different executor-core count, which
+changes scan splits and ``fanout()``'s round-robin width — can be
+cross-compared with ``--compare prev.json``: a third determinism
+axis (cores) on top of the in-process shuffle-width axis, proving
+output is independent of the machine shape it ran on.
 """
 
 from __future__ import annotations
@@ -61,10 +69,25 @@ def canon_hash(pdf: pd.DataFrame) -> int:
 
 def main() -> int:
     args = sys.argv[1:]
+    compare_path = None
+    if "--compare" in args:
+        i = args.index("--compare")
+        if i + 1 >= len(args):
+            print("usage: --compare <prev.json>")
+            return 2
+        compare_path = args[i + 1]
+        args = args[:i] + args[i + 2:]
     sf_dir = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
     out_path = next((a for a in args if a.endswith(".json")),
                     "DETERMINISM_r5.json")
     names = [a for a in args if "/" not in a and not a.endswith(".json")]
+    prev = None
+    if compare_path:
+        if out_path == compare_path:
+            # default out would clobber the baseline being compared
+            out_path = compare_path.replace(".json", "_compare.json")
+        with open(compare_path) as f:
+            prev = json.load(f)["queries"]
     load_all_operators()
     spark = get_session("determinism")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,9 +100,16 @@ def main() -> int:
         fn = REGISTRY[name].fn
         t0 = time.time()
         try:
+            # clear cached subtrees between runs: several operators
+            # cache() reused intermediates (minhash signatures, IVF
+            # centroids), and a cached width-32 subtree substituted
+            # into the width-7 plan would vacate the check for
+            # exactly the stages most worth checking
             spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+            spark.catalog.clearCache()
             a = fn(spark, sf_dir).toPandas()
             spark.conf.set("spark.sql.shuffle.partitions", ALT_PARTITIONS)
+            spark.catalog.clearCache()
             b = fn(spark, sf_dir).toPandas()
             ha, hb = canon_hash(a), canon_hash(b)
             if len(a) != len(b):
@@ -88,7 +118,12 @@ def main() -> int:
             elif ha != hb:
                 cell = {"status": "NONDET_VALUES", "rows": len(a)}
             else:
-                cell = {"status": "deterministic", "rows": len(a)}
+                cell = {"status": "deterministic", "rows": len(a),
+                        "hash": str(ha)}
+            if (prev is not None and "hash" in cell
+                    and prev.get(name, {}).get("hash") not in
+                    (None, cell["hash"])):
+                cell["status"] = "NONDET_ACROSS_PROCESS"
         except Exception:
             cell = {"status": "error",
                     "detail": traceback.format_exc(limit=1).splitlines()[-1]}

@@ -20,12 +20,8 @@ from open_reaction_database_web_scraper_spark.session import get_session  # noqa
 from open_reaction_database_web_scraper_spark.testing import compare  # noqa: E402
 
 
-# Oracled queries allowed to return 0 rows at the sweep SF. Empty by
-# policy: a name goes here ONLY with a justification string AND a
-# planted-fixture test exercising its non-empty path (the round-3/4
-# verdicts' vacuous-coverage rule). Rows-only queries are exempt from
-# the guard (no oracle to trivially match).
-VACUOUS_ALLOWED: dict[str, str] = {}
+from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
+    RO_EMPTY_OK, VACUOUS_ALLOWED)
 
 
 def main() -> int:
@@ -44,9 +40,8 @@ def main() -> int:
             if spec.oracle is None:
                 n = df.count()
                 # a rows-only check that counts 0 rows verified
-                # nothing — vacuous unless justified (sweep.py's
+                # nothing — vacuous unless justified (testing.py's
                 # RO_EMPTY_OK carries the reasons)
-                from scripts.sweep import RO_EMPTY_OK
                 if n == 0 and name not in RO_EMPTY_OK:
                     n_fail += 1
                     print(f"FAIL {name}: rows-only but VACUOUS "

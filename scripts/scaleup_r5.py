@@ -3,12 +3,18 @@ multimodal codec pipeline).
 
 Same key-shifted-copies method as scaleup_r2b/r3. Round-5 notes:
 
-- documents copies get a per-copy SALT token appended to the text,
-  so the duplicate/near-duplicate structure stays at its 1x shape
-  while the scan grows 10x — verbatim copies would instead create
-  5 000 ten-member duplicate groups and measure a semantic change
-  (LSH pair output is inherently quadratic in true-dup group size),
-  not a scale change;
+- documents copies get a per-copy SALT token INTERLEAVED between
+  every pair of words (not appended: a single trailing token leaves
+  cross-copy Jaccard at ~0.96 — still a near-dup clique, which
+  would measure LSH's inherently quadratic-in-group-size pair
+  output, a semantic change, not scale). Interleaving puts the
+  copy's salt inside EVERY 3-word shingle, driving cross-copy
+  shingle overlap to zero while same-copy doc-pair similarity is
+  preserved (both docs carry the same salt in the same positions) —
+  so near-dup structure replicates per copy and pair counts grow
+  ~linearly with the 10x corpus. Token count doubles per doc (the
+  per-doc work constant shifts; the SCALE exponent is what's
+  measured);
 - lineitem copies shift l_orderkey only: supplier stays a 1x
   dimension, so join_groupwise_max sees 10x facts over the same
   supplier domain (more volume per supplier — the realistic shape);
@@ -88,12 +94,13 @@ def main() -> None:
     cust = (load(spark, sf_dir, "customer").withColumn("copy", copy_col)
             .withColumn("c_custkey",
                         F.col("c_custkey") + F.col("copy") * cust_shift))
+    salt = F.concat(F.lit(" s"), F.col("copy").cast("string"), F.lit(" "))
     docs = (load(spark, sf_dir, "documents").withColumn("copy", copy_col)
             .withColumn("doc_id",
                         F.col("doc_id") + F.col("copy") * doc_shift)
             .withColumn("text", F.when(
                 F.col("copy") == 0, F.col("text")).otherwise(
-                F.concat("text", F.lit(" salt"), F.col("copy")))))
+                F.regexp_replace("text", " ", salt))))
     for table, df in (("lineitem", li), ("orders", orders),
                       ("customer", cust), ("documents", docs)):
         (df.drop("copy").repartition(32)

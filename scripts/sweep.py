@@ -28,29 +28,17 @@ sys.path.insert(0, ".")
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
-from open_reaction_database_web_scraper_spark.testing import compare  # noqa: E402
-from scripts.diffcheck import VACUOUS_ALLOWED  # noqa: E402
+from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
+    RO_EMPTY_OK, VACUOUS_ALLOWED, compare)
 
 DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                "/root/testdata/sf0.1")
 
-# Rows-only queries where 0 rows IS the correct answer on driver
-# data, each with the reason and the planted test pinning the
-# non-empty path.
-RO_EMPTY_OK = {
-    "dedup_embed_cosine":
-        "driver embeddings are isotropic random 64-dim vectors (max "
-        "pairwise cosine 0.51 at sf0.01 / 0.60 at sf0.1, measured), "
-        "so the 0.95 near-dup threshold correctly finds no pairs; "
-        "non-empty path pinned by the planted base/near/ortho test "
-        "(tests/test_streaming_equiv.py).",
-}
-
 
 def main() -> int:
     args = sys.argv[1:]
-    out_path = args[0] if args and args[0].endswith(".json") \
-        else "SWEEP_r5.json"
+    out_path = next((a for a in args if a.endswith(".json")),
+                    "SWEEP_r5.json")
     sf_dirs = [a for a in args if not a.endswith(".json")] \
         or list(DEFAULT_SFS)
     load_all_operators()

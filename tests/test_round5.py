@@ -165,13 +165,19 @@ def test_decode_real_ppm_pgm_bmp():
 
 def test_decode_real_rejects_truncated_and_unknown():
     from open_reaction_database_web_scraper_spark.operators.multimodal \
-        import decode, decode_real, decode_stub
+        import CORRUPT_SENTINEL, decode, decode_real, decode_stub
     with pytest.raises(ValueError):
         decode_real(_ppm(4, 3, 7)[:-1], "ppm")
     with pytest.raises(ValueError):
+        decode_real(b"P3\n2 2\n255\n0 0 0 0", "ppm")  # ASCII PNM
+    with pytest.raises(ValueError):
         decode_real(b"\xff\xd8\xff", "jpeg")
-    # dispatcher falls back to the stub for library-only formats
+    # dispatcher: stub for library-only formats, sentinel (NOT
+    # stub-fabricated geometry, NOT an exception) for corrupt
+    # payloads of supported formats
     assert decode(b"abc", "jpeg") == decode_stub(b"abc", "jpeg")
+    assert decode(_ppm(4, 3, 7)[:-1], "ppm") == CORRUPT_SENTINEL
+    assert decode(b"not a bitmap", "bmp") == CORRUPT_SENTINEL
 
 
 def test_extract_features_decodes_planted_binaries(spark):
