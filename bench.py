@@ -104,6 +104,7 @@ OPTIONAL = [
     "dedup_clusters",
     "multimodal_columns",
     "multimodal_phash_dedup",
+    "multimodal_decode_ppm",
 ]
 
 

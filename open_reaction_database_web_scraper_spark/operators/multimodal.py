@@ -114,6 +114,7 @@ def decode(payload: bytes, fmt: str) -> tuple[int, int, int]:
     media corpus must surface as a flaggable value, and never as an
     exception either (one bad row would kill the whole Arrow batch's
     task)."""
+    payload = payload or b""  # NULL payload cells arrive as None
     if fmt in REAL_FMTS:
         try:
             return decode_real(payload, fmt)
@@ -355,3 +356,57 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(hamming <= PHASH_MAX_HAMMING)
             .select("asset_a", "asset_b", hamming.alias("hamming"))
             .distinct())
+
+
+PPM_W, PPM_H = 4, 2  # 24 raster bytes = the first 24 sha-256 hex chars
+
+
+@register(
+    "multimodal_decode_ppm",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(text), 1, 24) AS r FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(list_sum(list_transform(range(1, 25),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pixel_sum,
+           CAST({PPM_W} AS INTEGER) AS px_w,
+           CAST({PPM_H} AS INTEGER) AS px_h
+    FROM h
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-codec decode through the production path, oracled: each
+    document becomes a well-formed binary P6 PPM (4×2, raster = the
+    first 24 sha-256 hex chars of its text — ASCII bytes, so DuckDB
+    can compute the expected pixel sum without blob arithmetic), and
+    the Arrow-batched ``extract_features`` pass must route it through
+    ``decode_real`` and recover the exact geometry and raster sum.
+
+    This closes the gap the round-3/4 verdicts circled: with only
+    'txt' payloads in the driver corpus, every registered multimodal
+    query exercised the stub codec, leaving the real decode
+    test-only. Payload CONSTRUCTION is pure JVM (sha2/substring/
+    concat inside codegen); only the decode itself crosses to Python,
+    exactly where a pillow/pyav decode would sit. The oracle
+    cross-checks per-row sums, so a codec that mis-parses the header,
+    drops raster bytes, or counts padding diverges immediately."""
+    docs = load(spark, sf_dir, "documents")
+    raster = F.substring(F.sha2("text", 256), 1, PPM_W * PPM_H * 3)
+    payload = F.concat(
+        F.encode(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), "utf-8"),
+        F.encode(raster, "utf-8"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("ppm").alias("fmt"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source")).alias("meta"))
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pixel_sum"),
+        F.col("fake_width").alias("px_w"),
+        F.col("fake_height").alias("px_h"))
