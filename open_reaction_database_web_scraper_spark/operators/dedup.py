@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
-from ..registry import REGISTRY, register
+from ..registry import register
 
 N_HASHES = 32          # minhash signature length
 N_BANDS = 8            # LSH bands (r = N_HASHES / N_BANDS = 4)
@@ -102,7 +102,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept at ≥ 0.5. Deterministic (xxhash64 with fixed per-row seeds).
     Rows-only check: the minhash estimator is approximate by design;
     tests pin its behavior on synthetic near-dups.
+
+    The signature cache stays live (the returned frame is lazy and
+    re-reads it at action time); consumers that materialize
+    internally release it via :func:`minhash_pairs`'s handle.
     """
+    pairs, _sig = minhash_pairs(spark, sf_dir)
+    return pairs
+
+
+def minhash_pairs(spark: SparkSession,
+                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(pairs, cached signature handle). The sig frame is consumed
+    twice inside the pair plan (banding + est-Jaccard verify), so it
+    is cached here; the CALLER owns the unpersist — a query that
+    materializes the pairs (e.g. the CC clustering loop) should
+    release it, a caller returning the lazy pairs frame must not."""
     sig = minhash_signatures(spark, sf_dir).cache()
     bands = sig.select(
         "doc_id",
@@ -127,10 +142,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       lambda x, y: x == y),
                            lambda eq: eq))
            .cast("double") / F.lit(float(N_HASHES)))
-    return (cand.join(sa, "doc_a").join(sb, "doc_b")
-            .withColumn("est_jaccard", est)
-            .filter(F.col("est_jaccard") >= 0.5)
-            .select("doc_a", "doc_b", "est_jaccard"))
+    pairs = (cand.join(sa, "doc_a").join(sb, "doc_b")
+             .withColumn("est_jaccard", est)
+             .filter(F.col("est_jaccard") >= 0.5)
+             .select("doc_a", "doc_b", "est_jaccard"))
+    return pairs, sig
 
 
 @register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
@@ -305,11 +321,16 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster behavior (edge linearity included) is pinned in tests.
     """
     docs = load(spark, sf_dir, "documents")
-    near = (REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
-            .select(F.col("doc_a").alias("src"),
-                    F.col("doc_b").alias("dst")))
+    pairs, sig = minhash_pairs(spark, sf_dir)
+    near = pairs.select(F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"))
     edges = exact_dup_star_edges(docs).unionByName(near).distinct()
-    return _cluster_output(connected_components(edges))
+    labels = connected_components(edges)
+    # CC materialized the edge graph (eager localCheckpoints), so
+    # the signature cache has no further reader — release it rather
+    # than pinning executor storage for the session's lifetime
+    sig.unpersist()
+    return _cluster_output(labels)
 
 
 def exact_dup_star_edges(docs: DataFrame) -> DataFrame:
@@ -339,10 +360,12 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     a planted chain-of-7 test). Returns (doc_id, cluster_id,
     cluster_size) for near-dup clusters of ≥2 docs.
     """
-    pairs = REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir)
+    pairs, sig = minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
-    return _cluster_output(connected_components(edges))
+    labels = connected_components(edges)
+    sig.unpersist()  # CC materialized the graph; no further reader
+    return _cluster_output(labels)
 
 
 BLOCK_W = 8  # tokens per sub-document block

@@ -66,6 +66,8 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
         channels = {b"P6": 3, b"P5": 1}.get(magic)
         if channels is None:  # e.g. ASCII P3/P2 — not a binary PNM
             raise ValueError(f"unsupported PNM magic {magic!r}")
+        if w < 1 or h < 1:  # zero-area headers are corrupt, not empty
+            raise ValueError(f"degenerate PNM geometry {w}x{h}")
         if maxval > 255:
             off_bytes = 2  # 16-bit samples, big-endian per spec
         else:
@@ -86,8 +88,15 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
         if bpp != 24 or comp != 0:
             raise ValueError(f"unsupported BMP variant bpp={bpp} "
                              f"compression={comp}")
+        if w < 1 or h == 0:
+            raise ValueError(f"degenerate BMP geometry {w}x{h}")
         row_bytes = w * 3
         stride = (row_bytes + 3) & ~3  # rows pad to 4-byte boundaries
+        # bound the loop by the payload BEFORE iterating: a forged
+        # h=2^31 header with w=0 (or any tiny payload) must fail in
+        # O(1), not spin ~2^31 empty iterations inside the executor
+        if pix_off + abs(h) * stride > len(payload) + (stride - row_bytes):
+            raise ValueError("truncated BMP raster")
         total = 0
         for r in range(abs(h)):
             row = payload[pix_off + r * stride:
@@ -365,7 +374,8 @@ PPM_W, PPM_H = 4, 2  # 24 raster bytes = the first 24 sha-256 hex chars
     "multimodal_decode_ppm",
     oracle=f"""
     WITH h AS (
-      SELECT doc_id, substr(sha256(text), 1, 24) AS r FROM documents
+      SELECT doc_id, substr(sha256(COALESCE(text, '')), 1, 24) AS r
+      FROM documents
     )
     SELECT doc_id AS asset_id,
            CAST(list_sum(list_transform(range(1, 25),
@@ -394,7 +404,13 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-checks per-row sums, so a codec that mis-parses the header,
     drops raster bytes, or counts padding diverges immediately."""
     docs = load(spark, sf_dir, "documents")
-    raster = F.substring(F.sha2("text", 256), 1, PPM_W * PPM_H * 3)
+    # COALESCE both sides: sha2(NULL) is NULL in both engines, but a
+    # NULL payload would decode to the corrupt sentinel on the Spark
+    # side while the oracle keeps its literal geometry columns — the
+    # same NULL-divergence class the join_anti NOT EXISTS fix closed
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1,
+        PPM_W * PPM_H * 3)
     payload = F.concat(
         F.encode(F.lit(f"P6\n{PPM_W} {PPM_H}\n255\n"), "utf-8"),
         F.encode(raster, "utf-8"))

@@ -45,12 +45,24 @@ RO_EMPTY_OK: dict[str, str] = {
 
 
 def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
-    """Run oracle SQL on DuckDB and fetch via pandas (driver path)."""
+    """Run oracle SQL on DuckDB and fetch via pandas (driver path).
+    Tables absent from ``sf_dir`` are skipped (planted-fixture dirs
+    carry only the tables a query reads; a query referencing a
+    missing table still fails at execution, same as the driver)."""
     con = duckdb.connect()
     try:
         for t in TABLES:
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            # driver dirs hold single-file tables; planted fixture
+            # dirs hold Spark-written DIRECTORIES of part files —
+            # fall through to the glob form, then to absent
+            for src in (f"{sf_dir}/{t}.parquet",
+                        f"{sf_dir}/{t}.parquet/*.parquet"):
+                try:
+                    con.execute(f"CREATE VIEW {t} AS "
+                                f"SELECT * FROM '{src}'")
+                    break
+                except (duckdb.IOException, duckdb.CatalogException):
+                    continue  # not planted in this fixture dir
         return con.execute(sql).fetchdf()
     finally:
         con.close()

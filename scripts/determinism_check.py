@@ -57,11 +57,12 @@ LAYOUT_DEPENDENT_OK: dict[str, str] = {}
 
 
 def canon_hash(pdf: pd.DataFrame) -> int:
+    # summed per-row hashes are already row-order-insensitive, so no
+    # sort is needed (unlike the driver compare, which also diffs
+    # first mismatching rows and therefore canon-sorts)
     pdf = pdf.rename(columns={c: c.lower() for c in pdf.columns})
     pdf = pdf.reindex(sorted(pdf.columns), axis=1)
     pdf = pdf.astype(object).where(pdf.notna(), None).astype(str)
-    if len(pdf.columns) and len(pdf):
-        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
     h = pd.util.hash_pandas_object(pdf.reset_index(drop=True),
                                    index=False)
     return int(h.sum())
@@ -77,7 +78,9 @@ def main() -> int:
             return 2
         compare_path = args[i + 1]
         args = args[:i] + args[i + 2:]
-    sf_dir = next((a for a in args if "/" in a), "/root/testdata/sf0.01")
+    sf_dir = next((a for a in args
+                   if "/" in a and not a.endswith(".json")),
+                  "/root/testdata/sf0.01")
     out_path = next((a for a in args if a.endswith(".json")),
                     "DETERMINISM_r5.json")
     names = [a for a in args if "/" not in a and not a.endswith(".json")]

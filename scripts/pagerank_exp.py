@@ -39,8 +39,7 @@ def v1_cached_edges(spark, sf_dir):
                 .join(contrib, deg.node == contrib.dst)
                 .select("node", "deg", "n_nodes",
                         F.expr(f"CAST((15 * {_PR_SCALE}) DIV "
-                               "(100 * n_nodes) + s ASBIGINT)".replace(
-                                   "ASBIGINT", "AS BIGINT"))
+                               "(100 * n_nodes) + s AS BIGINT)")
                         .alias("rank_fp")))
     out = rank.select("node", "rank_fp")
     try:

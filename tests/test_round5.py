@@ -311,3 +311,43 @@ def test_multimodal_columns_query_roundtrip(spark, tmp_path):
         assert r.n_bytes == len(payload)
         assert r.byte_sum == sum(payload)
         assert r.fmt == "txt"
+
+
+def test_decode_rejects_degenerate_geometry_fast():
+    """Zero-area headers are corrupt (sentinel, not fabricated
+    geometry), and a forged h=2^31 BMP header must fail in O(1) —
+    not spin billions of empty loop iterations inside an executor
+    (caught in round-5 self-review by direct execution)."""
+    import struct as _s
+    import time
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import CORRUPT_SENTINEL, decode
+    assert decode(b"P6 99999999999 0 255\n", "ppm") == CORRUPT_SENTINEL
+    assert decode(b"P6 0 5 255\n", "ppm") == CORRUPT_SENTINEL
+    forged = (b"BM" + _s.pack("<IHHI", 60, 0, 0, 54)
+              + _s.pack("<IiiHHIIiiII", 40, 0, 2**31 - 1, 1, 24, 0,
+                        0, 0, 0, 0, 0))
+    t0 = time.time()
+    assert decode(forged, "bmp") == CORRUPT_SENTINEL
+    forged_neg = (b"BM" + _s.pack("<IHHI", 60, 0, 0, 54)
+                  + _s.pack("<IiiHHIIiiII", 40, 1, -(2**31), 1, 24, 0,
+                            0, 0, 0, 0, 0))
+    assert decode(forged_neg, "bmp") == CORRUPT_SENTINEL
+    assert time.time() - t0 < 1.0
+
+
+def test_decode_ppm_query_null_and_empty_text(spark, tmp_path):
+    """multimodal_decode_ppm must agree with its oracle even for
+    NULL/empty document text (COALESCE both sides): a NULL text
+    payload is a VALID empty-string PPM, not the corrupt sentinel."""
+    rows = [(1, "real text here"), (2, None), (3, "")]
+    d = str(tmp_path / "nulldoc")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .withColumn("lang", F.lit("en")) \
+        .withColumn("source", F.lit("web")) \
+        .withColumn("n_chars", F.length(F.coalesce("text", F.lit(""))).cast("long")) \
+        .write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["multimodal_decode_ppm"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d,
+                      "multimodal_decode_ppm", fail_on_empty=True)
+    assert ok, msg
