@@ -325,11 +325,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near = pairs.select(F.col("doc_a").alias("src"),
                         F.col("doc_b").alias("dst"))
     edges = exact_dup_star_edges(docs).unionByName(near).distinct()
-    labels = connected_components(edges)
-    # CC materialized the edge graph (eager localCheckpoints), so
-    # the signature cache has no further reader — release it rather
-    # than pinning executor storage for the session's lifetime
-    sig.unpersist()
+    try:
+        labels = connected_components(edges)
+    finally:
+        # CC materialized the edge graph (eager localCheckpoints), so
+        # the signature cache has no further reader — release it
+        # rather than pinning executor storage for the session's
+        # lifetime (finally: a CC convergence failure must not leak
+        # the cache either, or every retry pins another copy)
+        sig.unpersist()
     return _cluster_output(labels)
 
 
@@ -363,8 +367,10 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, sig = minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"),
                          F.col("doc_b").alias("dst"))
-    labels = connected_components(edges)
-    sig.unpersist()  # CC materialized the graph; no further reader
+    try:
+        labels = connected_components(edges)
+    finally:
+        sig.unpersist()  # CC materialized the graph; no further reader
     return _cluster_output(labels)
 
 

@@ -17,6 +17,8 @@ would flag, plus the unhashable-list failure mode for raw arrays.
 
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -54,15 +56,22 @@ def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:
         for t in TABLES:
             # driver dirs hold single-file tables; planted fixture
             # dirs hold Spark-written DIRECTORIES of part files —
-            # fall through to the glob form, then to absent
+            # fall through to the glob form. Only a genuinely ABSENT
+            # table is skipped; an unreadable existing file (corrupt
+            # or truncated parquet) must surface here, not later as
+            # a misleading missing-table error.
+            if not os.path.exists(f"{sf_dir}/{t}.parquet"):
+                continue
             for src in (f"{sf_dir}/{t}.parquet",
                         f"{sf_dir}/{t}.parquet/*.parquet"):
                 try:
                     con.execute(f"CREATE VIEW {t} AS "
                                 f"SELECT * FROM '{src}'")
                     break
-                except (duckdb.IOException, duckdb.CatalogException):
-                    continue  # not planted in this fixture dir
+                except duckdb.IOException as e:
+                    last = e
+            else:
+                raise last
         return con.execute(sql).fetchdf()
     finally:
         con.close()

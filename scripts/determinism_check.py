@@ -20,9 +20,11 @@ rank/row_number with under-specified ORDER BY, seeded-but-partition-
 indexed randomness.
 
 Hashing: rows rendered to strings (arrays included), columns sorted
-by name, rows sorted lexicographically — same value image as the
-driver's compare, extended to array cells (stringified) since this
-check is Spark-vs-Spark and needs no DuckDB parity.
+by name, per-row hashes SUMMED (order-insensitive without a sort —
+unlike the driver's compare, which also canon-sorts to diff first
+mismatching rows). Same value image as the driver per cell, extended
+to array cells (stringified) since this check is Spark-vs-Spark and
+needs no DuckDB parity.
 
 The artifact records each query's canonical hash (at the base
 width), so a SECOND run in a different process — e.g. under
