@@ -382,3 +382,48 @@ def test_dedup_clusters_plan_has_no_cartesian(spark, sf_dir):
         df._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_rolling_wau_matches_python_model(spark, tmp_path):
+    """Third-implementation check for the cover-set rolling-WAU
+    trick: a planted fixture with exact 7-day boundaries (day 1 is
+    inside day 7's trailing window, outside day 8's), multi-day
+    users (distinct, not summed), and a gap day (absent from the
+    report — the spine only covers ACTIVE days) must match a direct
+    python model computed from first principles."""
+    import datetime as dt
+
+    events = [  # (user, day-of-jan-2024)
+        (1, 1), (2, 1), (1, 1),      # day 1: users {1,2}, dup event
+        (1, 2),                      # day 2
+        (3, 7),                      # day 7: window [1..7]
+        (2, 8),                      # day 8: window [2..8] — day 1 out
+        (1, 20),                     # isolated day after a gap
+    ]
+    rows = [(i, u, f"2024-01-{d:02d} 12:00:00", "e", 0.0, "{}")
+            for i, (u, d) in enumerate(events)]
+    d = str(tmp_path / "wau")
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, ts_s string, "
+              "event_type string, value double, props string") \
+        .select("event_id", "user_id",
+                F.to_timestamp("ts_s").alias("ts"),
+                "event_type", "value", "props") \
+        .write.parquet(f"{d}/events.parquet")
+
+    got = {r.day.date() if hasattr(r.day, "date") else r.day: r.wau
+           for r in run("agg_rolling_active_users", spark, d).collect()}
+
+    active = {(u, dt.date(2024, 1, day)) for u, day in events}
+    days = sorted({day for _, day in active})
+    model = {day: len({u for u, ad in active
+                       if 0 <= (day - ad).days <= 6})
+             for day in days}
+    assert got == model
+    # the fixture's load-bearing boundaries, stated explicitly:
+    assert model[dt.date(2024, 1, 7)] == 3   # day 1 users still in
+    assert model[dt.date(2024, 1, 8)] == 3   # {1 (day 2), 2, 3}; day-1
+    #                                          activity aged out, but
+    #                                          user 1 re-enters via day 2
+    assert model[dt.date(2024, 1, 20)] == 1  # gap isolates the window
+    assert dt.date(2024, 1, 9) not in got    # inactive days absent
