@@ -1,15 +1,19 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE JSON line (the sole final stdout line — Spark console
+progress bars are disabled in session.py so nothing else interleaves):
   {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Each query is executed with a noop-sink action that materializes
 the full result (no driver collect of big payloads). Every query is
-warmed once at the target scale factor before its timed run, so the
+warmed once at the target scale factor before its timed runs, so the
 recorded numbers are steady-state execution — JVM/JIT, codegen,
 file-listing and footer caches amortized, as on a long-lived cluster
-session. BASELINE.md records the cold-first-run gap alongside.
+session. Each query is then timed REPS times (default 3) and the
+MEDIAN recorded, damping the ±20% ambient host drift documented in
+BASELINE.md ("machine drift"). Override with SPARK_GRAFT_BENCH_REPS=1
+for a quick single-shot pass while iterating.
 """
 
 from __future__ import annotations
@@ -141,24 +145,33 @@ def main() -> None:
     # cached blocks can't accumulate across the ~60-query sweep and
     # perturb late queries via eviction pressure.
     spark.catalog.clearCache()
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        # Materialize every row and column without collecting payloads.
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        spark.catalog.clearCache()
+        samples: list[float] = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            # Materialize every row and column without collecting payloads.
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
+        samples.sort()
+        timings[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
+    # Flush any buffered Spark/JVM stderr noise, then emit the result
+    # as the sole final stdout line so harnesses can parse it reliably.
+    sys.stderr.flush()
+    sys.stdout.flush()
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(sf_dir),
-    }))
+    }), flush=True)
 
 
 if __name__ == "__main__":

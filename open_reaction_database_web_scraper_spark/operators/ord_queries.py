@@ -20,11 +20,37 @@ GOLDEN_GLOB = "/root/reference/ord_formatted_data*.json"
 GOLDEN_ONE = "/root/reference/ord_formatted_data_one.json"
 
 
-@register("ord_scan_documents", oracle=None, tags=("ord", "scan"))
+@register(
+    "ord_scan_documents",
+    oracle=f"""
+    WITH doc AS (
+      SELECT json(content) AS j FROM read_text('{GOLDEN_GLOB}')
+    ), ds AS (
+      SELECT k AS dataset_id,
+             CAST(json_extract(j, '$.' || k || '.reactions') AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), flat AS (
+      SELECT dataset_id, UNNEST(rx) AS r FROM ds WHERE len(rx) > 0
+      UNION ALL
+      -- posexplode_outer parity: a dataset with no reactions still
+      -- yields one all-NULL placeholder row on the Spark side
+      SELECT dataset_id, NULL AS r FROM ds WHERE rx IS NULL OR len(rx) = 0
+    )
+    SELECT dataset_id,
+           json_extract_string(r, '$.reaction_id') AS reaction_id,
+           CAST(json_extract(r, '$.success') AS BOOLEAN) AS success,
+           CAST(json_array_length(r, '$.inputsMap') AS INT) AS n_input_tabs,
+           CAST(COALESCE(json_array_length(r, '$.outcomes'), 0) AS INT)
+             AS n_outcomes
+    FROM flat
+    """,
+    tags=("ord", "scan"))
 def ord_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bronze scan of the whole golden corpus: one row per reaction
     record with input/outcome arities (web_scrpaer_2.py:530-548
-    reversed)."""
+    reversed). Oracled since round 6: DuckDB independently walks the
+    same JSON files; records without an ``inputsMap`` surface as NULL
+    arity in both engines (size(NULL map) is NULL under ANSI)."""
     rx = read_ord_documents(spark, GOLDEN_GLOB)
     return rx.select(
         "dataset_id", "reaction_id", "success",

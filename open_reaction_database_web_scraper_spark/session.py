@@ -30,6 +30,11 @@ DEFAULT_CONFS: dict[str, str] = {
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    # Console progress bars write \r-frames to stdout mid-job; any
+    # harness that parses a JSON result line from stdout (bench.py,
+    # the driver) gets them interleaved with the payload. Nothing in
+    # this repo reads them — off everywhere.
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
