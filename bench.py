@@ -109,6 +109,9 @@ OPTIONAL = [
     "multimodal_columns",
     "multimodal_phash_dedup",
     "multimodal_decode_ppm",
+    # round 6
+    "multimodal_decode_png",
+    "text_fingerprint",
 ]
 
 

@@ -15,6 +15,8 @@ point.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -51,16 +53,161 @@ def _pnm_header(payload: bytes) -> tuple[bytes, list[int], int]:
     return magic, fields, pos + 1  # single whitespace ends the header
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytearray:
+    """Reverse per-scanline filtering (PNG spec §9): each scanline is
+    one filter-type byte then ``w*bpp`` filtered bytes; reconstruction
+    is mod-256 against the left/up/up-left neighbors."""
+    stride = w * bpp
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"PNG raster length {len(raw)} != "
+                         f"{h}x(1+{stride})")
+    recon = bytearray(h * stride)
+    for r in range(h):
+        ftype = raw[r * (stride + 1)]
+        line = raw[r * (stride + 1) + 1:(r + 1) * (stride + 1)]
+        out = r * stride
+        prior = out - stride
+        for i, x in enumerate(line):
+            left = recon[out + i - bpp] if i >= bpp else 0
+            up = recon[prior + i] if r > 0 else 0
+            ul = recon[prior + i - bpp] if (r > 0 and i >= bpp) else 0
+            if ftype == 0:
+                v = x
+            elif ftype == 1:
+                v = x + left
+            elif ftype == 2:
+                v = x + up
+            elif ftype == 3:
+                v = x + ((left + up) >> 1)
+            elif ftype == 4:
+                v = x + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"PNG filter type {ftype} invalid")
+            recon[out + i] = v & 0xFF
+    return recon
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib PNG decode: chunk walk → IHDR geometry → IDAT
+    concatenation → zlib inflate → per-scanline unfilter. Supports
+    non-interlaced 8-bit grayscale (color type 0) and RGB (2) — the
+    raster classes the engine's synthetic corpora use; palette/alpha/
+    16-bit raise ``ValueError`` like any other unsupported variant
+    (the pillow seam). Chunk CRCs are not revalidated — zlib's
+    Adler-32 already covers the pixel stream — but lengths are, so a
+    truncated file fails loudly rather than decoding short."""
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, w, h, meta, idat, saw_end = 8, 0, 0, None, [], False
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        if typ == b"IHDR":
+            if ln != 13:
+                raise ValueError("bad IHDR length")
+            w, h = struct.unpack(">II", data[:8])
+            meta = tuple(data[8:13])  # depth, ctype, comp, filt, interlace
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            saw_end = True
+            break
+        pos += 12 + ln  # length + type + data + CRC
+    if meta is None or not saw_end or not idat:
+        raise ValueError("PNG missing IHDR/IDAT/IEND")
+    depth, ctype, comp, filt, interlace = meta
+    channels = {0: 1, 2: 3}.get(ctype)
+    if depth != 8 or channels is None or comp != 0 or filt != 0 \
+            or interlace != 0:
+        raise ValueError(f"unsupported PNG variant depth={depth} "
+                         f"color={ctype} interlace={interlace}")
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate PNG geometry {w}x{h}")
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from e
+    recon = _png_unfilter(raw, w, h, channels)
+    return sum(recon), w, h
+
+
+def encode_png(raster: bytes, w: int, h: int, channels: int = 3,
+               filters: list[int] | None = None) -> bytes:
+    """Stdlib PNG encoder (the planted-fixture generator for the
+    decode path): raw ``h*w*channels`` pixel bytes → a valid
+    non-interlaced 8-bit PNG, applying the requested per-scanline
+    filter types (default: cycle 0..4 so every unfilter branch is
+    exercised). Exact forward transform of :func:`_png_unfilter`."""
+    if len(raster) != h * w * channels:
+        raise ValueError("raster size mismatch")
+    ctype = {1: 0, 3: 2}[channels]
+    stride = w * channels
+    filters = filters if filters is not None else \
+        [r % 5 for r in range(h)]
+    lines = bytearray()
+    for r in range(h):
+        f = filters[r]
+        row = raster[r * stride:(r + 1) * stride]
+        prior = raster[(r - 1) * stride:r * stride] if r > 0 \
+            else bytes(stride)
+        lines.append(f)
+        for i, x in enumerate(row):
+            left = row[i - channels] if i >= channels else 0
+            up = prior[i]
+            ul = prior[i - channels] if i >= channels else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - left
+            elif f == 2:
+                v = x - up
+            elif f == 3:
+                v = x - ((left + up) >> 1)
+            elif f == 4:
+                v = x - _paeth(left, up, ul)
+            else:
+                raise ValueError(f"filter {f} invalid")
+            lines.append(v & 0xFF)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + chunk(b"IEND", b""))
+
+
 def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
     """Real (pure-python, stdlib-only) decode for the container-
     friendly raster formats: binary PPM (P6, RGB), binary PGM (P5,
-    gray), and uncompressed 24-bit BMP. Returns the same contract as
-    :func:`decode_stub` — (pixel_sum, width, height) — where
-    pixel_sum covers actual raster bytes only (header and BMP row
-    padding excluded), so the value changes iff pixel data changes.
-    Formats needing an external codec (jpeg/png/audio/video) raise
-    ``ValueError`` and the caller falls back to the stub — that
-    fallback edge is the integration point for pillow/pyav."""
+    gray), uncompressed 24-bit BMP, and non-interlaced 8-bit
+    gray/RGB PNG (zlib inflate + full 0-4 unfilter). Returns the same
+    contract as :func:`decode_stub` — (pixel_sum, width, height) —
+    where pixel_sum covers actual raster bytes only (header, BMP row
+    padding and PNG filter bytes excluded), so the value changes iff
+    pixel data changes. Formats needing an external codec
+    (jpeg/audio/video, exotic PNG variants) raise ``ValueError`` and
+    the caller falls back to the stub — that fallback edge is the
+    integration point for pillow/pyav."""
+    if fmt == "png":
+        return _png_decode(payload)
     if fmt in ("ppm", "pgm"):
         magic, (w, h, maxval), off = _pnm_header(payload)
         channels = {b"P6": 3, b"P5": 1}.get(magic)
@@ -109,7 +256,7 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
                      "plug pillow/torchaudio/pyav here")
 
 
-REAL_FMTS = ("ppm", "pgm", "bmp")
+REAL_FMTS = ("ppm", "pgm", "bmp", "png")
 CORRUPT_SENTINEL = (-1, 0, 0)  # impossible for a real decode
 
 
@@ -421,6 +568,69 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("ppm").alias("fmt"),
             F.octet_length(payload).cast("long").alias("n_bytes"),
             F.col("source").alias("source")).alias("meta"))
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pixel_sum"),
+        F.col("fake_width").alias("px_w"),
+        F.col("fake_height").alias("px_h"))
+
+
+# Per-scanline filters used by the decode_png query's constructor:
+# Sub then Paeth, the two hardest unfilter branches — a decoder that
+# botches either reconstruction diverges from the oracle on every row.
+PNG_QUERY_FILTERS = [1, 4]
+
+
+@register(
+    "multimodal_decode_png",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(COALESCE(text, '')), 1, 24) AS r
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(list_sum(list_transform(range(1, 25),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pixel_sum,
+           CAST({PPM_W} AS INTEGER) AS px_w,
+           CAST({PPM_H} AS INTEGER) AS px_h
+    FROM h
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full PNG round-trip through the production decode path,
+    oracled: each document's first 24 sha-256 hex chars become the
+    4×2 RGB raster of a REAL zlib-compressed PNG (scanlines filtered
+    Sub then Paeth — see PNG_QUERY_FILTERS), and ``extract_features``
+    must inflate, unfilter and recover the exact raster sum DuckDB
+    predicts from the hex chars alone. Same contract as
+    ``multimodal_decode_ppm`` one codec up in difficulty: this one
+    exercises chunk parsing, zlib, and mod-256 filter reconstruction,
+    not just header arithmetic. Construction (sha JVM-side, encode in
+    the same Arrow batch pass that a real pillow encode would own)
+    and decode both run distributed; nothing touches the driver."""
+    docs = load(spark, sf_dir, "documents")
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1,
+        PPM_W * PPM_H * 3)
+    seed = docs.select(F.col("doc_id").alias("asset_id"),
+                       raster.alias("raster"),
+                       F.col("source").alias("source"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_png(r.encode("ascii"), PPM_W, PPM_H, 3,
+                                   PNG_QUERY_FILTERS)
+                        for r in pdf["raster"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "payload": payloads,
+                "meta": [{"fmt": "png", "n_bytes": len(p), "source": s}
+                         for p, s in zip(payloads, pdf["source"])],
+            })
+
+    assets = seed.mapInPandas(build, ASSET_SCHEMA)
     return extract_features(assets).select(
         "asset_id",
         F.col("byte_sum").alias("pixel_sum"),

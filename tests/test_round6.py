@@ -1,0 +1,209 @@
+"""Round-6 additions: stdlib PNG codec behind the production decode
+path, the portable polynomial text fingerprint, and the two
+newly-oracled queries (``ord_scan_documents``,
+``multimodal_decode_png``)."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from open_reaction_database_web_scraper_spark.operators.multimodal import (
+    PNG_SIG,
+    _png_decode,
+    decode,
+    encode_png,
+    extract_features,
+)
+from open_reaction_database_web_scraper_spark.operators.text import (
+    FP_CHAR_BASE,
+    FP_MOD,
+    FP_TOK_BASE,
+    FP_WINDOW,
+)
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+
+load_all_operators()
+
+
+# ---------------------------------------------------------------------------
+# PNG codec
+
+
+def _chunk(typ: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data)))
+
+
+def test_png_roundtrip_every_filter_type():
+    for channels, w, h in [(3, 4, 2), (1, 8, 3), (3, 1, 5), (1, 1, 1)]:
+        n = w * h * channels
+        raster = bytes((i * 37 + 11) % 256 for i in range(n))
+        for f in range(5):
+            png = encode_png(raster, w, h, channels, [f] * h)
+            assert _png_decode(png) == (sum(raster), w, h), (channels, f)
+        # mixed filters: every branch in one image
+        png = encode_png(raster, w, h, channels, [r % 5 for r in range(h)])
+        assert _png_decode(png) == (sum(raster), w, h)
+
+
+def test_png_corrupt_payloads_hit_sentinel_not_exception():
+    raster = bytes(range(24))
+    good = encode_png(raster, 4, 2, 3, [1, 4])
+    assert decode(good, "png") == (sum(raster), 4, 2)
+    # every corruption class must map to the sentinel, never raise
+    assert decode(b"JFIF" + good, "png") == (-1, 0, 0)      # bad magic
+    assert decode(good[:25], "png") == (-1, 0, 0)           # truncated chunk
+    assert decode(b"", "png") == (-1, 0, 0)                 # empty
+    flipped = bytearray(good)
+    flipped[45] ^= 0xFF                                     # damage IDAT
+    assert decode(bytes(flipped), "png") == (-1, 0, 0)      # adler mismatch
+
+
+def test_png_unsupported_variants_rejected():
+    # RGBA (color type 6) and interlaced images are the pillow seam
+    for ctype, interlace in [(6, 0), (3, 0), (2, 1)]:
+        ihdr = struct.pack(">IIBBBBB", 2, 1, 8, ctype, 0, 0, interlace)
+        payload = (PNG_SIG + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"IDAT", zlib.compress(b"\x00" + bytes(8)))
+                   + _chunk(b"IEND", b""))
+        assert decode(payload, "png") == (-1, 0, 0), (ctype, interlace)
+    # missing IEND (e.g. a partially-written file) is corrupt
+    no_end = encode_png(bytes(24), 4, 2, 3)
+    assert decode(no_end[:-12], "png") == (-1, 0, 0)
+
+
+def test_png_wrong_raster_length_rejected():
+    # geometry says 4x2 RGB but the zlib stream carries one scanline
+    ihdr = struct.pack(">IIBBBBB", 4, 2, 8, 2, 0, 0, 0)
+    short = (PNG_SIG + _chunk(b"IHDR", ihdr)
+             + _chunk(b"IDAT", zlib.compress(b"\x00" + bytes(12)))
+             + _chunk(b"IEND", b""))
+    assert decode(short, "png") == (-1, 0, 0)
+
+
+@settings(max_examples=40, deadline=None)
+@given(w=st.integers(1, 8), h=st.integers(1, 8),
+       data=st.data(), gray=st.booleans())
+def test_png_roundtrip_property(w, h, data, gray):
+    ch = 1 if gray else 3
+    raster = bytes(data.draw(st.binary(min_size=w * h * ch,
+                                       max_size=w * h * ch)))
+    filters = data.draw(st.lists(st.integers(0, 4),
+                                 min_size=h, max_size=h))
+    png = encode_png(raster, w, h, ch, filters)
+    assert _png_decode(png) == (sum(raster), w, h)
+
+
+def test_extract_features_routes_png_through_real_codec(spark):
+    raster = bytes((i * 7 + 3) % 256 for i in range(4 * 2 * 3))
+    png = encode_png(raster, 4, 2, 3, [4, 3])
+    corrupt = png[:-20]
+    rows = [(1, png, {"fmt": "png", "n_bytes": len(png), "source": "t"}),
+            (2, corrupt, {"fmt": "png", "n_bytes": len(corrupt),
+                          "source": "t"})]
+    assets = spark.createDataFrame(
+        rows, "asset_id bigint, payload binary, "
+              "meta struct<fmt: string, n_bytes: long, source: string>")
+    out = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert (out[1]["byte_sum"], out[1]["fake_width"],
+            out[1]["fake_height"]) == (sum(raster), 4, 2)
+    assert out[2]["byte_sum"] == -1  # corrupt sentinel, task survived
+
+
+def test_decode_png_query_matches_oracle(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.testing import compare
+    spec = REGISTRY["multimodal_decode_png"]
+    ok, msg = compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir,
+                      "multimodal_decode_png", fail_on_empty=True)
+    assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# Portable polynomial fingerprint
+
+
+def _py_fingerprint(text: str) -> tuple[int, int]:
+    """Independent python model of the text_fingerprint hash."""
+    toks = text.split(" ")
+    th = []
+    for t in toks:
+        acc = 0
+        for c in t:
+            acc = (acc * FP_CHAR_BASE + ord(c)) % FP_MOD
+        th.append(acc)
+    n = max(len(th) - (FP_WINDOW - 1), 1)
+    sh = []
+    for i in range(n):
+        acc = 0
+        for hv in th[i:i + FP_WINDOW]:
+            acc = (acc * FP_TOK_BASE + hv) % FP_MOD
+        sh.append(acc)
+    return min(sh), len(set(sh))
+
+
+def test_text_fingerprint_matches_python_model(spark, tmp_path):
+    texts = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "short",
+        "",
+        "a  b",                     # double space -> empty token
+        "exactly eight tokens in this sentence right here",
+        "unicode café 字 tokens mixed in the stream today ok",
+    ]
+    rows = [(i, t, "src", "en") for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["doc_id"]: (r["fingerprint"], r["n_shingles"])
+           for r in REGISTRY["text_fingerprint"]
+           .fn(spark, str(tmp_path)).collect()}
+    for i, t in enumerate(texts):
+        assert out[i] == _py_fingerprint(t), (i, t)
+
+
+def test_text_fingerprint_oracle_parity(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.testing import compare
+    spec = REGISTRY["text_fingerprint"]
+    ok, msg = compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir,
+                      "text_fingerprint", fail_on_empty=True)
+    assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# ord_scan_documents oracle
+
+
+def test_ord_scan_documents_oracle_parity(spark, golden_files):
+    from open_reaction_database_web_scraper_spark.testing import compare
+    spec = REGISTRY["ord_scan_documents"]
+    # golden corpus path is baked into the query; sf_dir is ignored
+    ok, msg = compare(spec.fn(spark, "/root/testdata/sf0.001"),
+                      spec.oracle, "/root/testdata/sf0.001",
+                      "ord_scan_documents", fail_on_empty=True)
+    assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# bench hygiene
+
+
+def test_bench_sessions_disable_console_progress():
+    from open_reaction_database_web_scraper_spark.session import DEFAULT_CONFS
+    assert DEFAULT_CONFS["spark.ui.showConsoleProgress"] == "false"
+
+
+def test_decode_png_query_single_python_boundary(spark, sf_dir):
+    """The PNG query may cross to Python for construct+decode, but
+    must not add shuffles: scan -> (Arrow stages) -> project only."""
+    plan = (REGISTRY["multimodal_decode_png"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
