@@ -37,7 +37,17 @@ FEATURE_SCHEMA = ("asset_id bigint, fmt string, n_bytes long, "
 def _pnm_header(payload: bytes) -> tuple[bytes, list[int], int]:
     """Parse a binary PNM (P5/P6) header: magic, [width, height,
     maxval], and the offset where raster bytes begin. Whitespace-
-    separated tokens with ``#`` comments, per the netpbm spec."""
+    separated tokens with ``#`` comments, per the netpbm spec.
+
+    The spec mandates EXACTLY ONE whitespace byte after maxval (so
+    raster bytes that happen to look like whitespace are never
+    eaten), and this parser holds to it: a writer that emits CRLF
+    after maxval produces a file whose raster appears shifted by one
+    byte, which the length check then reports as corrupt (the
+    sentinel, not a mis-decode). That is a KNOWN false-corrupt for
+    CRLF-producing writers — deliberate, because skipping consecutive
+    whitespace would silently mis-decode every image whose first
+    raster byte is 0x09-0x0D or 0x20."""
     magic = payload[:2]
     pos, fields = 2, []
     while len(fields) < 3:

@@ -18,6 +18,7 @@ would flag, plus the unhashable-list failure mode for raw arrays.
 from __future__ import annotations
 
 import os
+from typing import NamedTuple
 
 import duckdb
 import pandas as pd
@@ -125,9 +126,22 @@ def _first_diff(s: pd.DataFrame, o: pd.DataFrame) -> str:
     return "no element-wise diff found (dtype-only hash divergence?)"
 
 
-def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
-            name: str = "?", fail_on_empty: bool = False) -> tuple[bool, str]:
-    """Driver-style comparison. Returns (ok, message).
+class CompareResult(NamedTuple):
+    """Structured comparison outcome. ``rows`` is the Spark-side row
+    count (None if the comparison failed before counting) so
+    consumers (scripts/sweep.py) never scrape it out of the display
+    message — a wording change there used to silently error every
+    sweep cell."""
+    ok: bool
+    message: str
+    rows: int | None
+    vacuous: bool = False
+
+
+def compare_full(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
+                 name: str = "?",
+                 fail_on_empty: bool = False) -> CompareResult:
+    """Driver-style comparison, structured result.
 
     ``fail_on_empty=True`` turns a both-engines-empty result into a
     FAIL: two empty frames hash-match trivially, so a query whose
@@ -140,23 +154,30 @@ def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
     s_pd = spark_df.toPandas()
     o_pd = run_oracle_df(oracle_sql, sf_dir)
     if fail_on_empty and len(s_pd) == 0 and len(o_pd) == 0:
-        return False, (f"{name}: VACUOUS — both engines returned 0 rows; "
-                       "the query body never executed on this data "
-                       "(add to the justified allow-list only with a "
-                       "planted-fixture test pinning the non-empty path)")
+        return CompareResult(
+            False,
+            f"{name}: VACUOUS — both engines returned 0 rows; "
+            "the query body never executed on this data "
+            "(add to the justified allow-list only with a "
+            "planted-fixture test pinning the non-empty path)",
+            0, vacuous=True)
 
     s_cols = sorted(c.lower() for c in s_pd.columns)
     o_cols = sorted(c.lower() for c in o_pd.columns)
     if s_cols != o_cols:
-        return False, (f"{name}: column mismatch spark={s_cols} "
-                       f"oracle={o_cols}")
+        return CompareResult(
+            False, f"{name}: column mismatch spark={s_cols} "
+                   f"oracle={o_cols}", len(s_pd))
     if len(s_pd) != len(o_pd):
-        return False, (f"{name}: row count spark={len(s_pd)} "
-                       f"oracle={len(o_pd)}")
+        return CompareResult(
+            False, f"{name}: row count spark={len(s_pd)} "
+                   f"oracle={len(o_pd)}", len(s_pd))
     try:
         hs, ho = _hash_df(s_pd), _hash_df(o_pd)
     except TypeError as e:
-        return False, f"{name}: ORACLE-ERR unhashable value ({e})"
+        return CompareResult(
+            False, f"{name}: ORACLE-ERR unhashable value ({e})",
+            len(s_pd))
     dtype_note = ""
     s_dt = {c.lower(): str(s_pd[c].dtype) for c in s_pd.columns}
     o_dt = {c.lower(): str(o_pd[c].dtype) for c in o_pd.columns}
@@ -175,9 +196,19 @@ def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
     if mism:
         dtype_note = f" [dtype divergence: {mism}]"
     if hs != ho:
-        return False, (f"{name}: value-hash mismatch{dtype_note}\n"
-                       f"  {_first_diff(s_pd, o_pd)}")
-    return True, f"{name}: OK ({len(s_pd)} rows){dtype_note}"
+        return CompareResult(
+            False, f"{name}: value-hash mismatch{dtype_note}\n"
+                   f"  {_first_diff(s_pd, o_pd)}", len(s_pd))
+    return CompareResult(
+        True, f"{name}: OK ({len(s_pd)} rows){dtype_note}", len(s_pd))
+
+
+def compare(spark_df: DataFrame, oracle_sql: str, sf_dir: str,
+            name: str = "?", fail_on_empty: bool = False) -> tuple[bool, str]:
+    """Two-field view of :func:`compare_full` — the (ok, message)
+    shape every existing test unpacks."""
+    r = compare_full(spark_df, oracle_sql, sf_dir, name, fail_on_empty)
+    return r.ok, r.message
 
 
 def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:

@@ -80,12 +80,20 @@ def main() -> int:
             return 2
         compare_path = args[i + 1]
         args = args[:i] + args[i + 2:]
-    sf_dir = next((a for a in args
-                   if "/" in a and not a.endswith(".json")),
-                  "/root/testdata/sf0.01")
-    out_path = next((a for a in args if a.endswith(".json")),
-                    "DETERMINISM_r5.json")
-    names = [a for a in args if "/" not in a and not a.endswith(".json")]
+    # classify positionals by what they ARE, not by '/'-presence: a
+    # relative sf_dir like 'sf0.01' used to be misread as a query
+    # name and die later with a bare KeyError
+    import os
+    sf_dir = "/root/testdata/sf0.01"
+    out_path, names = None, []
+    for a in args:
+        if a.endswith(".json"):
+            out_path = a
+        elif os.path.isdir(a):
+            sf_dir = a
+        else:
+            names.append(a)
+    out_path = out_path or "DETERMINISM_r5.json"
     prev = None
     if compare_path:
         if out_path == compare_path:
@@ -94,6 +102,12 @@ def main() -> int:
         with open(compare_path) as f:
             prev = json.load(f)["queries"]
     load_all_operators()
+    unknown = [n for n in names if n not in REGISTRY]
+    if unknown:
+        print(f"error: not registered queries (and not existing "
+              f"directories): {unknown}\n"
+              f"usage: determinism_check.py [sf_dir] [out.json] [name ...]")
+        return 2
     spark = get_session("determinism")
     spark.sparkContext.setLogLevel("ERROR")
     base_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -58,6 +58,10 @@ def main() -> int:
         except Exception:
             n_fail += 1
             print(f"FAIL {name}: exception\n{traceback.format_exc()}")
+        finally:
+            # release per-query internal caches (minhash signatures
+            # etc.) so a long subset run never pins stale storage
+            spark.catalog.clearCache()
     print(f"\n{len(todo) - n_fail}/{len(todo)} passed")
     return 1 if n_fail else 0
 

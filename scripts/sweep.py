@@ -29,7 +29,7 @@ from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
 from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
-    RO_EMPTY_OK, VACUOUS_ALLOWED, compare)
+    RO_EMPTY_OK, VACUOUS_ALLOWED, compare_full)
 
 DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                "/root/testdata/sf0.1")
@@ -65,21 +65,24 @@ def main() -> int:
                     else:
                         cell = {"status": "rows_only", "rows": n}
                 else:
-                    ok, msg = compare(
+                    r = compare_full(
                         df, spec.oracle, sf, name,
                         fail_on_empty=name not in VACUOUS_ALLOWED)
-                    if ok:
-                        n = int(msg.split("(")[1].split(" ")[0])
-                        cell = {"status": "pass", "rows": n}
-                    elif "VACUOUS" in msg:
+                    if r.ok:
+                        cell = {"status": "pass", "rows": r.rows}
+                    elif r.vacuous:
                         cell = {"status": "vacuous", "rows": 0}
                     else:
                         cell = {"status": "fail",
-                                "detail": msg.split("\n")[0]}
+                                "detail": r.message.split("\n")[0]}
             except Exception:
                 cell = {"status": "error",
                         "detail": traceback.format_exc(limit=1)
                         .splitlines()[-1]}
+            # release anything a query cached internally (e.g. the
+            # minhash signature frame) so storage can't accumulate
+            # across the 200+-query x 3-SF sweep
+            spark.catalog.clearCache()
             cell["sec"] = round(time.time() - t0, 2)
             bad = cell["status"] in ("fail", "vacuous", "error")
             n_bad += bad
