@@ -234,6 +234,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
+# Rounds taken by the most recent connected_components call (scale
+# diagnostics — ≈ graph diameter, grows with chain length not corpus
+# size). Read by scripts/scaleup_r6.py.
+LAST_CC_ROUNDS = 0
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation with a
     CONVERGENCE CHECK — the general CC building block for dedup
@@ -252,7 +258,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     would use a reliable ``checkpoint()`` dir instead).
 
     Returns (doc_id, label) for every vertex that appears in edges.
+    The module-level ``LAST_CC_ROUNDS`` records how many propagation
+    rounds the most recent call took (diagnostics for scale probes;
+    the number of rounds ≈ graph diameter is the quantity that grows
+    with cluster CHAIN length, not with corpus size).
     """
+    global LAST_CC_ROUNDS
     sym = edges.select(F.col("src").cast("long").alias("src"),
                        F.col("dst").cast("long").alias("dst"))
     sym = sym.unionByName(sym.select(F.col("dst").alias("src"),
@@ -262,7 +273,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    for _ in range(max_iter):
+    for LAST_CC_ROUNDS in range(1, max_iter + 1):
         neigh = (sym.join(labels, sym.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
                  .agg(F.min("label").alias("neigh_label")))
