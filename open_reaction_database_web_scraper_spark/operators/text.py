@@ -177,38 +177,23 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("bpe_ish_tokens"))
 
 
-# Polynomial-hash parameters shared VERBATIM by the Spark expression
-# and the DuckDB oracle below. M is the Mersenne prime 2^31-1, so
-# every intermediate (acc*B + x) stays < 2^31 * 2^20 ≈ 2^51 — far
-# inside BIGINT range in both engines (no overflow, and Spark 4's
-# ANSI mode would throw on one rather than wrap).
-FP_MOD = (1 << 31) - 1
-FP_CHAR_BASE = 31        # per-character base (token hash)
-FP_TOK_BASE = 1_000_003  # per-token base (shingle hash)
-FP_WINDOW = 8            # shingle width in tokens
+FP_WINDOW = 8  # shingle width in tokens (shared with the oracle)
 
 
 @register(
     "text_fingerprint",
     oracle=f"""
-    WITH th AS (
-      SELECT doc_id,
-             list_transform(string_split(text, ' '),
-               tok -> list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(tok, ''),
-                                  c -> CAST(ascii(c) AS BIGINT))),
-                 (acc, c) -> (acc * {FP_CHAR_BASE} + c) % {FP_MOD})) AS th
-      FROM documents
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id,
              list_transform(
-               range(1, greatest(len(th) - {FP_WINDOW - 1}, 1) + 1),
-               i -> list_reduce(
-                 list_prepend(CAST(0 AS BIGINT),
-                   th[CAST(i AS BIGINT):CAST(i + {FP_WINDOW - 1} AS BIGINT)]),
-                 (acc, h) -> (acc * {FP_TOK_BASE} + h) % {FP_MOD})) AS sh
-      FROM th
+               range(1, greatest(len(t) - {FP_WINDOW - 1}, 1) + 1),
+               i -> CAST(('0x' || substr(md5(array_to_string(
+                      t[CAST(i AS BIGINT):
+                        CAST(i + {FP_WINDOW - 1} AS BIGINT)], ' ')),
+                    1, 8)) AS BIGINT)) AS sh
+      FROM toks
     )
     SELECT doc_id, list_min(sh) AS fingerprint,
            CAST(len(list_distinct(sh)) AS INT) AS n_shingles
@@ -217,32 +202,27 @@ FP_WINDOW = 8            # shingle width in tokens
     tags=("text",),
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash document fingerprint (winnowing-style): a
-    polynomial hash of every {FP_WINDOW}-token shingle, keeping the
-    minimum and the count of distinct shingle hashes. The hash is
-    exact modular integer arithmetic — (acc*B + x) mod (2^31-1) per
-    character, then per token — identical in any engine, so DuckDB
-    recomputes it independently and the driver value-hashes the
-    actual fingerprints (this was xxhash64/rows-only through round 5;
-    the portable polynomial upgraded it to a full oracle). Everything
-    stays in codegen: per-token hashes are computed ONCE via
-    transform+aggregate, then each shingle folds the 8 precomputed
-    token hashes — O(chars + 8·tokens) per row, no Python, no
-    shuffle."""
+    """Rolling-hash document fingerprint (winnowing-style): hash
+    every 8-token shingle, keep the minimum and the count of
+    distinct shingle hashes. The shingle hash is the first 32 bits
+    of md5 over the space-joined shingle — md5 is bit-identical in
+    every engine, so DuckDB recomputes the ACTUAL fingerprints and
+    the driver value-hashes them (this was xxhash64/rows-only
+    through round 5). md5 stays JVM-native inside codegen — a
+    first-cut portable hash that folded a per-CHARACTER modular
+    polynomial through nested HOF aggregates benched 19.9 s at
+    sf0.1 vs xxhash64's 0.35 s (per-char array allocation, nothing
+    vectorizes); hashing the joined shingle once restores the
+    original plan shape at ~0.5 s. No Python, no shuffle."""
     docs = load(spark, sf_dir, "documents")
     toks = _tokens()
     w = FP_WINDOW
-    tok_hashes = F.transform(
-        toks,
-        lambda t: F.aggregate(
-            F.split(t, ""), F.lit(0).cast("long"),
-            lambda acc, c: (acc * FP_CHAR_BASE + F.ascii(c)) % FP_MOD))
     n = F.greatest(F.size(toks) - (w - 1), F.lit(1))  # ≥1: short docs
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.aggregate(
-            F.slice(tok_hashes, i + 1, w), F.lit(0).cast("long"),
-            lambda acc, h: (acc * FP_TOK_BASE + h) % FP_MOD))
+        lambda i: F.conv(F.substring(
+            F.md5(F.encode(F.concat_ws(" ", F.slice(toks, i + 1, w)),
+                           "utf-8")), 1, 8), 16, 10).cast("long"))
     return docs.select(
         "doc_id",
         F.array_min(shingle_hashes).alias("fingerprint"),

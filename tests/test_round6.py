@@ -20,12 +20,7 @@ from open_reaction_database_web_scraper_spark.operators.multimodal import (
     encode_png,
     extract_features,
 )
-from open_reaction_database_web_scraper_spark.operators.text import (
-    FP_CHAR_BASE,
-    FP_MOD,
-    FP_TOK_BASE,
-    FP_WINDOW,
-)
+from open_reaction_database_web_scraper_spark.operators.text import FP_WINDOW
 from open_reaction_database_web_scraper_spark.registry import (
     REGISTRY,
     load_all_operators,
@@ -132,21 +127,14 @@ def test_decode_png_query_matches_oracle(spark, sf_dir):
 
 
 def _py_fingerprint(text: str) -> tuple[int, int]:
-    """Independent python model of the text_fingerprint hash."""
+    """Independent python model of the text_fingerprint hash: first
+    32 bits of md5 over each space-joined 8-token shingle."""
+    import hashlib
     toks = text.split(" ")
-    th = []
-    for t in toks:
-        acc = 0
-        for c in t:
-            acc = (acc * FP_CHAR_BASE + ord(c)) % FP_MOD
-        th.append(acc)
-    n = max(len(th) - (FP_WINDOW - 1), 1)
-    sh = []
-    for i in range(n):
-        acc = 0
-        for hv in th[i:i + FP_WINDOW]:
-            acc = (acc * FP_TOK_BASE + hv) % FP_MOD
-        sh.append(acc)
+    n = max(len(toks) - (FP_WINDOW - 1), 1)
+    sh = [int(hashlib.md5(
+        " ".join(toks[i:i + FP_WINDOW]).encode("utf-8")).hexdigest()[:8], 16)
+        for i in range(n)]
     return min(sh), len(set(sh))
 
 
