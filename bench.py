@@ -111,6 +111,7 @@ OPTIONAL = [
     "multimodal_decode_ppm",
     # round 6
     "multimodal_decode_png",
+    "multimodal_decode_bmp",
     "text_fingerprint",
 ]
 

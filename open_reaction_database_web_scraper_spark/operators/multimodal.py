@@ -312,12 +312,55 @@ def assets_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("meta"))
 
 
-@register("multimodal_columns", oracle=None, tags=("multimodal",))
+# UTF-8 byte-sum of a string, computed from code points alone — what
+# lets DuckDB (which cannot iterate BLOB bytes) predict the stub
+# codec's byte_sum over the encoded payload. Constants are the UTF-8
+# prefix-byte sums: 2-byte 0xC0+0x80=320, 3-byte 0xE0+2*0x80=480,
+# 4-byte 0xF0+3*0x80=624; the remainder terms are the code point's
+# 6-bit groups. Exact for ALL of Unicode, not just ASCII.
+_UTF8_BYTE_SUM = """
+    list_sum(list_transform(string_split(COALESCE(text, ''), ''),
+      c -> CASE
+             WHEN ascii(c) <= 127 THEN ascii(c)
+             WHEN ascii(c) <= 2047
+               THEN 320 + ascii(c) // 64 + ascii(c) % 64
+             WHEN ascii(c) <= 65535
+               THEN 480 + ascii(c) // 4096 + (ascii(c) // 64) % 64
+                    + ascii(c) % 64
+             ELSE 624 + ascii(c) // 262144 + (ascii(c) // 4096) % 64
+                  + (ascii(c) // 64) % 64 + ascii(c) % 64
+           END))
+"""
+
+
+@register(
+    "multimodal_columns",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n_bytes,
+             {_UTF8_BYTE_SUM} AS bsum
+      FROM documents
+    )
+    SELECT doc_id AS asset_id, 'txt' AS fmt,
+           CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(COALESCE(bsum, 0) AS BIGINT) AS byte_sum,
+           CAST(COALESCE(n_bytes, 0) % 640 + 1 AS INT) AS fake_width,
+           CAST(COALESCE(bsum, 0) % 480 + 1 AS INT) AS fake_height
+    FROM b
+    """,
+    tags=("multimodal",),
+)
 def multimodal_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload + metadata struct: parquet round-trip, then a
     feature-extraction pass via ``mapInPandas`` (Arrow batches, one
     pass per partition — the shape a real image decode would use).
-    Returns per-asset extracted features (deterministic fake)."""
+    Returns per-asset extracted features. Oracled since round 6: the
+    stub features are deterministic functions of the payload bytes
+    (byte sum + modular geometry), and DuckDB predicts the byte sum
+    of the UTF-8-encoded text from code points alone — so the whole
+    chain (encode → parquet binary round-trip → Arrow batch →
+    stub decode) is value-checked, not just row-counted."""
     assets = assets_frame(spark, sf_dir)
 
     # Parquet round-trip: binary + nested struct must survive the sink.
@@ -412,14 +455,38 @@ RESIZE_SCHEMA = ("asset_id bigint, fmt string, orig_bytes long, "
                  "resized_bytes long, target_w int, target_h int")
 
 
-@register("multimodal_resize_stub", oracle=None, tags=("multimodal",))
+@register(
+    "multimodal_resize_stub",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, octet_length(encode(COALESCE(text, ''))) AS L,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ), s AS (
+      SELECT doc_id, L, n_bytes,
+             greatest(1, CAST(ceil(L / 4096.0) AS BIGINT)) AS stride
+      FROM b
+    )
+    SELECT doc_id AS asset_id, 'txt' AS fmt,
+           CAST(n_bytes AS BIGINT) AS orig_bytes,
+           CAST(ceil(L / CAST(stride AS DOUBLE)) AS BIGINT)
+             AS resized_bytes,
+           CAST(64 AS INT) AS target_w, CAST(64 AS INT) AS target_h
+    FROM s
+    """,
+    tags=("multimodal",),
+)
 def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize pass: ``mapInPandas`` over Arrow batches, one Python
     round-trip per partition — the batch shape a real pillow/opencv
     resize would use. The resampling is the deterministic stub
     (payload byte-strided to a fixed budget); a real library resize
     plugs into ``decode``'s stub fallback alongside the stdlib
-    PPM/PGM/BMP codecs."""
+    PPM/PGM/BMP/PNG codecs. Oracled since round 6: the stride rule
+    is pure arithmetic (stride = max(1, ceil(len/budget)), output
+    length = ceil(len/stride) — Python's ``p[::s]`` length), so
+    DuckDB predicts every resized byte count without touching
+    blobs."""
     assets = assets_frame(spark, sf_dir)
     target_w, target_h, budget = 64, 64, 4096
 
@@ -641,6 +708,65 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             })
 
     assets = seed.mapInPandas(build, ASSET_SCHEMA)
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pixel_sum"),
+        F.col("fake_width").alias("px_w"),
+        F.col("fake_height").alias("px_h"))
+
+
+# Constant 54-byte BMP header for the fixed PPM_W x PPM_H 24-bpp
+# geometry (little-endian BITMAPFILEHEADER + BITMAPINFOHEADER). With
+# w=4 the 12-byte rows need no 4-byte padding, so the raster is the
+# 24 sha hex chars verbatim — and the whole payload can be built
+# JVM-side as constant-header ++ encode(raster), no Python until the
+# decode under test. (Row order is bottom-up per the spec; pixel_sum
+# is order-independent, so the oracle is unaffected.)
+_BMP_RASTER = PPM_W * PPM_H * 3
+_BMP_HEADER = (
+    b"BM" + struct.pack("<IHHI", 54 + _BMP_RASTER, 0, 0, 54)
+    + struct.pack("<IiiHHIIiiII", 40, PPM_W, PPM_H, 1, 24, 0,
+                  _BMP_RASTER, 2835, 2835, 0, 0))
+assert len(_BMP_HEADER) == 54
+
+
+@register(
+    "multimodal_decode_bmp",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(COALESCE(text, '')), 1, 24) AS r
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(list_sum(list_transform(range(1, 25),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pixel_sum,
+           CAST({PPM_W} AS INTEGER) AS px_w,
+           CAST({PPM_H} AS INTEGER) AS px_h
+    FROM h
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third oracled codec through the production decode path,
+    completing the trio (header-arithmetic PPM, compressed-filtered
+    PNG, and here BMP's little-endian header walk + bottom-up padded
+    raster). Unlike the PNG query, payload construction never leaves
+    the JVM: the 54-byte header is a plan constant and the raster is
+    sha-256 hex bytes, so the only Python stage is ``decode_real``
+    itself inside ``extract_features`` — the minimal-codec-seam
+    shape. DuckDB predicts per-row raster sums from the hex chars."""
+    docs = load(spark, sf_dir, "documents")
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1, _BMP_RASTER)
+    payload = F.concat(F.lit(_BMP_HEADER), F.encode(raster, "utf-8"))
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("bmp").alias("fmt"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source")).alias("meta"))
     return extract_features(assets).select(
         "asset_id",
         F.col("byte_sum").alias("pixel_sum"),

@@ -166,6 +166,68 @@ def test_text_fingerprint_oracle_parity(spark, sf_dir):
     assert ok, msg
 
 
+def test_decode_bmp_query_matches_oracle(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.testing import compare
+    spec = REGISTRY["multimodal_decode_bmp"]
+    ok, msg = compare(spec.fn(spark, sf_dir), spec.oracle, sf_dir,
+                      "multimodal_decode_bmp", fail_on_empty=True)
+    assert ok, msg
+
+
+def test_decode_bmp_query_is_jvm_constructed(spark, sf_dir):
+    """BMP construction must stay JVM-side: exactly ONE Python
+    (Arrow) stage in the plan — the decode itself — and no
+    shuffles."""
+    plan = (REGISTRY["multimodal_decode_bmp"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan, plan
+    assert plan.count("MapInPandas") == 1, plan
+
+
+def test_multimodal_columns_oracle_handles_non_ascii(spark, tmp_path):
+    """The UTF-8 byte-sum oracle must agree with the stub codec on
+    2-, 3- and 4-byte code points, not just ASCII (driver data is
+    ASCII; this planted fixture is what actually proves the CASE
+    arithmetic)."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+    texts = ["plain ascii", "héllo wörld", "字符串测试", "emoji 🎉🚀 mix",
+             "", "mixed é字🎉x"]
+    rows = [(i, t, "src", "xx") for i, t in enumerate(texts)]
+    d = str(tmp_path / "mmo")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string") \
+        .write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["multimodal_columns"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d,
+                      "multimodal_columns", fail_on_empty=True)
+    assert ok, msg
+    # independent python check of one non-trivial row
+    out = {r.asset_id: r for r in spec.fn(spark, d).collect()}
+    for i, t in enumerate(texts):
+        assert out[i].byte_sum == sum(t.encode("utf-8")), t
+
+
+def test_multimodal_resize_oracle_boundary_lengths(spark, tmp_path):
+    """Stride boundaries: len 0, 1, 4095, 4096, 4097, 8192, 8193 —
+    the ceil-division edges where an off-by-one over- or
+    under-shoots the byte budget."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+    rows = [(i, "x" * n, "src", "xx")
+            for i, n in enumerate([0, 1, 4095, 4096, 4097, 8192, 8193])]
+    d = str(tmp_path / "rsz")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string") \
+        .write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["multimodal_resize_stub"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d,
+                      "multimodal_resize_stub", fail_on_empty=True)
+    assert ok, msg
+    out = {r.asset_id: r for r in spec.fn(spark, d).collect()}
+    for i, n in enumerate([0, 1, 4095, 4096, 4097, 8192, 8193]):
+        expect = len(("x" * n).encode()[::max(1, -(-n // 4096))]) if n else 0
+        assert out[i].resized_bytes == expect, (n, out[i].resized_bytes)
+
+
 # ---------------------------------------------------------------------------
 # ord_scan_documents oracle
 
