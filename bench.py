@@ -113,6 +113,7 @@ OPTIONAL = [
     "multimodal_decode_png",
     "multimodal_decode_bmp",
     "text_fingerprint",
+    "text_zipf_slope",
 ]
 
 

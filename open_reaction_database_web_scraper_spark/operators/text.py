@@ -677,3 +677,77 @@ def text_keyword_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= 3)
             .select("doc_id", "word", "tfidf", "rank"))
+
+
+ZIPF_TOPK = 1000   # fit over the top-K vocabulary by frequency
+ZIPF_MIN_TF = 5    # ignore ultra-rare words (unstable log-freq tail)
+ZIPF_SCALE = 10**9  # ln values fixed-pointed to 9 dp before summing
+
+
+@register(
+    "text_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ), tf AS (
+      SELECT word, COUNT(*) AS tf FROM tok GROUP BY word
+      HAVING COUNT(*) >= {ZIPF_MIN_TF}
+    ), ranked AS (
+      SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, word) AS rank
+      FROM tf ORDER BY tf DESC, word LIMIT {ZIPF_TOPK}
+    ), pts AS (
+      SELECT CAST(round(ln(rank) * {ZIPF_SCALE}) AS HUGEINT) AS x,
+             CAST(round(ln(tf) * {ZIPF_SCALE}) AS HUGEINT) AS y
+      FROM ranked
+    ), s AS (
+      SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_words,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+    tags=("text", "stats"),
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus vocabulary: OLS slope of ln(freq)
+    vs ln(rank) over the top-{ZIPF_TOPK} words — natural-language
+    corpora sit near −1; big deviations flag boilerplate floods,
+    spam, or synthetic text (a standard corpus-quality diagnostic).
+
+    Determinism across engines: ln() can differ by 1 ulp between JVM
+    and libm, so both sides fix-point the logs to 9 dp BEFORE any
+    summation and accumulate EXACT integers (decimal(38,0) here,
+    HUGEINT in DuckDB — plain BIGINT would overflow: Σx·y ≈ 7·10²²).
+    The closed-form slope is then one exact-integer expression whose
+    final double division both engines round identically to 6 dp —
+    the decimal-accumulator idiom extended to regression.
+
+    Scale shape: one tf hash-aggregate (map-side combined) over the
+    token stream, then `orderBy().limit()` compiles to
+    TakeOrderedAndProject — the top-K cut never materializes the
+    vocabulary on one node — and the fit itself runs on K rows.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(_tokens()).alias("word"))
+    tf = (tok.groupBy("word").agg(F.count("*").alias("tf"))
+          .filter(F.col("tf") >= ZIPF_MIN_TF))
+    top = tf.orderBy(F.desc("tf"), F.asc("word")).limit(ZIPF_TOPK)
+    ranked = top.withColumn(
+        "rank", F.row_number().over(
+            Window.orderBy(F.desc("tf"), F.asc("word"))))
+    pts = ranked.select(
+        F.round(F.log("rank") * ZIPF_SCALE).cast("decimal(38,0)").alias("x"),
+        F.round(F.log("tf") * ZIPF_SCALE).cast("decimal(38,0)").alias("y"))
+    s = pts.agg(F.count("*").alias("n"), F.sum("x").alias("sx"),
+                F.sum("y").alias("sy"),
+                F.sum(F.col("x") * F.col("y")).alias("sxy"),
+                F.sum(F.col("x") * F.col("x")).alias("sxx"))
+    return s.select(
+        F.col("n").cast("long").alias("n_words"),
+        F.round((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                .cast("double")
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                .cast("double"), 6).alias("zipf_slope"))

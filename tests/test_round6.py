@@ -257,3 +257,54 @@ def test_decode_png_query_single_python_boundary(spark, sf_dir):
     plan = (REGISTRY["multimodal_decode_png"].fn(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope
+
+
+def test_zipf_slope_on_planted_zipf_corpus(spark, tmp_path):
+    """A corpus built to follow Zipf's law exactly (word i appears
+    floor(3000/i) times) must fit a slope near -1; a uniform corpus
+    (every word equally frequent) must fit ~0."""
+    words = []
+    for i in range(1, 201):
+        words += [f"w{i:03d}"] * (3000 // i)
+    zipf_text = " ".join(words)
+    uni_text = " ".join([f"u{i:03d}" for i in range(1, 201)] * 15)
+    d1, d2 = str(tmp_path / "zipf"), str(tmp_path / "uni")
+    for d, t in ((d1, zipf_text), (d2, uni_text)):
+        spark.createDataFrame(
+            [(1, t, "src", "en")],
+            "doc_id long, text string, source string, lang string") \
+            .write.parquet(f"{d}/documents.parquet")
+    slope_z = (REGISTRY["text_zipf_slope"].fn(spark, d1)
+               .collect()[0]["zipf_slope"])
+    slope_u = (REGISTRY["text_zipf_slope"].fn(spark, d2)
+               .collect()[0]["zipf_slope"])
+    assert -1.15 < slope_z < -0.85, slope_z
+    assert abs(slope_u) < 0.05, slope_u
+
+
+def test_zipf_slope_oracle_parity_on_planted(spark, tmp_path):
+    from open_reaction_database_web_scraper_spark.testing import compare
+    words = []
+    for i in range(1, 101):
+        words += [f"w{i:03d}"] * (1200 // i)
+    d = str(tmp_path / "zo")
+    spark.createDataFrame(
+        [(1, " ".join(words), "src", "en")],
+        "doc_id long, text string, source string, lang string") \
+        .write.parquet(f"{d}/documents.parquet")
+    spec = REGISTRY["text_zipf_slope"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d,
+                      "text_zipf_slope", fail_on_empty=True)
+    assert ok, msg
+
+
+def test_zipf_topk_cut_uses_take_ordered(spark, sf_dir):
+    """The top-K vocabulary cut must compile to TakeOrderedAndProject
+    (never a full global sort of the vocabulary)."""
+    plan = (REGISTRY["text_zipf_slope"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan, plan
