@@ -492,3 +492,43 @@ def scan_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
           m["total_price"])],
         "n_scanned bigint, n_high_value bigint, n_null_cust bigint, "
         "total_price double")
+
+
+@register(
+    "scan_schema_merge",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+             AS o_orderpriority
+    FROM orders WHERE o_totalprice > 100000
+    """,
+    tags=("scan", "parquet"),
+)
+def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations — the long-lived
+    lake reality that a column added in month N must not break reads
+    over months 1..N-1. Two generations of an orders extract are
+    written side by side (gen=1 lacks ``o_orderpriority``; gen=2
+    carries it) and re-read with ``mergeSchema`` — Spark unions the
+    footers into one schema, back-filling NULL for the pre-evolution
+    files; the totalprice filter still pushes into BOTH generations'
+    row groups (per-file pruning is schema-aware). The oracle
+    derives the expected merged result from the SOURCE table, so a
+    merge that drops the new column, mistypes it, or resurrects
+    it on old rows breaks the value hash. At 100 TB this is the
+    default read mode of any multi-year table; the per-footer merge
+    cost is why production tables ALSO checkpoint a canonical schema
+    (the catalog's job, not the scan's)."""
+    orders = load(spark, sf_dir, "orders")
+    out = _sink_dir("scan_schema_merge")
+    (orders.filter(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(f"{out}/gen=1"))
+    (orders.filter(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_totalprice", "o_orderpriority")
+     .write.mode("overwrite").parquet(f"{out}/gen=2"))
+    back = (spark.read.option("mergeSchema", True)
+            .option("basePath", out).parquet(f"{out}/gen=1",
+                                             f"{out}/gen=2"))
+    return (back.filter(F.col("o_totalprice") > 100000)
+            .select("o_orderkey", "o_totalprice", "o_orderpriority"))

@@ -308,3 +308,25 @@ def test_zipf_topk_cut_uses_take_ordered(spark, sf_dir):
     plan = (REGISTRY["text_zipf_slope"].fn(spark, sf_dir)
             ._jdf.queryExecution().executedPlan().toString())
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# scan_schema_merge
+
+
+def test_schema_merge_backfills_null_only_on_old_generation(spark, sf_dir):
+    out = {r.o_orderkey: r for r in
+           REGISTRY["scan_schema_merge"].fn(spark, sf_dir).collect()}
+    assert out, "no rows survived the filter"
+    for k, r in out.items():
+        if k % 2 == 0:
+            assert r.o_orderpriority is None, r
+        else:
+            assert r.o_orderpriority is not None, r
+
+
+def test_schema_merge_pushes_filter_into_scan(spark, sf_dir):
+    plan = (REGISTRY["scan_schema_merge"].fn(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "PushedFilters: [IsNotNull(o_totalprice), " \
+           "GreaterThan(o_totalprice," in plan, plan
