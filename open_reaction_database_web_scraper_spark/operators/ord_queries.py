@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from ..plans.crawl_plan import CrawlPlan, apply_plan, parse_config
 from ..registry import register
 from ..sources.ord import read_ord_documents
+from ..sources.ord_datasource import OrdDataSource
 
 GOLDEN_GLOB = "/root/reference/ord_formatted_data*.json"
 GOLDEN_ONE = "/root/reference/ord_formatted_data_one.json"
@@ -56,6 +57,53 @@ def ord_scan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dataset_id", "reaction_id", "success",
         F.size(F.map_keys("inputs")).alias("n_input_tabs"),
         F.coalesce(F.size("outcomes"), F.lit(0)).alias("n_outcomes"))
+
+
+@register(
+    "ord_python_datasource",
+    oracle=f"""
+    WITH doc AS (
+      SELECT json(content) AS j FROM read_text('{GOLDEN_GLOB}')
+    ), ds AS (
+      SELECT k AS dataset_id,
+             CAST(json_extract(j, '$.' || k || '.total_reactions_scraped')
+               AS BIGINT) AS total_reactions_scraped,
+             CAST(json_extract(j, '$.' || k || '.reactions') AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), flat AS (
+      SELECT dataset_id, total_reactions_scraped,
+             UNNEST(rx) AS r,
+             CAST(UNNEST(generate_series(0, len(rx) - 1)) AS INT)
+               AS reaction_pos
+      FROM ds WHERE len(rx) > 0
+      UNION ALL
+      SELECT dataset_id, total_reactions_scraped, NULL AS r,
+             NULL AS reaction_pos
+      FROM ds WHERE rx IS NULL OR len(rx) = 0
+    )
+    SELECT dataset_id, total_reactions_scraped, reaction_pos,
+           json_extract_string(r, '$.reaction_id') AS reaction_id,
+           CAST(json_extract(r, '$.success') AS BOOLEAN) AS success,
+           CAST(json_array_length(r, '$.inputsMap') AS INT) AS n_input_tabs,
+           CAST(COALESCE(json_array_length(r, '$.outcomes'), 0) AS INT)
+             AS n_outcomes
+    FROM flat
+    """,
+    tags=("ord", "scan", "source"),
+)
+def ord_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The golden corpus through the CUSTOM Spark 4 Python Data
+    Source (``sources/ord_datasource.py``): partition-per-capture-
+    file reads — the reference's 3-worker dataset parallelism
+    (web_scrpaer_2.py:308-327) as planner-visible input partitions —
+    streaming flat arity rows with PERMISSIVE malformed-file
+    handling. Value-checked against the same DuckDB JSON walk as the
+    relational scan, plus per-reaction ordinals and the dataset's
+    own recorded total, so the connector's row fan-out, NULL
+    posture, and 0-based positions all hash-match."""
+    # registration is idempotent per session (re-register overwrites)
+    spark.dataSource.register(OrdDataSource)
+    return (spark.read.format("ord").option("path", GOLDEN_GLOB).load())
 
 
 @register(

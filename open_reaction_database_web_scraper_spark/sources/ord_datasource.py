@@ -1,0 +1,94 @@
+"""The ORD document store as a first-class Spark 4 Python Data
+Source (``spark.read.format("ord")``).
+
+This is the reference's crawl/ingest loop re-expressed as a custom
+connector: one input partition PER CAPTURE FILE — the same unit the
+reference parallelizes over with its 3 browser workers
+(web_scrpaer_2.py:308-327) — so a 1000-file corpus fans out across
+1000 tasks with no driver-side parsing. Each task streams one file's
+reaction records as flat arity rows (the bronze view
+``ord_scan_documents`` computes relationally); a malformed file
+yields zero rows, the PERMISSIVE posture of the reference's
+try/except guard (web_scrpaer_2.py:451-456).
+
+The DataFrame path (``sources/ord.py``) stays the production
+ingestion — JVM JSON parsing, full nested schema. This connector is
+the API-surface counterpart: it shows how a source Spark has no
+reader for (a live crawl queue, a proprietary archive) plugs into
+the planner with partition-level parallelism, while returning rows
+value-checked against the same DuckDB oracle as the relational scan.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+ORD_FLAT_SCHEMA = ("dataset_id string, total_reactions_scraped bigint, "
+                   "reaction_pos int, reaction_id string, success boolean, "
+                   "n_input_tabs int, n_outcomes int")
+
+
+class OrdFilePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class OrdDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ord source requires a 'path' option (glob)")
+
+    def partitions(self) -> Sequence[OrdFilePartition]:
+        # One partition per capture file — the reference's
+        # per-dataset-worker parallel unit. The glob expands on the
+        # driver (metadata only); file CONTENT is read in executors.
+        files = sorted(glob.glob(self.path))
+        if not files:
+            raise ValueError(f"ord source matched no files: {self.path}")
+        return [OrdFilePartition(p) for p in files]
+
+    def read(self, partition: OrdFilePartition) -> Iterator[tuple]:
+        try:
+            with open(partition.path, encoding="utf-8") as f:
+                doc = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            return  # PERMISSIVE: malformed file -> zero rows
+        if not isinstance(doc, dict):
+            return
+        for ds in doc.values():
+            if not isinstance(ds, dict):
+                continue
+            dataset_id = ds.get("dataset_id")
+            total = ds.get("total_reactions_scraped")
+            reactions = ds.get("reactions") or []
+            if not reactions:
+                # posexplode_outer parity: empty dataset keeps one
+                # all-NULL placeholder row
+                yield (dataset_id, total, None, None, None, None, 0)
+                continue
+            for pos, r in enumerate(reactions):
+                r = r if isinstance(r, dict) else {}
+                tabs = r.get("inputsMap")
+                yield (dataset_id, total, pos, r.get("reaction_id"),
+                       r.get("success"),
+                       len(tabs) if tabs is not None else None,
+                       len(r.get("outcomes") or []))
+
+
+class OrdDataSource(DataSource):
+    """``spark.read.format("ord").option("path", glob)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ord"
+
+    def schema(self) -> str:
+        return ORD_FLAT_SCHEMA
+
+    def reader(self, schema) -> OrdDataSourceReader:
+        return OrdDataSourceReader(self.options)

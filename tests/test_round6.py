@@ -330,3 +330,39 @@ def test_schema_merge_pushes_filter_into_scan(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     assert "PushedFilters: [IsNotNull(o_totalprice), " \
            "GreaterThan(o_totalprice," in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# ord_python_datasource (Spark 4 Python Data Source API)
+
+
+def test_ord_datasource_partition_per_file(golden_files):
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdDataSourceReader
+    reader = OrdDataSourceReader(
+        {"path": "/root/reference/ord_formatted_data*.json"})
+    parts = reader.partitions()
+    assert len(parts) == len(golden_files)
+    assert sorted(p.path for p in parts) == golden_files
+
+
+def test_ord_datasource_permissive_on_malformed_file(tmp_path):
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdDataSourceReader, OrdFilePartition
+    (tmp_path / "bad.json").write_text("{not valid json")
+    (tmp_path / "scalar.json").write_text("42")
+    reader = OrdDataSourceReader({"path": f"{tmp_path}/*.json"})
+    for p in reader.partitions():
+        assert list(reader.read(OrdFilePartition(p.path))) == []
+
+
+def test_ord_datasource_matches_relational_scan(spark, golden_files):
+    """The connector and the DataFrame-path bronze scan must agree
+    row-for-row on their shared columns."""
+    via_ds = (REGISTRY["ord_python_datasource"]
+              .fn(spark, "/root/testdata/sf0.001")
+              .select("dataset_id", "reaction_id", "success",
+                      "n_input_tabs", "n_outcomes"))
+    via_df = REGISTRY["ord_scan_documents"].fn(spark, "/root/testdata/sf0.001")
+    assert via_ds.exceptAll(via_df).count() == 0
+    assert via_df.exceptAll(via_ds).count() == 0
