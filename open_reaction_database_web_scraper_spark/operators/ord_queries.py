@@ -102,8 +102,50 @@ def ord_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     own recorded total, so the connector's row fan-out, NULL
     posture, and 0-based positions all hash-match."""
     # registration is idempotent per session (re-register overwrites)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(OrdDataSource)
     return (spark.read.format("ord").option("path", GOLDEN_GLOB).load())
+
+
+@register(
+    "ord_python_datasource_pushdown",
+    oracle=f"""
+    WITH doc AS (
+      SELECT json(content) AS j FROM read_text('{GOLDEN_GLOB}')
+    ), ds AS (
+      SELECT k AS dataset_id,
+             CAST(json_extract(j, '$.' || k || '.reactions') AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), flat AS (
+      SELECT dataset_id, UNNEST(rx) AS r FROM ds WHERE len(rx) > 0
+    )
+    SELECT dataset_id,
+           json_extract_string(r, '$.reaction_id') AS reaction_id,
+           CAST(json_array_length(r, '$.outcomes') AS INT) AS n_outcomes
+    FROM flat
+    WHERE CAST(json_extract(r, '$.success') AS BOOLEAN)
+      AND json_array_length(r, '$.outcomes') >= 1
+    """,
+    tags=("ord", "scan", "source"),
+)
+def ord_python_datasource_pushdown(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """Mixed filter pushdown through the custom connector: the
+    ``success = true`` predicate is PUSHED into the Python reader
+    (rows failing it never cross the Arrow boundary — the connector
+    analog of row-group pruning), while ``n_outcomes >= 1`` is not
+    pushable and stays a post-scan Spark filter. The reader-level
+    split is pinned by unit tests; the oracle re-derives both
+    predicates from the raw JSON, so over- OR under-pushing (rows
+    filtered twice, or not at all) breaks the value hash."""
+    # runtime conf (not only session default): a caller-built
+    # session without DEFAULT_CONFS must still plan this reader
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OrdDataSource)
+    df = spark.read.format("ord").option("path", GOLDEN_GLOB).load()
+    return (df.filter((F.col("success") == True)  # noqa: E712
+                      & (F.col("n_outcomes") >= 1))
+            .select("dataset_id", "reaction_id", "n_outcomes"))
 
 
 @register(

@@ -36,6 +36,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # this repo reads them — off everywhere.
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # The custom ORD connector (sources/ord_datasource.py) implements
+    # pushFilters(); Spark 4.1 refuses to plan such a reader unless
+    # Python-source filter pushdown is explicitly enabled.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -25,7 +25,13 @@ import glob
 import json
 from collections.abc import Iterator, Sequence
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    Filter,
+    InputPartition,
+)
 
 ORD_FLAT_SCHEMA = ("dataset_id string, total_reactions_scraped bigint, "
                    "reaction_pos int, reaction_id string, success boolean, "
@@ -37,11 +43,34 @@ class OrdFilePartition(InputPartition):
         self.path = path
 
 
+# columns the reader can filter natively (single-part attributes)
+_PUSHABLE = {("dataset_id",), ("success",), ("reaction_id",)}
+
+
 class OrdDataSourceReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ord source requires a 'path' option (glob)")
+        self.pushed: list[EqualTo] = []
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        """Native filter pushdown (Spark 4.1 connector API): EqualTo
+        on the pushable columns is evaluated inside :meth:`read`
+        while streaming each file — rows that fail never cross the
+        Python→JVM Arrow boundary, the connector analog of parquet
+        row-group pruning. Everything else is yielded back for Spark
+        to evaluate post-scan (the contract: returned filters must
+        be the input objects by reference)."""
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute in _PUSHABLE:
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _row_passes(self, row: tuple) -> bool:
+        cols = {("dataset_id",): 0, ("reaction_id",): 3, ("success",): 4}
+        return all(row[cols[f.attribute]] == f.value for f in self.pushed)
 
     def partitions(self) -> Sequence[OrdFilePartition]:
         # One partition per capture file — the reference's
@@ -69,15 +98,19 @@ class OrdDataSourceReader(DataSourceReader):
             if not reactions:
                 # posexplode_outer parity: empty dataset keeps one
                 # all-NULL placeholder row
-                yield (dataset_id, total, None, None, None, None, 0)
+                row = (dataset_id, total, None, None, None, None, 0)
+                if self._row_passes(row):
+                    yield row
                 continue
             for pos, r in enumerate(reactions):
                 r = r if isinstance(r, dict) else {}
                 tabs = r.get("inputsMap")
-                yield (dataset_id, total, pos, r.get("reaction_id"),
+                row = (dataset_id, total, pos, r.get("reaction_id"),
                        r.get("success"),
                        len(tabs) if tabs is not None else None,
                        len(r.get("outcomes") or []))
+                if self._row_passes(row):
+                    yield row
 
 
 class OrdDataSource(DataSource):

@@ -366,3 +366,44 @@ def test_ord_datasource_matches_relational_scan(spark, golden_files):
     via_df = REGISTRY["ord_scan_documents"].fn(spark, "/root/testdata/sf0.001")
     assert via_ds.exceptAll(via_df).count() == 0
     assert via_df.exceptAll(via_ds).count() == 0
+
+
+def test_ord_datasource_pushfilters_split():
+    """EqualTo on pushable columns is absorbed; everything else is
+    returned by reference for Spark to evaluate."""
+    from pyspark.sql.datasource import EqualTo, GreaterThanOrEqual
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdDataSourceReader
+    reader = OrdDataSourceReader({"path": "/root/reference/*.json"})
+    eq = EqualTo(("success",), True)
+    gt = GreaterThanOrEqual(("n_outcomes",), 1)
+    eq_other = EqualTo(("n_outcomes",), 1)  # pushable op, unpushable col
+    leftover = list(reader.pushFilters([eq, gt, eq_other]))
+    assert leftover == [gt, eq_other]
+    assert reader.pushed == [eq]
+
+
+def test_ord_datasource_pushed_filter_applied_in_read(golden_files):
+    from pyspark.sql.datasource import EqualTo
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdDataSourceReader, OrdFilePartition
+    glob_ = "/root/reference/ord_formatted_data*.json"
+    plain = OrdDataSourceReader({"path": glob_})
+    pushed = OrdDataSourceReader({"path": glob_})
+    list(pushed.pushFilters([EqualTo(("success",), True)]))
+    all_rows = [r for p in plain.partitions()
+                for r in plain.read(OrdFilePartition(p.path))]
+    kept = [r for p in pushed.partitions()
+            for r in pushed.read(OrdFilePartition(p.path))]
+    assert kept == [r for r in all_rows if r[4] is True]
+    assert len(kept) < len(all_rows)  # the corpus has failures/placeholders
+
+
+def test_ord_datasource_pushdown_query_plan(spark):
+    """The pushed success-equality must vanish from the post-scan
+    Filter; the unpushable n_outcomes predicate must remain."""
+    plan = (REGISTRY["ord_python_datasource_pushdown"]
+            .fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert " AND success#" not in plan, plan
+    assert "n_outcomes#" in plan.split("BatchScan")[0], plan
