@@ -31,6 +31,7 @@ from pyspark.sql.datasource import (
     EqualTo,
     Filter,
     InputPartition,
+    SimpleDataSourceStreamReader,
 )
 
 ORD_FLAT_SCHEMA = ("dataset_id string, total_reactions_scraped bigint, "
@@ -125,3 +126,63 @@ class OrdDataSource(DataSource):
 
     def reader(self, schema) -> OrdDataSourceReader:
         return OrdDataSourceReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Streaming flavor: the capture files as a micro-batch source
+
+
+class OrdStreamReader(SimpleDataSourceStreamReader):
+    """Streaming ORD source: offsets index into the sorted capture-
+    file list — each file is an atomic arrival unit, the batch
+    analog of the reference finishing one dataset crawl and flushing
+    its JSON. ``read`` drains every not-yet-seen file and advances
+    the offset; ``readBetweenOffsets`` deterministically REPLAYS an
+    exact file range, which is what makes the source recoverable:
+    after a crash, Spark re-asks for committed-but-unflushed ranges
+    and must get byte-identical rows."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ord_stream source requires a 'path' option")
+        self.files = sorted(glob.glob(self.path))
+
+    def initialOffset(self) -> dict:
+        return {"file_idx": 0}
+
+    def _rows_for(self, lo: int, hi: int) -> Iterator[tuple]:
+        reader = OrdDataSourceReader({"path": self.path})
+        for path in self.files[lo:hi]:
+            yield from reader.read(OrdFilePartition(path))
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        lo = start["file_idx"]
+        hi = len(self.files)
+        # materialized list, not a generator: the simple-reader
+        # framework CACHES and PICKLES the returned iterator for
+        # replay (generators can't pickle). The simple API ships all
+        # rows through the driver by design — right for control-rate
+        # sources like this one; a high-volume source graduates to
+        # the full DataSourceStreamReader with executor partitions.
+        return list(self._rows_for(lo, hi)), {"file_idx": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return list(self._rows_for(start["file_idx"], end["file_idx"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to clean up
+
+
+class OrdStreamDataSource(DataSource):
+    """``spark.readStream.format("ord_stream").option("path", glob)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ord_stream"
+
+    def schema(self) -> str:
+        return ORD_FLAT_SCHEMA
+
+    def simpleStreamReader(self, schema) -> OrdStreamReader:
+        return OrdStreamReader(self.options)

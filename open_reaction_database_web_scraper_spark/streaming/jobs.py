@@ -648,3 +648,49 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
               .join(profile, "user_id")
               .select("event_id", "user_id", "lifetime_events"))
     return _run_to_memory(joined, "append")
+
+
+@register(
+    "stream_ord_source",
+    oracle="""
+    WITH doc AS (
+      SELECT json(content) AS j
+      FROM read_text('/root/reference/ord_formatted_data*.json')
+    ), ds AS (
+      SELECT k AS dataset_id,
+             CAST(json_extract(j, '$.' || k || '.reactions') AS JSON[]) AS rx
+      FROM doc, UNNEST(json_keys(j)) AS t(k)
+    ), flat AS (
+      SELECT dataset_id, UNNEST(rx) AS r FROM ds WHERE len(rx) > 0
+      UNION ALL
+      SELECT dataset_id, NULL AS r FROM ds WHERE rx IS NULL OR len(rx) = 0
+    )
+    SELECT dataset_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN CAST(json_extract(r, '$.success') AS BOOLEAN)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_success
+    FROM flat GROUP BY dataset_id
+    """,
+    tags=("stream", "ord", "source"),
+)
+def stream_ord_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capture corpus through the CUSTOM STREAMING data source
+    (``sources/ord_datasource.py::OrdStreamReader``): offsets index
+    the sorted file list — each capture file is an atomic arrival,
+    the streaming analog of the reference finishing one dataset
+    crawl and flushing its JSON — and ``readBetweenOffsets`` replays
+    exact ranges for recovery. The drained stream aggregates
+    per-dataset row/success counts; converged output must equal the
+    batch answer, which is the DuckDB oracle (same posture as every
+    other streaming job here: the stream must converge to the batch
+    SQL statement of itself)."""
+    from ..sources.ord_datasource import OrdStreamDataSource
+    spark.dataSource.register(OrdStreamDataSource)
+    stream = (spark.readStream.format("ord_stream")
+              .option("path", "/root/reference/ord_formatted_data*.json")
+              .load())
+    agg = (stream.groupBy("dataset_id")
+           .agg(F.count("*").alias("n_rows"),
+                F.coalesce(F.sum(F.when(F.col("success"), 1)), F.lit(0))
+                .alias("n_success")))
+    return _run_to_memory(agg, "complete")

@@ -407,3 +407,24 @@ def test_ord_datasource_pushdown_query_plan(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert " AND success#" not in plan, plan
     assert "n_outcomes#" in plan.split("BatchScan")[0], plan
+
+
+def test_ord_stream_reader_offsets_and_replay():
+    """Offset math and deterministic replay: read() drains all
+    files and advances; readBetweenOffsets re-yields the exact
+    range; an empty range is empty."""
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdStreamReader
+    r = OrdStreamReader({"path": "/root/reference/ord_formatted_data*.json"})
+    assert r.initialOffset() == {"file_idx": 0}
+    rows, nxt = r.read({"file_idx": 0})
+    rows = list(rows)
+    assert nxt == {"file_idx": len(r.files)} and rows
+    # replay of the full range is byte-identical
+    assert list(r.readBetweenOffsets({"file_idx": 0}, nxt)) == rows
+    # replay of a sub-range equals the matching file's rows
+    sub = list(r.readBetweenOffsets({"file_idx": 0}, {"file_idx": 1}))
+    assert rows[:len(sub)] == sub and 0 < len(sub) < len(rows)
+    # caught-up read: no new rows, offset unchanged
+    rows2, nxt2 = r.read(nxt)
+    assert list(rows2) == [] and nxt2 == nxt
