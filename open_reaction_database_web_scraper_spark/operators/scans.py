@@ -532,3 +532,36 @@ def scan_schema_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              f"{out}/gen=2"))
     return (back.filter(F.col("o_totalprice") > 100000)
             .select("o_orderkey", "o_totalprice", "o_orderpriority"))
+
+
+@register(
+    "sink_ord_datasource",
+    oracle="""
+    SELECT doc_id, lang, source FROM documents
+    """,
+    tags=("sink", "source", "ord"),
+)
+def sink_ord_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write through the CUSTOM transactional sink
+    (``sources/ord_datasource.py::OrdSinkWriter``): per-task temp
+    shards → driver commit renames + writes ``_MANIFEST.json`` (the
+    all-or-nothing visibility contract a FileOutputCommitter gives
+    parquet, rebuilt at the connector level), then read the
+    MANIFESTED shards back and prove the round trip value-exact
+    against the source table. A sink that loses a shard, double-
+    commits one, or leaks uncommitted temp files breaks the hash or
+    the manifest test."""
+    import json as _json
+
+    from ..sources.ord_datasource import OrdSinkDataSource
+    spark.dataSource.register(OrdSinkDataSource)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    out = _sink_dir("sink_ord_datasource")
+    shutil.rmtree(out, ignore_errors=True)  # fresh dir per invocation
+    docs.write.format("ord_sink").option("path", out).mode("append").save()
+    with open(os.path.join(out, "_MANIFEST.json")) as f:
+        manifest = _json.load(f)
+    shards = [os.path.join(out, s) for s in manifest["shards"]]
+    back = spark.read.schema("doc_id bigint, lang string, source string") \
+        .json(shards)
+    return back

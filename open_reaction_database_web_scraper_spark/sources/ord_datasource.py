@@ -30,8 +30,10 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     EqualTo,
     Filter,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 ORD_FLAT_SCHEMA = ("dataset_id string, total_reactions_scraped bigint, "
@@ -186,3 +188,77 @@ class OrdStreamDataSource(DataSource):
 
     def simpleStreamReader(self, schema) -> OrdStreamReader:
         return OrdStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# Sink flavor: transactional JSONL writer (write/commit/abort)
+
+
+class OrdShardCommit(WriterCommitMessage):
+    def __init__(self, tmp_path: str | None, n_rows: int):
+        self.tmp_path = tmp_path
+        self.n_rows = n_rows
+
+
+class OrdSinkWriter(DataSourceWriter):
+    """Transactional JSONL sink: each task streams its partition to
+    a TEMP shard and reports it in a commit message; only the driver
+    ``commit`` renames shards to their final names and writes the
+    ``_MANIFEST.json`` that makes them visible — readers who honor
+    the manifest never observe a partially-failed job (the same
+    atomicity contract a FileOutputCommitter gives parquet, rebuilt
+    at the connector level; ``abort`` deletes the temp shards).
+    This is the reference's document-store flush
+    (web_scrpaer_2.py:545-548) upgraded from write-in-place to
+    all-or-nothing."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("ord_sink requires a 'path' option")
+
+    def write(self, iterator) -> OrdShardCommit:
+        import os
+        import uuid
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True,
+                                   default=str) + "\n")
+                n += 1
+        if n == 0:  # no empty shards: drop the file, commit nothing
+            os.remove(tmp)
+            return OrdShardCommit(None, 0)
+        return OrdShardCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+        shards, total = [], 0
+        for i, m in enumerate(m for m in messages
+                              if m is not None and m.tmp_path):
+            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            os.replace(m.tmp_path, final)
+            shards.append(os.path.basename(final))
+            total += m.n_rows
+        manifest = {"shards": shards, "total_rows": total}
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+            json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+        for m in messages:
+            if m is not None and m.tmp_path and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+class OrdSinkDataSource(DataSource):
+    """``df.write.format("ord_sink").option("path", dir).save()``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "ord_sink"
+
+    def writer(self, schema, overwrite: bool) -> OrdSinkWriter:
+        return OrdSinkWriter(self.options)

@@ -428,3 +428,39 @@ def test_ord_stream_reader_offsets_and_replay():
     # caught-up read: no new rows, offset unchanged
     rows2, nxt2 = r.read(nxt)
     assert list(rows2) == [] and nxt2 == nxt
+
+
+def test_ord_sink_manifest_and_no_temp_leaks(spark, sf_dir, tmp_path):
+    """Commit must rename every non-empty shard, record exact row
+    counts in the manifest, and leave no _tmp files behind."""
+    import json as _json
+    import os
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdSinkDataSource
+    spark.dataSource.register(OrdSinkDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "id long, v string")
+    df.repartition(8).write.format("ord_sink") \
+        .option("path", out).mode("append").save()
+    manifest = _json.load(open(os.path.join(out, "_MANIFEST.json")))
+    assert manifest["total_rows"] == 100
+    files = set(os.listdir(out))
+    assert not [f for f in files if f.startswith("_tmp-")], files
+    assert set(manifest["shards"]) == files - {"_MANIFEST.json"}
+    n = sum(1 for s in manifest["shards"]
+            for _ in open(os.path.join(out, s)))
+    assert n == 100
+
+
+def test_ord_sink_abort_removes_temp_shards(tmp_path):
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdShardCommit, OrdSinkWriter
+    import os
+    out = str(tmp_path / "ab")
+    w = OrdSinkWriter({"path": out})
+    os.makedirs(out)
+    tmp = os.path.join(out, "_tmp-deadbeef.jsonl")
+    open(tmp, "w").write("{}\n")
+    w.abort([OrdShardCommit(tmp, 1), None, OrdShardCommit(None, 0)])
+    assert os.listdir(out) == []
