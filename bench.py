@@ -114,6 +114,15 @@ OPTIONAL = [
     "multimodal_decode_bmp",
     "text_fingerprint",
     "text_zipf_slope",
+    # round 6, tranche 2: TPC-H completion (DataFrame-API builds) —
+    # the shape-diverse subset (window-min, semi/anti joins,
+    # market-share ratio, sole-latest, scalar gates)
+    "sql_tpch_q2",
+    "sql_tpch_q8",
+    "sql_tpch_q9",
+    "sql_tpch_q13",
+    "sql_tpch_q17",
+    "sql_tpch_q21",
 ]
 
 

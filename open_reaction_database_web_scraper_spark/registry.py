@@ -74,6 +74,7 @@ def load_all_operators() -> None:
         streaming_batch,
         text,
         timeseries,
+        tpch2,
         udfs,
         vectors,
         windows,

@@ -55,7 +55,13 @@ ALLOW = {
                                 # aggregate behind the threshold / the
                                 # digit-count total behind the shares
                                 "sample_weighted_bernoulli",
-                                "profile_benford_digits"},
+                                "profile_benford_digits",
+                                # 1-row broadcasts (tpch2 tranche):
+                                # the value threshold / the max
+                                # revenue / the acctbal cutoff
+                                "sql_tpch_q11",
+                                "sql_tpch_q15",
+                                "sql_tpch_q22"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),
