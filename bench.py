@@ -1,9 +1,13 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line (the sole final stdout line — Spark console
-progress bars are disabled in session.py so nothing else interleaves):
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Prints the result as JSON on stdout twice: first the FULL record
+(per-query map for all ~90 queries, also persisted to
+BENCH_LOCAL.json), then — as the sole FINAL stdout line — a compact
+version of the same record whose "queries" map holds only the ten
+HEADLINE entries, so it always fits a 2,000-char stdout tail:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...},
+   "sf": ..., "n_queries": N, "full_map": "BENCH_LOCAL.json"}
 
 Each query is executed with a noop-sink action that materializes
 the full result (no driver collect of big payloads). Every query is
@@ -175,17 +179,31 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
 
     total = round(sum(timings.values()), 3)
-    # Flush any buffered Spark/JVM stderr noise, then emit the result
-    # as the sole final stdout line so harnesses can parse it reliably.
-    sys.stderr.flush()
-    sys.stdout.flush()
-    print(json.dumps({
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(sf_dir),
-    }), flush=True)
+    }
+    # The full per-query map (~90 entries) exceeds the 2,000-char
+    # stdout tail some harnesses keep, which made two rounds of
+    # headline numbers recoverable only by forensics. Emit it as an
+    # EARLIER stdout line and persist it to BENCH_LOCAL.json; the
+    # FINAL stdout line is a compact record (same schema, "queries"
+    # trimmed to the ten HEADLINE entries) guaranteed to fit the tail.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh)
+    sys.stderr.flush()
+    print(json.dumps(full), flush=True)
+    compact = dict(full)
+    compact["queries"] = {k: timings[k] for k in HEADLINE if k in timings}
+    compact["n_queries"] = len(timings)
+    compact["full_map"] = "BENCH_LOCAL.json"
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(json.dumps(compact), flush=True)
 
 
 if __name__ == "__main__":

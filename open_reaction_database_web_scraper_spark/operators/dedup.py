@@ -4,7 +4,9 @@ The LLM-training-data staples over the ``documents`` table:
 exact content-hash dedup, MinHash+LSH near-dup detection, SimHash,
 and exact n-gram Jaccard. All are pure DataFrame compositions — the
 only shuffles are the groupBys/joins the algorithms require, and all
-hashing is JVM-side ``xxhash64`` (no Python in the hot path).
+hashing is JVM-side (no Python in the hot path). The minhash family
+hashes PORTABLY (md5-derived + (a·h+b) mod p) so DuckDB recomputes
+identical signatures and the LSH pairs are fully oracle-checked.
 
 Scale notes (100 TB): exact dedup is one hash-aggregate on a 32-byte
 key; MinHash is explode→min-agg (shingle fan-out is bounded per doc)
@@ -22,6 +24,57 @@ from ..registry import register
 N_HASHES = 32          # minhash signature length
 N_BANDS = 8            # LSH bands (r = N_HASHES / N_BANDS = 4)
 SHINGLE_W = 3          # words per shingle
+
+# --- portable hashing (engine-recomputable: Spark == DuckDB) -------------
+#
+# Through round 6 the minhash family hashed with Spark's xxhash64 —
+# fast but engine-private, so the whole family was rows-only. The
+# text_fingerprint idiom (md5 → leading 8 hex chars → bigint) is
+# bit-identical in every engine; the per-seed signatures then come
+# from the classic universal family h_i(x) = (a_i·x + b_i) mod p —
+# pure 64-bit arithmetic both engines compute exactly (a_i < 2^30,
+# x < 2^32 ⇒ product < 2^62, no overflow in either). One md5 per
+# shingle + 32 multiply-mods ≈ the old one xxhash64 + 32 xxhash64s,
+# so this costs nothing and flips dedup_minhash_lsh to fully
+# DuckDB-oracled.
+MINHASH_P = 4294967291          # largest 32-bit prime
+_SEED_LCG_A, _SEED_LCG_C, _SEED_LCG_M = 6364136223846793005, 1442695040888963407, 1 << 63
+
+
+def _minhash_coeffs() -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) per seed — a fixed-seed LCG walk, no
+    runtime randomness (the same constants are baked into the DuckDB
+    oracle SQL, so both engines share the exact hash family)."""
+    a, b, state = [], [], 88172645463325252
+    for _ in range(N_HASHES):
+        state = (_SEED_LCG_A * state + _SEED_LCG_C) % _SEED_LCG_M
+        a.append(state % ((1 << 30) - 1) + 1)      # 1 ≤ a < 2^30
+        state = (_SEED_LCG_A * state + _SEED_LCG_C) % _SEED_LCG_M
+        b.append(state % MINHASH_P)                # 0 ≤ b < p
+    return a, b
+
+
+MINHASH_A, MINHASH_B = _minhash_coeffs()
+
+
+def _path_bytes(path: str) -> int:
+    """Size of a parquet file-or-directory (0 if absent — e.g. a
+    non-filesystem URI, where the floor width applies)."""
+    import os
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs)
+    return 0
+
+
+def portable_hash32(col: F.Column) -> F.Column:
+    """First 32 bits of md5 as a bigint — identical in Spark
+    (conv(substr(md5, 1, 8), 16, 10)) and DuckDB
+    (CAST('0x' || substr(md5, 1, 8) AS BIGINT))."""
+    return F.conv(F.substring(F.md5(F.encode(col, "utf-8")), 1, 8),
+                  16, 10).cast("long")
 
 
 def _tokens(col: str = "text") -> F.Column:
@@ -57,16 +110,19 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, sig array<long>[N_HASHES]) — one explode + one
-    hash-agg. Each shingle STRING is hashed once; the N_HASHES
-    per-seed values derive from that 8-byte hash (``xxhash64(seed,
-    h)``), the universal-hashing shortcut: one string traversal per
-    shingle instead of N_HASHES, identical uniformity. (At sf0.1 the
-    job is overhead-bound either way — this is a per-row CPU saving
-    for the 100 TB regime.)"""
+    hash-agg. Each shingle STRING is md5'd once (portable_hash32);
+    the N_HASHES per-seed values derive from that 32-bit value via
+    the universal family (a_i·h + b_i) mod p — one string traversal
+    per shingle instead of N_HASHES, identical uniformity, and (new
+    in round 7) bit-identical in DuckDB, so the LSH output is fully
+    oracle-checkable. (At sf0.1 the job is overhead-bound either
+    way — the single-traversal form is a per-row CPU saving for the
+    100 TB regime.)"""
     sh = doc_shingles(spark, sf_dir).withColumn(
-        "h", F.xxhash64(F.col("shingle")))
+        "h", portable_hash32(F.col("shingle")))
     mins = sh.groupBy("doc_id").agg(*[
-        F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"h{i}")
+        F.min((F.lit(MINHASH_A[i]) * F.col("h") + F.lit(MINHASH_B[i]))
+              % F.lit(MINHASH_P)).alias(f"h{i}")
         for i in range(N_HASHES)])
     return mins.select(
         "doc_id", F.array(*[f"h{i}" for i in range(N_HASHES)]).alias("sig"))
@@ -93,22 +149,81 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "content_sha", "n_copies"))
 
 
-@register("dedup_minhash_lsh", oracle=None, tags=("dedup", "approx"))
+_R = N_HASHES // N_BANDS  # rows per band
+
+
+def _minhash_oracle_sql() -> str:
+    """DuckDB SQL recomputing the EXACT minhash+LSH pipeline — same
+    md5-derived shingle hash, same (a·h+b) mod p family (constants
+    interpolated from MINHASH_A/B), same banding and ≥0.5 gate — so
+    the driver value-hashes real pairs instead of a rows-only count."""
+    sig_cols = ", ".join(
+        f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})"
+        f" AS h{i}" for i in range(N_HASHES))
+    sig_arr = ", ".join(f"h{i}" for i in range(N_HASHES))
+    matches = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES))
+    w = SHINGLE_W
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT doc_id, UNNEST(list_transform(
+        range(1, greatest(len(t) - {w - 1}, 0) + 1),
+        i -> CAST(('0x' || substr(md5(array_to_string(
+               t[CAST(i AS BIGINT):CAST(i + {w - 1} AS BIGINT)], ' ')),
+             1, 8)) AS BIGINT))) AS h
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id
+    ), sigarr AS (
+      SELECT doc_id, [{sig_arr}] AS sig FROM sig
+    ), bands AS (
+      SELECT doc_id, b.b AS band_idx,
+             CAST(('0x' || substr(md5(array_to_string(list_transform(
+               sig[CAST(b.b * {_R} + 1 AS BIGINT)
+                   :CAST(b.b * {_R} + {_R} AS BIGINT)],
+               v -> CAST(v AS VARCHAR)), ',')), 1, 8)) AS BIGINT)
+             AS band_hash
+      FROM sigarr, range(0, {N_BANDS}) AS b(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b, ({matches}) / {N_HASHES}.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    WHERE ({matches}) / {N_HASHES}.0 >= 0.5
+    """
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle_sql(),
+          tags=("dedup", "approx"))
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-duplicate pairs.
 
     shingle → 32 minhashes → 8 bands of 4 → band-bucket self-join →
     candidate pairs → estimated Jaccard = matching-minhash fraction,
-    kept at ≥ 0.5. Deterministic (xxhash64 with fixed per-row seeds).
-    Rows-only check: the minhash estimator is approximate by design;
-    tests pin its behavior on synthetic near-dups.
+    kept at ≥ 0.5. Deterministic AND engine-portable: the shingle
+    hash is md5-derived and the per-seed family is (a·h+b) mod p, so
+    the DuckDB oracle recomputes the identical pairs (rows-only
+    through round 6, fully value-hashed from round 7).
 
-    The signature cache stays live (the returned frame is lazy and
-    re-reads it at action time); consumers that materialize
-    internally release it via :func:`minhash_pairs`'s handle.
+    Cache ownership: :func:`minhash_pairs` caches the signature frame
+    (read twice: banding + verify). This registered entry point
+    materializes the pairs eagerly (localCheckpoint — lineage
+    truncated, blocks owned by the ContextCleaner, released on GC)
+    and unpersists the signature cache before returning, so running
+    the query standalone leaves no orphaned cached RDDs behind.
     """
-    pairs, _sig = minhash_pairs(spark, sf_dir)
-    return pairs
+    pairs, sig = minhash_pairs(spark, sf_dir)
+    out = pairs.localCheckpoint(eager=True)
+    sig.unpersist()
+    return out
 
 
 def minhash_pairs(spark: SparkSession,
@@ -123,10 +238,24 @@ def minhash_pairs(spark: SparkSession,
         "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: F.xxhash64(
-                F.slice("sig", b * (N_HASHES // N_BANDS) + 1,
-                        N_HASHES // N_BANDS).cast("string"))
+            lambda b: portable_hash32(F.concat_ws(",", F.transform(
+                F.slice("sig", b * _R + 1, _R),
+                lambda v: v.cast("string"))))
         )).alias("band_idx", "band_hash"))
+    # Banding self-join width scales with the corpus, not the session
+    # default: at 100× sf0.1 the 32-partition default kneed
+    # superlinear (~15×/decade) and SPARK_GRAFT_SHUFFLE=128 restored
+    # ~6.5×/decade — so size the exchange here, by data volume (one
+    # partition per ~512 KiB of compressed documents parquet, which
+    # reproduces the empirical 100×→128-partition fix; floor at the
+    # local default so small SFs are unchanged, cap at 8192). The
+    # statistic is file metadata — zero Spark jobs; on a real
+    # cluster this is table statistics. Both join sides alias the
+    # SAME repartitioned frame, so the exchange is planned once and
+    # reused.
+    width = min(max(_path_bytes(f"{sf_dir}/documents.parquet")
+                    // (512 * 1024), 32), 8192)
+    bands = bands.repartition(width, "band_idx", "band_hash")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -149,28 +278,82 @@ def minhash_pairs(spark: SparkSession,
     return pairs, sig
 
 
-@register("dedup_simhash", oracle=None, tags=("dedup", "approx"))
+SIMHASH_BITS = 60      # 15 md5 hex chars — the portable width
+SIMHASH_CHUNKS = 4     # 15-bit chunks; Hamming ≤3 ⇒ ≥1 chunk equal
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB SQL recomputing the EXACT simhash pipeline — same
+    md5-derived 60-bit token hash, same majority vote, chunking and
+    Hamming gate — so pairs are value-hashed, not rows-only."""
+    b, nc = SIMHASH_BITS, SIMHASH_CHUNKS
+    w = b // nc
+    votes = ", ".join(
+        f"SUM(CASE WHEN (th >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(b))
+    simhash = " + ".join(
+        f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT) << {i})"
+        for i in range(b))
+    chunks = ", ".join(f"(simhash >> {w * c}) & {(1 << w) - 1}"
+                       for c in range(nc))
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(UNNEST(string_split(text, ' '))),
+                   1, 15)) AS BIGINT) AS th
+      FROM documents
+    ), votes AS (
+      SELECT doc_id, {votes} FROM tok GROUP BY doc_id
+    ), sim AS (
+      SELECT doc_id, {simhash} AS simhash FROM votes
+    ), chunks AS (
+      SELECT doc_id, simhash, c.c AS chunk_idx,
+             ([{chunks}])[c.c + 1] AS chunk_val
+      FROM sim, range(0, {nc}) AS c(c)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM chunks a JOIN chunks b
+        ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle_sql(),
+          tags=("dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 64-bit signature from token hashes
-    (bitwise majority vote), candidates via 16-bit chunk equality
+    """SimHash near-dup pairs: 60-bit signature from token hashes
+    (bitwise majority vote), candidates via 15-bit chunk equality
     (any doc pair within Hamming distance 3 shares ≥1 of 4 chunks),
-    verified with bit_count(xor) ≤ 3."""
+    verified with bit_count(xor) ≤ 3. The token hash is md5-derived
+    (portable_hash32's 60-bit sibling), so the DuckDB oracle
+    recomputes identical signatures — 64-bit xxhash64/rows-only
+    through round 6; the 4 bits of width cost nothing at a Hamming
+    radius of 3."""
     docs = fanout(load(spark, sf_dir, "documents")
                   .select("doc_id", "text"))
+    nb, nc = SIMHASH_BITS, SIMHASH_CHUNKS
+    w = nb // nc
     tok = docs.select(
         "doc_id", F.explode(_tokens()).alias("token")
-    ).withColumn("th", F.xxhash64("token"))
+    ).withColumn("th", F.conv(
+        F.substring(F.md5(F.encode("token", "utf-8")), 1, 15),
+        16, 10).cast("long"))
     # Majority vote per bit: sum(+1/-1) over tokens, bit set if > 0.
     votes = tok.groupBy("doc_id").agg(*[
         F.sum(F.when(F.expr(f"(th >> {i}) & 1") == 1, 1).otherwise(-1))
-        .alias(f"v{i}") for i in range(64)])
+        .alias(f"v{i}") for i in range(nb)])
     sim = votes.select("doc_id", F.expr(
         " + ".join(f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
-                   f" << {i})" for i in range(64))).alias("simhash"))
+                   f" << {i})" for i in range(nb))).alias("simhash"))
     chunks = sim.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
-            F.expr(f"(simhash >> {16 * c}) & 65535") for c in range(4)
+            F.expr(f"(simhash >> {w * c}) & {(1 << w) - 1}")
+            for c in range(nc)
         ])).alias("chunk_idx", "chunk_val"))
     a, b = chunks.alias("a"), chunks.alias("b")
     cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))

@@ -184,7 +184,8 @@ FP_WINDOW = 8  # shingle width in tokens (shared with the oracle)
     "text_fingerprint",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t
+      FROM documents
     ), sh AS (
       SELECT doc_id,
              list_transform(
@@ -213,9 +214,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     polynomial through nested HOF aggregates benched 19.9 s at
     sf0.1 vs xxhash64's 0.35 s (per-char array allocation, nothing
     vectorizes); hashing the joined shingle once restores the
-    original plan shape at ~0.5 s. No Python, no shuffle."""
+    original plan shape at ~0.5 s. No Python, no shuffle.
+
+    NULL posture is PINNED, not accidental: text is coalesced to ''
+    on BOTH sides (a NULL doc fingerprints as md5('') — here, in the
+    oracle, and on any future corpus), where the round-6 form would
+    have diverged (Spark concat_ws over a NULL token array yields ''
+    while DuckDB string_split(NULL) stays NULL)."""
     docs = load(spark, sf_dir, "documents")
-    toks = _tokens()
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     w = FP_WINDOW
     n = F.greatest(F.size(toks) - (w - 1), F.lit(1))  # ≥1: short docs
     shingle_hashes = F.transform(

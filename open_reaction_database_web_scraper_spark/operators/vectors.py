@@ -202,9 +202,17 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # objectives; cells collapse and probing loses its pruning).
     # Cosine scoring downstream is scale-invariant, so normalized
     # vectors change cell shapes, not result values.
+    # The normalized corpus feeds THREE consumers (seed pick, train
+    # sample, index assignment) — uncached that is three full scans
+    # plus three normalization passes, the 2× constant the round-6
+    # bench flagged. Cache it; the registered entry point below
+    # materializes eagerly and unpersists before returning (same
+    # ownership pattern as dedup_minhash_lsh), so nothing is left
+    # pinned. On a real cluster the analog is a materialized
+    # normalized-embeddings table, built once per index lifetime.
     corpus = corpus.withColumn("nrm", l2_norm(F.col("c"))).select(
         "neighbor_id",
-        F.transform("c", lambda x: x / F.col("nrm")).alias("c"))
+        F.transform("c", lambda x: x / F.col("nrm")).alias("c")).cache()
     queries = queries.withColumn("nrm", l2_norm(F.col("q"))).select(
         "query_id",
         F.transform("q", lambda x: x / F.col("nrm")).alias("q"))
@@ -226,15 +234,24 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
                .select(F.col("m.cell_id").alias("cell_id"),
                        F.col("m.c").alias("c")))
-    centroids = (assign0
-                 .select("cell_id", F.posexplode("c").alias("dim", "x"))
-                 .groupBy("cell_id", "dim").agg(F.avg("x").alias("mu"))
-                 .groupBy("cell_id")
-                 .agg(F.array_sort(
-                     F.collect_list(F.struct("dim", "mu"))).alias("dm"))
-                 .select("cell_id",
-                         F.transform("dm", lambda s: s["mu"])
-                         .alias("centroid"))
+    # Per-cell mean as ONE hash aggregate of MAX_DIM elementwise sum
+    # columns — round 6 did posexplode(dims) → per-(cell,dim) avg →
+    # array_sort(collect_list) re-nest, which shuffles |sample|×dim
+    # ROWS and was the query's measured cost center (the 2× constant
+    # the round-6 bench flagged). Here the map side combines to one
+    # partial row per (partition, cell) and only 8×MAX_DIM scalars
+    # ever shuffle. element_at past a short test vector's length is
+    # NULL → SUM NULL → filtered, so <64-dim planted fixtures keep
+    # working; real corpora pay zero for the guard (filter of a
+    # 64-element array, 8 rows).
+    centroids = (assign0.groupBy("cell_id")
+                 .agg(F.count("*").alias("n"),
+                      *[F.sum(F.element_at("c", i + 1)).alias(f"s{i}")
+                        for i in range(MAX_DIM)])
+                 .select("cell_id", F.filter(
+                     F.array(*[(F.col(f"s{i}") / F.col("n"))
+                               for i in range(MAX_DIM)]),
+                     lambda x: x.isNotNull()).alias("centroid"))
                  # used twice (index + probes): cache the 8 rows so
                  # the train lineage (seed scan + Lloyd step) runs
                  # once, not once per consumer.
@@ -260,9 +277,17 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                           cosine_similarity(F.col("q"), F.col("c"))))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
-    return (scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= TOP_K)
-            .select("query_id", "neighbor_id", "cosine", "cell_id"))
+    result = (scored.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= TOP_K)
+              .select("query_id", "neighbor_id", "cosine", "cell_id"))
+    # Materialize-and-release: the result is N_QUERIES × TOP_K rows,
+    # so the eager localCheckpoint is trivially cheap, and it lets
+    # this entry point own BOTH caches' lifetimes — no pinned
+    # executor storage survives the call.
+    out = result.localCheckpoint(eager=True)
+    corpus.unpersist()
+    centroids.unpersist()
+    return out
 
 
 DEDUP_TABLES = 4          # OR-amplified recall for near-dup pairs

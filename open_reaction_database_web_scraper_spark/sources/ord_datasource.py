@@ -135,42 +135,63 @@ class OrdDataSource(DataSource):
 
 
 class OrdStreamReader(SimpleDataSourceStreamReader):
-    """Streaming ORD source: offsets index into the sorted capture-
-    file list — each file is an atomic arrival unit, the batch
-    analog of the reference finishing one dataset crawl and flushing
-    its JSON. ``read`` drains every not-yet-seen file and advances
-    the offset; ``readBetweenOffsets`` deterministically REPLAYS an
-    exact file range, which is what makes the source recoverable:
-    after a crash, Spark re-asks for committed-but-unflushed ranges
-    and must get byte-identical rows."""
+    """Streaming ORD source: each capture file is an atomic arrival
+    unit — the batch analog of the reference finishing one dataset
+    crawl and flushing its JSON.
+
+    Offsets are CONTENT-ADDRESSED (the last-processed filename), not
+    positions into a list snapshot: ``read`` re-globs on every
+    micro-batch so files that arrive after stream start are
+    discovered (they're streaming arrivals, that's the point), and
+    ``readBetweenOffsets`` replays exactly the files whose basenames
+    sort inside ``(start, end]`` — stable under corpus growth, which
+    a positional index is not (a prepended file would shift every
+    index and silently replay DIFFERENT rows for a committed range).
+    Replay assumes files are immutable once written and never deleted
+    mid-retention — the standard capture-directory contract."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("ord_stream source requires a 'path' option")
-        self.files = sorted(glob.glob(self.path))
 
     def initialOffset(self) -> dict:
-        return {"file_idx": 0}
+        return {"last_file": ""}
 
-    def _rows_for(self, lo: int, hi: int) -> Iterator[tuple]:
+    def _files_between(self, lo: str, hi: str | None) -> list[str]:
+        """Sorted capture files with basename in (lo, hi] — re-globbed
+        NOW, so new arrivals show up; hi=None means 'everything after
+        lo' (the advancing read path)."""
+        import os
+        out = []
+        for p in sorted(glob.glob(self.path)):
+            base = os.path.basename(p)
+            if base > lo and (hi is None or base <= hi):
+                out.append(p)
+        return out
+
+    def _rows_for(self, paths: list[str]) -> Iterator[tuple]:
         reader = OrdDataSourceReader({"path": self.path})
-        for path in self.files[lo:hi]:
+        for path in paths:
             yield from reader.read(OrdFilePartition(path))
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
-        lo = start["file_idx"]
-        hi = len(self.files)
+        import os
+        paths = self._files_between(start["last_file"], None)
+        if not paths:  # quiet tick: offset unchanged
+            return [], dict(start)
         # materialized list, not a generator: the simple-reader
         # framework CACHES and PICKLES the returned iterator for
         # replay (generators can't pickle). The simple API ships all
         # rows through the driver by design — right for control-rate
         # sources like this one; a high-volume source graduates to
         # the full DataSourceStreamReader with executor partitions.
-        return list(self._rows_for(lo, hi)), {"file_idx": hi}
+        return (list(self._rows_for(paths)),
+                {"last_file": os.path.basename(paths[-1])})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
-        return list(self._rows_for(start["file_idx"], end["file_idx"]))
+        return list(self._rows_for(
+            self._files_between(start["last_file"], end["last_file"])))
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to clean up
@@ -210,10 +231,22 @@ class OrdSinkWriter(DataSourceWriter):
     at the connector level; ``abort`` deletes the temp shards).
     This is the reference's document-store flush
     (web_scrpaer_2.py:545-548) upgraded from write-in-place to
-    all-or-nothing."""
+    all-or-nothing.
 
-    def __init__(self, options: dict):
+    Multi-commit semantics: final shard names carry a per-job UUID,
+    so a second ``save()`` to the same directory never clobbers a
+    prior commit's shards; in append mode the new manifest is the
+    union of the old one and this job's shards, in overwrite mode it
+    lists only this job's shards and the superseded files are
+    deleted AFTER the new manifest is live. The manifest itself is
+    written tmp-file + ``os.replace`` (atomic on POSIX), so a crash
+    mid-commit leaves the PREVIOUS manifest fully intact — renamed
+    orphan shards may exist but are invisible to any reader that
+    honors the manifest, preserving the all-or-nothing claim."""
+
+    def __init__(self, options: dict, overwrite: bool = True):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("ord_sink requires a 'path' option")
 
@@ -235,16 +268,41 @@ class OrdSinkWriter(DataSourceWriter):
 
     def commit(self, messages) -> None:
         import os
+        import uuid
+        job = uuid.uuid4().hex[:12]
         shards, total = [], 0
         for i, m in enumerate(m for m in messages
                               if m is not None and m.tmp_path):
-            final = os.path.join(self.path, f"part-{i:05d}.jsonl")
+            final = os.path.join(self.path, f"part-{job}-{i:05d}.jsonl")
             os.replace(m.tmp_path, final)
             shards.append(os.path.basename(final))
             total += m.n_rows
+        mpath = os.path.join(self.path, "_MANIFEST.json")
+        old = {"shards": [], "total_rows": 0}
+        if os.path.exists(mpath):
+            try:
+                with open(mpath, encoding="utf-8") as f:
+                    old = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass  # unreadable prior manifest: treat as empty
+        if not self.overwrite:
+            shards = old.get("shards", []) + shards
+            total += old.get("total_rows", 0)
         manifest = {"shards": shards, "total_rows": total}
-        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as f:
+        tmp = mpath + f".tmp-{job}"
+        with open(tmp, "w", encoding="utf-8") as f:
             json.dump(manifest, f, sort_keys=True)
+        os.replace(tmp, mpath)  # atomic: readers see old XOR new
+        if self.overwrite:
+            # superseded shards are deleted only after the new
+            # manifest is live; a crash in this loop leaves invisible
+            # garbage, never a broken table.
+            for name in old.get("shards", []):
+                if name not in shards:
+                    try:
+                        os.remove(os.path.join(self.path, name))
+                    except OSError:
+                        pass
 
     def abort(self, messages) -> None:
         import os
@@ -254,11 +312,13 @@ class OrdSinkWriter(DataSourceWriter):
 
 
 class OrdSinkDataSource(DataSource):
-    """``df.write.format("ord_sink").option("path", dir).save()``."""
+    """``df.write.format("ord_sink").option("path", dir).save()``.
+    ``mode("append")`` unions the manifest; any other mode replaces
+    it (and garbage-collects the superseded shards post-commit)."""
 
     @classmethod
     def name(cls) -> str:
         return "ord_sink"
 
     def writer(self, schema, overwrite: bool) -> OrdSinkWriter:
-        return OrdSinkWriter(self.options)
+        return OrdSinkWriter(self.options, overwrite)

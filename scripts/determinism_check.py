@@ -92,7 +92,7 @@ def main() -> int:
         elif os.path.isdir(a):
             sf_dir = a
         else:
-            names.append(a)
+            names.append(a)  # validated against REGISTRY after load
     out_path = out_path or "DETERMINISM_r5.json"
     prev = None
     if compare_path:

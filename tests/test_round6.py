@@ -411,19 +411,25 @@ def test_ord_datasource_pushdown_query_plan(spark):
 
 def test_ord_stream_reader_offsets_and_replay():
     """Offset math and deterministic replay: read() drains all
-    files and advances; readBetweenOffsets re-yields the exact
-    range; an empty range is empty."""
+    files and advances to a CONTENT-ADDRESSED offset (last basename,
+    not a list position); readBetweenOffsets re-yields the exact
+    name range; an empty range is empty."""
+    import glob as _glob
+    import os
     from open_reaction_database_web_scraper_spark.sources.ord_datasource \
         import OrdStreamReader
-    r = OrdStreamReader({"path": "/root/reference/ord_formatted_data*.json"})
-    assert r.initialOffset() == {"file_idx": 0}
-    rows, nxt = r.read({"file_idx": 0})
+    pattern = "/root/reference/ord_formatted_data*.json"
+    names = sorted(os.path.basename(p) for p in _glob.glob(pattern))
+    r = OrdStreamReader({"path": pattern})
+    assert r.initialOffset() == {"last_file": ""}
+    rows, nxt = r.read({"last_file": ""})
     rows = list(rows)
-    assert nxt == {"file_idx": len(r.files)} and rows
+    assert nxt == {"last_file": names[-1]} and rows
     # replay of the full range is byte-identical
-    assert list(r.readBetweenOffsets({"file_idx": 0}, nxt)) == rows
+    assert list(r.readBetweenOffsets({"last_file": ""}, nxt)) == rows
     # replay of a sub-range equals the matching file's rows
-    sub = list(r.readBetweenOffsets({"file_idx": 0}, {"file_idx": 1}))
+    sub = list(r.readBetweenOffsets({"last_file": ""},
+                                    {"last_file": names[0]}))
     assert rows[:len(sub)] == sub and 0 < len(sub) < len(rows)
     # caught-up read: no new rows, offset unchanged
     rows2, nxt2 = r.read(nxt)

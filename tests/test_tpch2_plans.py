@@ -110,6 +110,55 @@ def test_q21_no_nested_loop_and_single_key_chain(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_q9_dim_broadcasts_and_tiny_group(spark, sf_dir):
+    """part-filter and supplier-nation decode are explicit broadcast
+    hints (must survive auto-broadcast off); the (nation, year)
+    group-by is map-side combined — two HashAggregates around one
+    exchange."""
+    with _no_autobroadcast(spark):
+        plan = plan_of(spark, sf_dir, "sql_tpch_q9")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+    assert len(re.findall(r"HashAggregate", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q12_year_slice_pushes_and_lateness_rides_join(spark, sf_dir):
+    """The 1997 order-year slice must reach the orders scan as pushed
+    filters, and the >60-day lateness conjunct must evaluate inside
+    the orderkey equi-join (join condition, not a separate pass)."""
+    plan = plan_of(spark, sf_dir, "sql_tpch_q12")
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual"
+                     r"\(o_orderdate", plan), plan
+    # the join node itself carries the non-equi lateness residual
+    assert re.search(r"Join[^\n]*l_shipdate[^\n]*", plan), plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_avg_table_broadcasts_back(spark, sf_dir):
+    """The per-part average re-join is an explicit broadcast (the
+    correlated-scalar rewrite stays a broadcast probe even with
+    auto-broadcast off), and the brand filter reaches the part
+    scan."""
+    with _no_autobroadcast(spark):
+        plan = plan_of(spark, sf_dir, "sql_tpch_q17")
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_and_pushed_date_slice(spark, sf_dir):
+    """The IN-subquery compiles to a LeftSemi; the 1996 ship-date
+    slice reaches the lineitem scan; the hot-part prefix filter
+    broadcasts into the fact."""
+    with _no_autobroadcast(spark):
+        plan = plan_of(spark, sf_dir, "sql_tpch_q20")
+    assert "LeftSemi" in plan
+    assert re.search(r"PushedFilters: \[[^\]]*GreaterThanOrEqual"
+                     r"\(l_shipdate", plan), plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_scalar_gates_are_single_row_broadcasts(spark, sf_dir):
     """q11/q15/q22's scalar subqueries must appear as broadcast
     nested-loop joins of a ONE-ROW aggregate (the allow-listed
