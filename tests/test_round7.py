@@ -23,20 +23,23 @@ from open_reaction_database_web_scraper_spark.sources.ord_datasource import (
 # portable sketch hashes: Spark == DuckDB, value-exact
 
 
-@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+@pytest.mark.parametrize(
+    "name", ["dedup_minhash_lsh", "dedup_simhash", "vector_ann_lsh"])
 def test_portable_sketch_matches_duckdb(spark, sf_dir, name):
-    """The round-7 portable hash family (md5-derived + (a·h+b) mod p)
-    must make the WHOLE pair output engine-recomputable — rows,
-    schema order, and every value."""
+    """The round-7 portable hash/plane constants (md5-derived +
+    (a·h+b) mod p; interpolated plane literals) must make the WHOLE
+    approximate output engine-recomputable — rows, schema order, and
+    every value."""
     spec = REGISTRY[name]
     assert spec.oracle, f"{name} lost its oracle"
     rows = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
     con = duckdb.connect()
-    con.execute("CREATE VIEW documents AS SELECT * FROM "
-                f"'{sf_dir}/documents.parquet'")
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"'{sf_dir}/{t}.parquet'")
     orc = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
     assert rows == orc
-    assert len(rows) > 0  # vacuity guard: the corpus has planted dups
+    assert len(rows) > 0  # vacuity guard: planted dups / top-k present
 
 
 def test_minhash_coeffs_are_fixed():
