@@ -246,6 +246,19 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast of K centroids; the probe join is an equi-join on
     cell_id, so a query touches |corpus| * N_PROBE / N_CELLS rows
     instead of the full corpus.
+
+    Round-7 A/B note (BASELINE.md has the numbers): three "obvious"
+    wins were measured against this plan in one interleaved session
+    and ALL LOST at sf0.1 — caching the normalized corpus (+0.4 s:
+    the cache write costs more than two 800 KB re-scans), replacing
+    the posexplode Lloyd mean with a 64-column elementwise-sum
+    aggregate (+0.4 s: 64 agg buffers bloat codegen), and collecting
+    the codebook for a map-side argmin (+0.7 s: two extra driver
+    barriers). The query is constant-bound by its ~8-stage barrier
+    chain at this scale, not by any single exchange; the structure
+    below is the measured optimum. Cache ownership: the centroids
+    cache (8 rows) is released after an eager localCheckpoint of the
+    40-row result, so a standalone run pins nothing.
     """
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     # Spherical k-means: normalize BEFORE assignment so the argmax-dot
@@ -255,17 +268,9 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # objectives; cells collapse and probing loses its pruning).
     # Cosine scoring downstream is scale-invariant, so normalized
     # vectors change cell shapes, not result values.
-    # The normalized corpus feeds THREE consumers (seed pick, train
-    # sample, index assignment) — uncached that is three full scans
-    # plus three normalization passes, the 2× constant the round-6
-    # bench flagged. Cache it; the registered entry point below
-    # materializes eagerly and unpersists before returning (same
-    # ownership pattern as dedup_minhash_lsh), so nothing is left
-    # pinned. On a real cluster the analog is a materialized
-    # normalized-embeddings table, built once per index lifetime.
     corpus = corpus.withColumn("nrm", l2_norm(F.col("c"))).select(
         "neighbor_id",
-        F.transform("c", lambda x: x / F.col("nrm")).alias("c")).cache()
+        F.transform("c", lambda x: x / F.col("nrm")).alias("c"))
     queries = queries.withColumn("nrm", l2_norm(F.col("q"))).select(
         "query_id",
         F.transform("q", lambda x: x / F.col("nrm")).alias("q"))
@@ -287,24 +292,15 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
                .select(F.col("m.cell_id").alias("cell_id"),
                        F.col("m.c").alias("c")))
-    # Per-cell mean as ONE hash aggregate of MAX_DIM elementwise sum
-    # columns — round 6 did posexplode(dims) → per-(cell,dim) avg →
-    # array_sort(collect_list) re-nest, which shuffles |sample|×dim
-    # ROWS and was the query's measured cost center (the 2× constant
-    # the round-6 bench flagged). Here the map side combines to one
-    # partial row per (partition, cell) and only 8×MAX_DIM scalars
-    # ever shuffle. element_at past a short test vector's length is
-    # NULL → SUM NULL → filtered, so <64-dim planted fixtures keep
-    # working; real corpora pay zero for the guard (filter of a
-    # 64-element array, 8 rows).
-    centroids = (assign0.groupBy("cell_id")
-                 .agg(F.count("*").alias("n"),
-                      *[F.sum(F.element_at("c", i + 1)).alias(f"s{i}")
-                        for i in range(MAX_DIM)])
-                 .select("cell_id", F.filter(
-                     F.array(*[(F.col(f"s{i}") / F.col("n"))
-                               for i in range(MAX_DIM)]),
-                     lambda x: x.isNotNull()).alias("centroid"))
+    centroids = (assign0
+                 .select("cell_id", F.posexplode("c").alias("dim", "x"))
+                 .groupBy("cell_id", "dim").agg(F.avg("x").alias("mu"))
+                 .groupBy("cell_id")
+                 .agg(F.array_sort(
+                     F.collect_list(F.struct("dim", "mu"))).alias("dm"))
+                 .select("cell_id",
+                         F.transform("dm", lambda s: s["mu"])
+                         .alias("centroid"))
                  # used twice (index + probes): cache the 8 rows so
                  # the train lineage (seed scan + Lloyd step) runs
                  # once, not once per consumer.
@@ -333,12 +329,11 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = (scored.withColumn("rn", F.row_number().over(w))
               .filter(F.col("rn") <= TOP_K)
               .select("query_id", "neighbor_id", "cosine", "cell_id"))
-    # Materialize-and-release: the result is N_QUERIES × TOP_K rows,
-    # so the eager localCheckpoint is trivially cheap, and it lets
-    # this entry point own BOTH caches' lifetimes — no pinned
-    # executor storage survives the call.
+    # Materialize-and-release (measured free: +0.07 s in-noise): the
+    # result is N_QUERIES × TOP_K rows, so the eager localCheckpoint
+    # is trivially cheap and lets this entry point own the centroid
+    # cache lifetime — no pinned executor storage survives the call.
     out = result.localCheckpoint(eager=True)
-    corpus.unpersist()
     centroids.unpersist()
     return out
 
