@@ -127,6 +127,11 @@ OPTIONAL = [
     "sql_tpch_q13",
     "sql_tpch_q17",
     "sql_tpch_q21",
+    # round 7: corpus mixing / containment tranche
+    "sample_temperature_mix",
+    "sample_reservoir_hash",
+    "text_containment_ngram",
+    "corpus_token_budget_alloc",
 ]
 
 

@@ -59,6 +59,7 @@ def load_all_operators() -> None:
         joins,
         llmdata3,
         llmdata4,
+        llmdata5,
         maintenance,
         multimodal,
         ord_queries,

@@ -12,11 +12,16 @@ import shutil
 import duckdb
 import pytest
 
-from open_reaction_database_web_scraper_spark.registry import REGISTRY
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
 from open_reaction_database_web_scraper_spark.sources.ord_datasource import (
     OrdSinkDataSource,
     OrdStreamReader,
 )
+
+load_all_operators()
 
 
 # ---------------------------------------------------------------------------
@@ -144,3 +149,65 @@ def test_ord_sink_overwrite_supersedes_and_gcs(spark, tmp_path):
 def _register_sink(spark):
     spark.dataSource.register(OrdSinkDataSource)
     yield
+
+
+# ---------------------------------------------------------------------------
+# round-7 tranche: mixing / containment behavior pins
+
+
+def test_reservoir_plans_take_ordered(spark, sf_dir):
+    """ORDER BY priority LIMIT K must plan as TakeOrderedAndProject
+    (per-shard top-K + driver merge) — never a global sort."""
+    df = REGISTRY["sample_reservoir_hash"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Sort") <= plan.count("TakeOrderedAndProject")
+
+
+def test_temperature_mix_flattens(spark, sf_dir):
+    """T=2 flattening must downsample big sources harder: acceptance
+    rate is (weakly) decreasing in source token mass, every rate is
+    in (0, 1], and at least one source is genuinely downsampled."""
+    rows = (REGISTRY["sample_temperature_mix"].fn(spark, sf_dir)
+            .collect())
+    by_tokens = sorted(rows, key=lambda r: r.tokens)
+    rates = [r.rate for r in by_tokens]
+    assert all(0 < r <= 1.0 for r in rates)
+    assert all(a >= b - 1e-12 for a, b in zip(rates, rates[1:]))
+    assert any(r.n_sampled < r.n_docs for r in rows)
+    assert all(r.n_sampled <= r.n_docs for r in rows)
+
+
+def test_budget_alloc_respects_clamps(spark, sf_dir):
+    """Shares sum to ~1, every share respects the (renormalized)
+    floor, and the summed allocation never exceeds the budget."""
+    from open_reaction_database_web_scraper_spark.operators.llmdata5 import (
+        BUDGET_TOKENS, SHARE_FLOOR)
+    rows = (REGISTRY["corpus_token_budget_alloc"].fn(spark, sf_dir)
+            .collect())
+    total_share = sum(r.share for r in rows)
+    assert abs(total_share - 1.0) < 1e-6
+    # one-pass renormalization can shrink clamped shares by at most
+    # the clamp-mass ratio; the floor can only shrink, never vanish
+    assert min(r.share for r in rows) >= SHARE_FLOOR / 2
+    assert sum(r.alloc_tokens for r in rows) <= BUDGET_TOKENS
+
+
+def test_containment_detects_planted_quote(spark, tmp_path):
+    """A short doc fully quoted inside its successor must score
+    containment 1.0 forward; unrelated successors must not pass."""
+    rows = [
+        (0, "alpha beta gamma"),                     # quoted in 1
+        (1, "alpha beta gamma plus lots of wrapper text here"),
+        (2, "totally different words entirely now"),  # unrelated to 3
+        (3, "another disjoint vocabulary set again"),
+    ]
+    d = str(tmp_path / "contain")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {(r.doc_a, r.doc_b): r.containment
+           for r in REGISTRY["text_containment_ngram"].fn(spark, d)
+           .collect()}
+    assert out.get((0, 1)) == 1.0
+    assert (2, 3) not in out
