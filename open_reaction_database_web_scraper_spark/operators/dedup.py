@@ -322,21 +322,55 @@ def _simhash_oracle_sql() -> str:
     """
 
 
+# Manku-style block keys (round 7): 60 bits → 6 blocks of 10; a
+# candidate key is the concatenation of any 3 blocks (C(6,3) = 20
+# tables). 3 flipped bits touch ≤3 blocks, so every pair within
+# Hamming radius 3 shares at least one fully-intact 3-block combo —
+# the same completeness guarantee as 4×15-bit chunks, but over a
+# 2^30 key space instead of 2^15: with FIXED chunk space, bucket
+# occupancy grows linearly with the corpus and within-bucket pair
+# generation goes QUADRATIC (the round-7 100× probe measured the
+# 4-chunk form at 34.6×/13.7× per decade — the exact trap
+# dedup_embed_cosine's adaptive-bits note describes).
+SIMHASH_BLOCKS = 6
+SIMHASH_BLOCK_W = SIMHASH_BITS // SIMHASH_BLOCKS  # 10 bits
+SIMHASH_COMBOS: list[tuple[int, int, int]] = [
+    (a, b, c)
+    for a in range(SIMHASH_BLOCKS)
+    for b in range(a + 1, SIMHASH_BLOCKS)
+    for c in range(b + 1, SIMHASH_BLOCKS)]
+
+
 @register("dedup_simhash", oracle=_simhash_oracle_sql(),
           tags=("dedup", "approx"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 60-bit signature from token hashes
-    (bitwise majority vote), candidates via 15-bit chunk equality
-    (any doc pair within Hamming distance 3 shares ≥1 of 4 chunks),
-    verified with bit_count(xor) ≤ 3. The token hash is md5-derived
-    (portable_hash32's 60-bit sibling), so the DuckDB oracle
-    recomputes identical signatures — 64-bit xxhash64/rows-only
-    through round 6; the 4 bits of width cost nothing at a Hamming
-    radius of 3."""
-    docs = fanout(load(spark, sf_dir, "documents")
-                  .select("doc_id", "text"))
-    nb, nc = SIMHASH_BITS, SIMHASH_CHUNKS
-    w = nb // nc
+    """SimHash near-dup pairs: 60-bit signature from md5-derived
+    token hashes (bitwise majority vote), candidates via 3-of-6
+    block-combination keys (complete for Hamming radius 3 — see
+    SIMHASH_COMBOS note), verified with bit_count(xor) ≤ 3.
+
+    Scale shape (both round-7 fixes measured on the 100× probe):
+    - docs are hash-REPARTITIONED by doc_id (width sized from table
+      bytes) before the token explode, so the 60-column vote
+      aggregate runs exchange-free on co-partitioned input and its
+      per-partition hash-map state is bounded by the partition's own
+      keys — the previous round-robin fanout let every partition's
+      partial-agg map grow to the FULL corpus key set (8 GB of agg
+      state at 100×: spill storms, then OOM).
+    - candidate keys live in a 2^30 space, so bucket occupancy stays
+      ~0 at any realistic corpus and pair generation is linear in
+      true near-dups, not quadratic in corpus size.
+    The DuckDB oracle keeps the simpler 4×15-bit chunk generator —
+    both generators are COMPLETE for radius 3, and the Hamming gate
+    makes the final pair set identical, so the value check pins that
+    the plan change preserved semantics."""
+    width = min(max(_path_bytes(f"{sf_dir}/documents.parquet")
+                    // (512 * 1024), 32), 8192)
+    docs = (load(spark, sf_dir, "documents")
+            .select("doc_id", "text")
+            .repartition(width, "doc_id"))
+    nb, w = SIMHASH_BITS, SIMHASH_BLOCK_W
+    mask = (1 << w) - 1
     tok = docs.select(
         "doc_id", F.explode(_tokens()).alias("token")
     ).withColumn("th", F.conv(
@@ -349,15 +383,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = votes.select("doc_id", F.expr(
         " + ".join(f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
                    f" << {i})" for i in range(nb))).alias("simhash"))
-    chunks = sim.select(
+    keys = sim.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
-            F.expr(f"(simhash >> {w * c}) & {(1 << w) - 1}")
-            for c in range(nc)
-        ])).alias("chunk_idx", "chunk_val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (a.join(b, (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
-                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            F.expr(f"(((simhash >> {w * c0}) & {mask}) << {2 * w}) | "
+                   f"(((simhash >> {w * c1}) & {mask}) << {w}) | "
+                   f"((simhash >> {w * c2}) & {mask})")
+            for c0, c1, c2 in SIMHASH_COMBOS
+        ])).alias("combo_idx", "combo_key"))
+    a, b = keys.alias("a"), keys.alias("b")
+    cand = (a.join(b, (F.col("a.combo_idx") == F.col("b.combo_idx"))
+                   & (F.col("a.combo_key") == F.col("b.combo_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("a.simhash").alias("sim_a"),
