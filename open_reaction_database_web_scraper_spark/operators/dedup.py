@@ -100,10 +100,22 @@ def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate-insensitive — min over the multiset equals min over
     the set — so an explicit distinct() here would add a full
     exchange of 3-word shingle STRINGS for nothing (at 100 TB that
-    text shuffle would dominate the whole minhash job; without it
-    the explode feeds the map-side-combined min partials directly
-    and only 8-byte partial signatures ever shuffle)."""
-    docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    text shuffle would dominate the whole minhash job).
+
+    Docs are hash-REPARTITIONED by doc_id (width sized from table
+    bytes, same formula as the banding exchange) BEFORE the explode,
+    the round-7 simhash lesson applied here too: the downstream
+    32-column min aggregate then runs on co-partitioned input, so
+    its per-partition partial-agg hash map holds only that
+    partition's keys — round-robin fanout let every partition's map
+    grow toward the FULL corpus key set (the state blow-up that
+    OOMed simhash's 60-column vote at 100× on one JVM). The doc
+    exchange this adds carries each doc's text ONCE — strictly
+    smaller than the shingle explosion it prevents from spilling."""
+    width = min(max(_path_bytes(f"{sf_dir}/documents.parquet")
+                    // (512 * 1024), 32), 8192)
+    docs = (load(spark, sf_dir, "documents").select("doc_id", "text")
+            .repartition(width, "doc_id"))
     return docs.select("doc_id",
                        F.explode(_shingles(_tokens())).alias("shingle"))
 
