@@ -116,6 +116,7 @@ OPTIONAL = [
     # round 6
     "multimodal_decode_png",
     "multimodal_decode_bmp",
+    "multimodal_decode_wav",
     "text_fingerprint",
     "text_zipf_slope",
     # round 6, tranche 2: TPC-H completion (DataFrame-API builds) —

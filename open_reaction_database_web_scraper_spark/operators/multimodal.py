@@ -6,11 +6,12 @@ a typed metadata struct — the ORD ``measurements`` pattern
 Spark-side plumbing (schema, parquet round-trip, partition-preserving
 ``mapInPandas`` batch shape) is real, and so is the codec for the
 formats a stdlib parser can serve: ``decode_real`` decodes binary
-PPM/PGM and uncompressed 24-bit BMP in pure python. Formats needing
-an external library (jpeg/png/audio/video — none installed in this
-container) fall back through ``decode`` to ``decode_stub``'s
-deterministic fake; that fallback is the pillow/pyav integration
-point.
+PPM/PGM, uncompressed 24-bit BMP, non-interlaced 8-bit PNG (zlib
+inflate + full unfilter) and PCM WAV (RIFF chunk walk) in pure
+python. Formats needing an external library (jpeg, compressed audio,
+video — none installed in this container) fall back through
+``decode`` to ``decode_stub``'s deterministic fake; that fallback is
+the pillow/torchaudio/pyav integration point.
 """
 
 from __future__ import annotations
@@ -212,10 +213,12 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
     contract as :func:`decode_stub` — (pixel_sum, width, height) —
     where pixel_sum covers actual raster bytes only (header, BMP row
     padding and PNG filter bytes excluded), so the value changes iff
-    pixel data changes. Formats needing an external codec
-    (jpeg/audio/video, exotic PNG variants) raise ``ValueError`` and
-    the caller falls back to the stub — that fallback edge is the
-    integration point for pillow/pyav."""
+    pixel data changes. PCM WAV (RIFF chunk walk) joins the family in
+    round 7 under the same contract (sum = PCM data bytes). Formats
+    needing an external codec (jpeg, compressed audio, video, exotic
+    PNG variants) raise ``ValueError`` and the caller falls back to
+    the stub — that fallback edge is the integration point for
+    pillow/torchaudio/pyav."""
     if fmt == "png":
         return _png_decode(payload)
     if fmt in ("ppm", "pgm"):
@@ -262,11 +265,46 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
                 raise ValueError("truncated BMP raster")
             total += sum(row)
         return total, w, abs(h)
+    if fmt == "wav":
+        # RIFF/WAVE chunk walk: PCM (format 1), mono, 16-bit only —
+        # the stdlib-decodable core of the audio family; compressed
+        # codecs (mp3/aac/opus) raise below and remain the
+        # torchaudio/pyav integration point. Returns
+        # (pcm_byte_sum, n_samples, sample_rate) under the shared
+        # (sum, w, h) feature contract.
+        if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+            raise ValueError("not a RIFF/WAVE payload")
+        pos, fmt_info, data = 12, None, None
+        while pos + 8 <= len(payload):
+            cid = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body = payload[pos + 8:pos + 8 + size]
+            if len(body) != size:
+                raise ValueError(f"truncated RIFF chunk {cid!r}")
+            if cid == b"fmt ":
+                if size < 16:
+                    raise ValueError("short fmt chunk")
+                afmt, channels, sr, _brate, balign, bits = \
+                    struct.unpack("<HHIIHH", body[:16])
+                if afmt != 1 or channels != 1 or bits != 16:
+                    raise ValueError(
+                        f"unsupported WAV variant fmt={afmt} "
+                        f"ch={channels} bits={bits}")
+                fmt_info = (sr, balign)
+            elif cid == b"data":
+                data = body
+            pos += 8 + size + (size & 1)  # RIFF chunks pad to even
+        if fmt_info is None or data is None:
+            raise ValueError("missing fmt /data chunk")
+        sr, balign = fmt_info
+        if balign != 2 or len(data) % balign:
+            raise ValueError("inconsistent PCM block alignment")
+        return sum(data), len(data) // balign, sr
     raise ValueError(f"no pure-python codec for fmt={fmt!r}; "
                      "plug pillow/torchaudio/pyav here")
 
 
-REAL_FMTS = ("ppm", "pgm", "bmp", "png")
+REAL_FMTS = ("ppm", "pgm", "bmp", "png", "wav")
 CORRUPT_SENTINEL = (-1, 0, 0)  # impossible for a real decode
 
 
@@ -755,7 +793,8 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JVM: the 54-byte header is a plan constant and the raster is
     sha-256 hex bytes, so the only Python stage is ``decode_real``
     itself inside ``extract_features`` — the minimal-codec-seam
-    shape. DuckDB predicts per-row raster sums from the hex chars."""
+    shape. DuckDB predicts per-row raster sums from the hex chars.
+    See ``multimodal_decode_wav`` below for the audio sibling."""
     docs = load(spark, sf_dir, "documents")
     raster = F.substring(
         F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1, _BMP_RASTER)
@@ -772,3 +811,79 @@ def multimodal_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_sum").alias("pixel_sum"),
         F.col("fake_width").alias("px_w"),
         F.col("fake_height").alias("px_h"))
+
+
+# Constant 44-byte canonical WAV header (RIFF + fmt + data) for the
+# fixed 24-sample mono 16-bit 8 kHz geometry. Samples are the 24
+# sha-256 hex chars as little-endian int16 values (low byte = the
+# ASCII code, high byte = 0), so the PCM data byte-sum equals the
+# plain ASCII sum DuckDB predicts -- the same prediction idiom as the
+# PPM/PNG/BMP trio.
+_WAV_SAMPLES = PPM_W * PPM_H * 3          # 24, same count as the rasters
+_WAV_SR = 8000
+_WAV_DATA_BYTES = _WAV_SAMPLES * 2
+_WAV_HEADER = (
+    b"RIFF" + struct.pack("<I", 36 + _WAV_DATA_BYTES) + b"WAVE"
+    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, _WAV_SR,
+                            _WAV_SR * 2, 2, 16)
+    + b"data" + struct.pack("<I", _WAV_DATA_BYTES))
+assert len(_WAV_HEADER) == 44
+
+
+def encode_wav(samples: bytes, sr: int = _WAV_SR) -> bytes:
+    """Canonical PCM WAV from one byte per sample (value = the byte,
+    widened to int16 LE) -- the fixture generator for the wav branch
+    of :func:`decode_real`, mirroring :func:`encode_png`."""
+    data = bytes(b for s in samples for b in (s, 0))
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sr, sr * 2, 2, 16)
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+@register(
+    "multimodal_decode_wav",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(COALESCE(text, \'\')), 1,
+                            {_WAV_SAMPLES}) AS r
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(list_sum(list_transform(range(1, {_WAV_SAMPLES} + 1),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pcm_byte_sum,
+           CAST({_WAV_SAMPLES} AS INTEGER) AS n_samples,
+           CAST({_WAV_SR} AS INTEGER) AS sample_rate
+    FROM h
+    """,
+    tags=("multimodal", "audio"),
+)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth oracled codec, first AUDIO one: each document\'s first
+    24 sha-256 hex chars become the int16 samples of a real PCM WAV
+    (RIFF + fmt + data), and ``decode_real``\'s chunk walk must
+    validate the container, reject non-PCM variants, and recover the
+    exact PCM byte-sum, sample count and rate DuckDB predicts from
+    the hex chars alone. Like the BMP query, construction never
+    leaves the JVM: the header is a plan constant and the sample
+    bytes are built by interleaving a NUL high byte after every hex
+    char (regexp_replace with U+0000 in the replacement, then utf-8
+    encode -- U+0000 encodes to the single 0x00 byte) -- the only
+    Python stage is the decode under test."""
+    docs = load(spark, sf_dir, "documents")
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1, _WAV_SAMPLES)
+    pcm = F.encode(F.regexp_replace(raster, "(.)", "$1\x00"), "utf-8")
+    payload = F.concat(F.lit(_WAV_HEADER), pcm)
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("wav").alias("fmt"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+            F.col("source").alias("source")).alias("meta"))
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pcm_byte_sum"),
+        F.col("fake_width").alias("n_samples"),
+        F.col("fake_height").alias("sample_rate"))

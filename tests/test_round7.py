@@ -211,3 +211,47 @@ def test_containment_detects_planted_quote(spark, tmp_path):
            .collect()}
     assert out.get((0, 1)) == 1.0
     assert (2, 3) not in out
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (round-7 audio member of the decode family)
+
+
+def test_wav_roundtrip_and_corruptions():
+    """encode_wav -> decode_real recovers exact PCM byte-sum, sample
+    count and rate; every corruption class maps to the sentinel (not
+    an exception, not stub-fabricated geometry)."""
+    import struct
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import CORRUPT_SENTINEL, decode, decode_real, encode_wav
+    p = encode_wav(bytes(range(24)))
+    assert decode_real(p, "wav") == (sum(range(24)), 24, 8000)
+    assert decode_real(encode_wav(b"", sr=44100), "wav") == (0, 0, 44100)
+    # corruption classes -> sentinel via the total dispatch
+    assert decode(b"RIFX" + p[4:], "wav") == CORRUPT_SENTINEL   # magic
+    assert decode(p[:-3], "wav") == CORRUPT_SENTINEL            # truncated
+    bad = bytearray(p)
+    struct.pack_into("<H", bad, 20, 3)                          # float PCM
+    assert decode(bytes(bad), "wav") == CORRUPT_SENTINEL
+    stereo = bytearray(p)
+    struct.pack_into("<H", stereo, 22, 2)                       # 2 channels
+    assert decode(bytes(stereo), "wav") == CORRUPT_SENTINEL
+    nodata = p[:36]                                             # no data chunk
+    assert decode(nodata, "wav") == CORRUPT_SENTINEL
+    # odd-sized unknown chunk between fmt and data must be skipped
+    # with its pad byte (RIFF chunks align to even offsets)
+    extra = (p[:12] + p[12:36]  # fmt chunk
+             + b"LIST" + struct.pack("<I", 3) + b"abc\x00"
+             + p[36:])
+    assert decode_real(extra, "wav") == (sum(range(24)), 24, 8000)
+
+
+def test_wav_query_matches_oracle(spark, sf_dir):
+    import duckdb
+    spec = REGISTRY["multimodal_decode_wav"]
+    rows = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    orc = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert rows == orc and len(rows) > 0
