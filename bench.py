@@ -170,6 +170,11 @@ def main() -> None:
     # perturb late queries via eviction pressure.
     spark.catalog.clearCache()
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # Ambient host load has explained two rounds of bench drift by
+    # narrative; record it as data (1-minute loadavg at the start and
+    # end of the timed section) so cross-round comparisons can check
+    # the claim instead of assuming it.
+    load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
     for name in names:
         spec = REGISTRY[name]
@@ -191,6 +196,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_of(sf_dir),
+        "loadavg_1m": {"start": load_start,
+                       "end": round(os.getloadavg()[0], 2)},
     }
     # The full per-query map (~90 entries) exceeds the 2,000-char
     # stdout tail some harnesses keep, which made two rounds of

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from open_reaction_database_web_scraper_spark.catalog import load  # noqa: E402
 from open_reaction_database_web_scraper_spark.operators.dedup import (  # noqa: E402
+    _auto_width,
     _path_bytes,
 )
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
@@ -80,9 +81,7 @@ def main() -> None:
     build_docs(spark, sf_dir, 100, big100)
 
     name = "dedup_minhash_lsh"
-    widths = {d: min(max(_path_bytes(f"{d}/documents.parquet")
-                         // (512 * 1024), 32), 8192)
-              for d in (sf_dir, big10, big100)}
+    widths = {d: _auto_width(d) for d in (sf_dir, big10, big100)}
     t1 = time_op(spark, name, sf_dir)
     t10 = time_op(spark, name, big10)
     t100 = time_op(spark, name, big100)
