@@ -224,9 +224,57 @@ def sample_weighted_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEMDEDUP_TAU = 0.95   # cosine threshold: drop members this close to rep
 _SEM_PLANE_BASE = 4000  # plane namespace disjoint from the ANN tables
+_SEM_BITS = 10
 
 
-@register("dedup_semdedup", oracle=None, tags=("dedup", "vector"))
+def _semdedup_oracle_sql() -> str:
+    """DuckDB SQL recomputing the EXACT semdedup pipeline — the same
+    10 md5-derived plane weights (interpolated as a DOUBLE literal)
+    rebuild the identical sign-LSH cluster ids, rep election is the
+    same MIN(vec_id), and the member↔rep cosine reuses the proven
+    normalize-free exact-cosine idiom rounded to 6 dp before the
+    threshold test, exactly as the Spark side rounds. Flips the op
+    from rows-only to fully value-checked (round-8 plan item 1)."""
+    from .vectors import _PLANE_W, _plane_weights
+
+    planes = [_SEM_PLANE_BASE + i for i in range(_SEM_BITS)]
+    _plane_weights(None, planes)
+    w_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in _PLANE_W[p]) + "]"
+        for p in planes) + "]::DOUBLE[][]"
+    # MSB-first fold parity with _lsh_tables: bit i carries 2^(bits-1-i)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, (w.w)[{i + 1}][1:len(v)]) > 0"
+        f" THEN {1 << (_SEM_BITS - 1 - i)} ELSE 0 END)"
+        for i in range(_SEM_BITS))
+    cos = ("ROUND(list_dot_product(s.v, e.v)"
+           " / (sqrt(list_dot_product(s.v, s.v))"
+           " * sqrt(list_dot_product(e.v, e.v))), 6)")
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), w AS (SELECT {w_lit} AS w),
+    sig AS (
+      SELECT vec_id, label, v, CAST({bucket} AS INTEGER) AS cluster
+      FROM emb, w
+    ), reps AS (
+      SELECT cluster, MIN(vec_id) AS rep_id FROM sig GROUP BY cluster
+    ), scored AS (
+      SELECT s.cluster, s.vec_id, s.label, r.rep_id,
+             {cos} AS cos_to_rep
+      FROM sig s
+      JOIN reps r ON r.cluster = s.cluster
+      JOIN emb e ON e.vec_id = r.rep_id
+    )
+    SELECT cluster, vec_id, label, rep_id, cos_to_rep,
+           (vec_id <> rep_id AND cos_to_rep >= {SEMDEDUP_TAU})
+             AS dropped
+    FROM scored
+    """
+
+
+@register("dedup_semdedup", oracle=_semdedup_oracle_sql(),
+          tags=("dedup", "vector"))
 def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: semantic near-duplicate removal in embedding space.
     Vectors are clustered by a 10-bit sign-LSH signature (the cheap
@@ -251,14 +299,19 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster count is bounded by 2^bits here; at 100 TB it stays a
     shuffle join and still touches each vector once.
 
-    No SQL oracle: reproducing the plane-weight fold in DuckDB would
-    re-implement the operator, not check it; semantics are pinned by
-    planted-duplicate tests (tests/test_round3b.py).
+    Oracled since round 8 via the vector_ann_lsh plane-literal
+    recipe (the round-7 objection that a DuckDB oracle would
+    "re-implement the operator" dissolved once the plane weights
+    became shared driver-side constants rather than engine-private
+    hashes): DuckDB rebuilds the identical clusters, reps and
+    rounded cosines, so the audit rows are value-hashed. The
+    planted-duplicate tests (tests/test_round3b.py) stay as the
+    semantic safety net.
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
         F.col("embedding").cast("array<double>").alias("v"))
-    sig = _lsh_tables(spark, F.col("v"), n_tables=1, bits=10,
+    sig = _lsh_tables(spark, F.col("v"), n_tables=1, bits=_SEM_BITS,
                       plane_base=_SEM_PLANE_BASE)
     clustered = emb.withColumn("cluster", F.element_at(sig, 1))
     reps = (clustered.groupBy("cluster")

@@ -37,19 +37,19 @@ def _queries_and_corpus(spark: SparkSession, sf_dir: str):
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
     ), scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-             list_dot_product(q.e, c.e)
+             ROUND(list_dot_product(q.e, c.e)
                / (sqrt(list_dot_product(q.e, q.e))
-                  * sqrt(list_dot_product(c.e, c.e))) AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_dot_product(q.e, c.e)
-                   / (sqrt(list_dot_product(q.e, q.e))
-                      * sqrt(list_dot_product(c.e, c.e))) DESC,
-                 c.vec_id) AS rn
+                  * sqrt(list_dot_product(c.e, c.e))), 9) AS cosine
       FROM emb q CROSS JOIN emb c
       WHERE q.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
     )
-    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+    SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {TOP_K}
     """,
     tags=("vector", "similarity"),
 )
@@ -57,11 +57,17 @@ def vector_topk_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: broadcast the query set against the
     corpus, score JVM-side, rank-limit per query. Elements are cast
     to double before the sequential fold so the accumulation order
-    (array order) and precision match the oracle bit-for-bit."""
+    (array order) and precision match the oracle bit-for-bit; the
+    emitted/ranked cosine is then rounded to 9 dp on BOTH sides
+    (round-8 advice) so the oracle no longer depends on the two
+    engines' dot products staying bit-identical forever — a DuckDB
+    that started pairwise-summing list_dot_product would still
+    match, and the rank tie-break (neighbor_id) is shared."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     scored = (F.broadcast(queries).crossJoin(corpus)
               .withColumn("cosine",
-                          cosine_similarity(F.col("q"), F.col("c"))))
+                          F.round(cosine_similarity(
+                              F.col("q"), F.col("c")), 9)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -156,8 +162,9 @@ def _ann_lsh_oracle_sql() -> str:
         f" + {i + 1}][1:len(e)]) > 0"
         f" THEN {1 << (BITS_PER_TABLE - 1 - i)} ELSE 0 END)"
         for i in range(BITS_PER_TABLE))
-    cos = ("list_dot_product(q.e, c.e) / (sqrt(list_dot_product(q.e, q.e))"
-           " * sqrt(list_dot_product(c.e, c.e)))")
+    cos = ("ROUND(list_dot_product(q.e, c.e)"
+           " / (sqrt(list_dot_product(q.e, q.e))"
+           " * sqrt(list_dot_product(c.e, c.e))), 9)")
     return f"""
     WITH emb AS (
       SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
@@ -171,15 +178,18 @@ def _ann_lsh_oracle_sql() -> str:
         ON s.table_id = c.table_id AND s.bucket = c.bucket
       WHERE s.vec_id < {N_QUERIES} AND c.vec_id >= {N_QUERIES}
     ), scored AS (
-      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY cand.query_id
-               ORDER BY {cos} DESC, cand.neighbor_id) AS rn
+      SELECT cand.query_id, cand.neighbor_id, {cos} AS cosine
       FROM cand
       JOIN emb q ON q.vec_id = cand.query_id
       JOIN emb c ON c.vec_id = cand.neighbor_id
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
     )
-    SELECT query_id, neighbor_id, cosine FROM scored WHERE rn <= {TOP_K}
+    SELECT query_id, neighbor_id, cosine FROM ranked WHERE rn <= {TOP_K}
     """
 
 
@@ -196,7 +206,10 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     |Q|×|C| — and the bucket join is a plain hash join. The plane
     weights are pure-Python md5-derived driver constants shared
     verbatim with the DuckDB oracle, so the approximate result is
-    still value-checked exactly (rows-only through round 6)."""
+    still value-checked exactly (rows-only through round 6). The
+    rerank cosine is rounded to 9 dp on both sides before ordering
+    and output (round-8 advice: don't let the oracle hinge on both
+    engines' float summation order staying identical forever)."""
     queries, corpus = _queries_and_corpus(spark, sf_dir)
     qb = queries.select(
         "query_id", "q",
@@ -211,7 +224,8 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["query_id", "neighbor_id"]))
     scored = (cand.join(corpus, "neighbor_id")
               .withColumn("cosine",
-                          cosine_similarity(F.col("q"), F.col("c"))))
+                          F.round(cosine_similarity(
+                              F.col("q"), F.col("c")), 9)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))
@@ -342,29 +356,115 @@ DEDUP_TABLES = 4          # OR-amplified recall for near-dup pairs
 DEDUP_TARGET_BUCKET = 16  # target vectors per bucket
 DEDUP_MIN_BITS, DEDUP_MAX_BITS = 6, 24
 DEDUP_PLANE_BASE = 1000   # plane-id namespace separate from the ANN ops
+DEDUP_TAU = 0.95          # cosine threshold for the near-dup verdict
+
+
+def _embed_cosine_oracle_sql() -> str:
+    """DuckDB SQL recomputing the EXACT adaptive-bits multi-table
+    sign-LSH audit: the same driver-side plane weights for planes
+    [DEDUP_PLANE_BASE, +4×24) are interpolated as a DOUBLE literal,
+    bits is re-derived from COUNT(*) with the same clamped-ceil-log2
+    formula, and the per-(table, bit) sign tests reconstruct the
+    identical buckets (a lateral range is avoided: range(0, 24)
+    filtered by ``i < bits`` works on every DuckDB). The rerank
+    reuses the normalize-then-dot order of the Spark side and rounds
+    to 9 dp before ranking/output (round-8 boundary hardening)."""
+    planes = [DEDUP_PLANE_BASE + k
+              for k in range(DEDUP_TABLES * DEDUP_MAX_BITS)]
+    _plane_weights(None, planes)
+    w_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in _PLANE_W[p]) + "]"
+        for p in planes) + "]::DOUBLE[][]"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), params AS (
+      SELECT LEAST(GREATEST(CAST(CEIL(LOG2(GREATEST(COUNT(*), 2)
+                 / {DEDUP_TARGET_BUCKET}.0)) AS INTEGER),
+                 {DEDUP_MIN_BITS}), {DEDUP_MAX_BITS}) AS bits
+      FROM embeddings
+    ), w AS (SELECT {w_lit} AS w),
+    norm AS (
+      SELECT vec_id, e,
+             list_transform(e, x -> x / sqrt(list_dot_product(e, e)))
+               AS en
+      FROM emb
+    ), bitv AS (
+      SELECT n.vec_id, t.t AS tbl,
+             CASE WHEN list_dot_product(n.e,
+                    (w.w)[p.bits * t.t + i.i + 1][1:len(n.e)]) > 0
+                  THEN (CAST(1 AS BIGINT) << (p.bits - 1 - i.i))
+                  ELSE 0 END AS bv
+      FROM norm n, params p, w,
+           range(0, {DEDUP_TABLES}) AS t(t),
+           range(0, {DEDUP_MAX_BITS}) AS i(i)
+      WHERE i.i < p.bits
+    ), sigs AS (
+      SELECT vec_id, tbl, SUM(bv) AS bucket FROM bitv
+      GROUP BY vec_id, tbl
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_id, b.vec_id AS mate
+      FROM sigs a JOIN sigs b
+        ON a.tbl = b.tbl AND a.bucket = b.bucket
+       AND a.vec_id <> b.vec_id
+    ), scored AS (
+      SELECT c.vec_id, c.mate,
+             ROUND(list_dot_product(na.en, nb.en), 9) AS cosine
+      FROM cand c
+      JOIN norm na ON na.vec_id = c.vec_id
+      JOIN norm nb ON nb.vec_id = c.mate
+    ), best AS (
+      SELECT vec_id, mate, cosine,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cosine DESC, mate) AS rn,
+             COUNT(*) OVER (PARTITION BY vec_id) AS n_candidates
+      FROM scored
+    )
+    SELECT e.vec_id,
+           CAST(COALESCE(b.n_candidates, 0) AS BIGINT) AS n_candidates,
+           b.mate AS best_mate,
+           b.cosine AS best_cosine,
+           COALESCE(b.cosine >= {DEDUP_TAU}, FALSE) AS is_dup
+    FROM emb e
+    LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.vec_id = e.vec_id
+    """
 
 
 @register(
     "dedup_embed_cosine",
-    oracle=None,
+    oracle=_embed_cosine_oracle_sql(),
     tags=("dedup", "vector"),
 )
 def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: all pairs with cosine
-    ≥ 0.95 among vectors sharing an LSH bucket in ANY of
-    ``DEDUP_TABLES`` independent tables — the embedding-space analog
+    """Embedding-cosine near-duplicate AUDIT: for every vector, its
+    highest-cosine LSH bucket-mate (any of ``DEDUP_TABLES``
+    independent tables), the candidate count, and the near-dup
+    verdict ``best_cosine ≥ DEDUP_TAU`` — the embedding-space analog
     of the banded MinHash dedup.
 
-    Scale shape (the round-1 version's fix): a single coarse table
-    (8 bits = 256 buckets) makes within-bucket all-pairs (N/256)² —
-    quadratic at 100 TB. Here the signature width ADAPTS to the
-    corpus: bits = log2(N / target-occupancy), clamped to [6, 24],
-    so buckets stay ~16 vectors each at any N and candidate pairs
-    grow ∝ N (per-bucket occupancy constant), while OR-ing
-    ``DEDUP_TABLES`` independent tables buys back the recall that
-    narrower buckets alone would lose. The corpus count that sizes
-    the signature is one cheap count job (at production scale, table
-    statistics)."""
+    Output reshape (round 8): through round 7 this emitted only the
+    pairs PASSING the 0.95 gate, which on the driver's isotropic
+    random embeddings is correctly zero rows at every SF — so the
+    operator could never be value-checked non-vacuously and sat
+    rows-only. The per-vector audit form emits one row per vector
+    (never empty), carries the SAME information (the dup pairs are
+    exactly the rows with ``is_dup``), and lets a DuckDB oracle
+    value-check the whole chain: adaptive signature width, all four
+    tables' bucket assignments (any divergence moves n_candidates),
+    the normalize-then-dot rerank and the verdict. Rows-only → fully
+    oracled.
+
+    Scale shape (unchanged, the round-1 version's fix): a single
+    coarse table (8 bits = 256 buckets) makes within-bucket all-pairs
+    (N/256)² — quadratic at 100 TB. Here the signature width ADAPTS
+    to the corpus: bits = log2(N / target-occupancy), clamped to
+    [6, 24], so buckets stay ~16 vectors each at any N and candidate
+    work grows ∝ N, while OR-ing ``DEDUP_TABLES`` independent tables
+    buys back the recall that narrower buckets alone would lose. The
+    corpus count that sizes the signature is one cheap count job (at
+    production scale, table statistics); the argmax-per-vector is a
+    bounded window over ≤ tables×occupancy candidates, and the final
+    left join keys on vec_id — no quadratic stage anywhere."""
     import math
 
     from ..catalog import fanout
@@ -403,13 +503,29 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per candidate — the shuffle is what matters at scale.
     pairs = (a.join(b_, (F.col("a.t") == F.col("b.t"))
                     & (F.col("a.bucket") == F.col("b.bucket"))
-                    & (F.col("a.vec_id") < F.col("b.vec_id")))
-             .withColumn("cosine", dot(F.col("a.en"), F.col("b.en")))
-             .filter(F.col("cosine") >= 0.95)
-             .select(F.col("a.vec_id").alias("vec_a"),
-                     F.col("b.vec_id").alias("vec_b"), "cosine")
-             .dropDuplicates(["vec_a", "vec_b"]))
-    return pairs
+                    & (F.col("a.vec_id") != F.col("b.vec_id")))
+             .withColumn("cosine",
+                         F.round(dot(F.col("a.en"), F.col("b.en")), 9))
+             .select(F.col("a.vec_id").alias("vec_id"),
+                     F.col("b.vec_id").alias("mate"), "cosine")
+             .dropDuplicates(["vec_id", "mate"]))
+    wbest = Window.partitionBy("vec_id").orderBy(
+        F.desc("cosine"), F.asc("mate"))
+    best = (pairs
+            .withColumn("rn", F.row_number().over(wbest))
+            .withColumn("n_candidates",
+                        F.count("*").over(Window.partitionBy("vec_id")))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "n_candidates",
+                    F.col("mate").alias("best_mate"),
+                    F.col("cosine").alias("best_cosine")))
+    return (raw.select("vec_id").join(best, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("n_candidates", F.lit(0)).cast("bigint")
+                    .alias("n_candidates"),
+                    "best_mate", "best_cosine",
+                    F.coalesce(F.col("best_cosine") >= DEDUP_TAU,
+                               F.lit(False)).alias("is_dup")))
 
 
 PQ_M = 8           # subspaces (64 dims → 8 dims each)
@@ -577,19 +693,19 @@ KNN_K = 3
     ), scored AS (
       SELECT q.vec_id AS query_id, q.label AS label,
              c.vec_id AS neighbor_id,
-             list_dot_product(q.e, c.e)
+             ROUND(list_dot_product(q.e, c.e)
                / (sqrt(list_dot_product(q.e, q.e))
-                  * sqrt(list_dot_product(c.e, c.e))) AS cosine,
-             ROW_NUMBER() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY list_dot_product(q.e, c.e)
-                   / (sqrt(list_dot_product(q.e, q.e))
-                      * sqrt(list_dot_product(c.e, c.e))) DESC,
-                 c.vec_id) AS rn
+                  * sqrt(list_dot_product(c.e, c.e))), 9) AS cosine
       FROM q JOIN c ON q.label = c.label
+    ), ranked AS (
+      SELECT query_id, label, neighbor_id, cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored
     )
     SELECT query_id, label, neighbor_id, cosine
-    FROM scored WHERE rn <= {KNN_K}
+    FROM ranked WHERE rn <= {KNN_K}
     """,
     tags=("vector", "similarity", "join"),
 )
@@ -611,7 +727,8 @@ def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Elements cast to double pre-fold so the sequential accumulation
     matches DuckDB's list_dot_product bit-for-bit (same rule as
-    vector_topk_similarity).
+    vector_topk_similarity); the emitted/ranked cosine is rounded to
+    9 dp on both sides (round-8 boundary hardening).
     """
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id", "label",
@@ -625,7 +742,8 @@ def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"), F.col("e").alias("ce"))
     scored = (q.join(c, q["label"] == c["c_label"])
               .withColumn("cosine",
-                          cosine_similarity(F.col("qe"), F.col("ce"))))
+                          F.round(cosine_similarity(
+                              F.col("qe"), F.col("ce")), 9)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))

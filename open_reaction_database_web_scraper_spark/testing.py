@@ -36,15 +36,10 @@ VACUOUS_ALLOWED: dict[str, str] = {}
 
 # Rows-only queries where 0 rows IS the correct answer on driver
 # data, each with the reason and the planted test pinning the
-# non-empty path.
-RO_EMPTY_OK: dict[str, str] = {
-    "dedup_embed_cosine":
-        "driver embeddings are isotropic random 64-dim vectors (max "
-        "pairwise cosine 0.51 at sf0.01 / 0.60 at sf0.1, measured), "
-        "so the 0.95 near-dup threshold correctly finds no pairs; "
-        "non-empty path pinned by the planted base/near/ortho test "
-        "(tests/test_streaming_equiv.py).",
-}
+# non-empty path. (Empty since round 8: dedup_embed_cosine — the one
+# entry — was reshaped to a never-empty per-vector audit and fully
+# oracled.)
+RO_EMPTY_OK: dict[str, str] = {}
 
 
 def run_oracle_df(sql: str, sf_dir: str) -> pd.DataFrame:

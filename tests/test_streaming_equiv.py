@@ -101,10 +101,10 @@ def test_watermark_drops_late_rows(spark, sf_dir):
 
 def test_embed_cosine_flags_planted_near_dups(spark):
     """dedup_embed_cosine's candidate+verify machinery on planted
-    duplicates: identical and ε-perturbed vectors are found, an
-    orthogonal vector is not. (The sf tables are random vectors with
-    no true near-dups — 0 rows there is correct — so this test
-    plants its own.)"""
+    duplicates: identical and ε-perturbed vectors are flagged as
+    near-dups of each other, an orthogonal vector is not. (The sf
+    tables are random vectors with no true near-dups — all-false
+    is_dup there is correct — so this test plants its own.)"""
     import tempfile
 
     base = [1.0, 0.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5]
@@ -115,9 +115,12 @@ def test_embed_cosine_flags_planted_near_dups(spark):
     spark.createDataFrame(rows, "vec_id bigint, embedding array<double>") \
         .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
     out = REGISTRY["dedup_embed_cosine"].fn(spark, d).collect()
-    pairs = {(r.vec_a, r.vec_b) for r in out}
-    assert (0, 1) in pairs
-    assert all(2 not in p for p in pairs)
+    by_id = {r.vec_id: r for r in out}
+    assert len(out) == 3  # one audit row per vector, never empty
+    assert by_id[0].is_dup and by_id[0].best_mate == 1
+    assert by_id[1].is_dup and by_id[1].best_mate == 0
+    assert by_id[0].best_cosine >= 0.95
+    assert not by_id[2].is_dup
 
 
 def test_dedup_clusters_planted(spark):
