@@ -175,11 +175,13 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R = N_HASHES // N_BANDS  # rows per band
 
 
-def _minhash_oracle_sql() -> str:
-    """DuckDB SQL recomputing the EXACT minhash+LSH pipeline — same
-    md5-derived shingle hash, same (a·h+b) mod p family (constants
-    interpolated from MINHASH_A/B), same banding and ≥0.5 gate — so
-    the driver value-hashes real pairs instead of a rows-only count."""
+def _minhash_pair_ctes() -> str:
+    """CTE chain defining ``mh_pairs(doc_a, doc_b, est_jaccard)`` —
+    the exact minhash+LSH pipeline in DuckDB SQL: same md5-derived
+    shingle hash, same (a·h+b) mod p family (constants interpolated
+    from MINHASH_A/B), same banding and ≥0.5 gate. One home, shared
+    by the pair oracle and (round 8) the recursive-CTE
+    connected-components cluster oracles."""
     sig_cols = ", ".join(
         f"MIN(({MINHASH_A[i]} * h + {MINHASH_B[i]}) % {MINHASH_P})"
         f" AS h{i}" for i in range(N_HASHES))
@@ -188,8 +190,7 @@ def _minhash_oracle_sql() -> str:
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
         for i in range(N_HASHES))
     w = SHINGLE_W
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
       SELECT doc_id, UNNEST(list_transform(
@@ -210,17 +211,78 @@ def _minhash_oracle_sql() -> str:
                v -> CAST(v AS VARCHAR)), ',')), 1, 8)) AS BIGINT)
              AS band_hash
       FROM sigarr, range(0, {N_BANDS}) AS b(b)
-    ), cand AS (
+    ), mh_cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
         ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
        AND a.doc_id < b.doc_id
+    ), mh_pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             ({matches}) / {N_HASHES}.0 AS est_jaccard
+      FROM mh_cand c
+      JOIN sig sa ON sa.doc_id = c.doc_a
+      JOIN sig sb ON sb.doc_id = c.doc_b
+      WHERE ({matches}) / {N_HASHES}.0 >= 0.5
+    )"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Pair-level oracle: the shared CTE chain's final table."""
+    return (f"WITH {_minhash_pair_ctes()} "
+            "SELECT doc_a, doc_b, est_jaccard FROM mh_pairs")
+
+
+def _clusters_oracle_sql(include_exact: bool) -> str:
+    """DuckDB recursive-CTE connected components over the (fully
+    oracled) duplicate-pair graph — min-label clusters as SQL, so the
+    iterative Spark CC loop is value-checked end-to-end instead of
+    rows-only (round-8 plan item 2).
+
+    ``reach`` is the symmetric-closure transitive reachability set;
+    a vertex's cluster id is the minimum of itself and everything it
+    reaches — exactly the fixpoint min-label propagation converges
+    to. Closure is O(Σ component²) pairs, fine at oracle SFs where
+    components are small chains (the 100 TB path stays the Spark
+    O(diameter) loop; this is the CHECK, not the plan). With
+    ``include_exact`` the edge set adds the sha-256 hub-star edges,
+    mirroring dedup_clusters' union of exact and near-dup sources."""
+    star = """, shas AS (
+      SELECT doc_id, sha256(text) AS cs FROM documents
+    ), hubs AS (
+      SELECT cs, MIN(doc_id) AS hub FROM shas GROUP BY cs
+    ), star AS (
+      SELECT h.hub AS src, s.doc_id AS dst
+      FROM shas s JOIN hubs h ON h.cs = s.cs
+      WHERE s.doc_id <> h.hub
+    )""" if include_exact else ""
+    edge_src = ("SELECT src, dst FROM star UNION "
+                "SELECT doc_a AS src, doc_b AS dst FROM mh_pairs"
+                if include_exact else
+                "SELECT doc_a AS src, doc_b AS dst FROM mh_pairs")
+    return f"""
+    WITH RECURSIVE {_minhash_pair_ctes()}{star},
+    edges AS ({edge_src}),
+    sym AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT dst AS src, src AS dst FROM edges
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.a, s.dst FROM reach r JOIN sym s ON s.src = r.b
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id
+      FROM reach GROUP BY a
+    ),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM comp
+      GROUP BY cluster_id
     )
-    SELECT c.doc_a, c.doc_b, ({matches}) / {N_HASHES}.0 AS est_jaccard
-    FROM cand c
-    JOIN sig sa ON sa.doc_id = c.doc_a
-    JOIN sig sb ON sb.doc_id = c.doc_b
-    WHERE ({matches}) / {N_HASHES}.0 >= 0.5
+    SELECT c.doc_id, c.cluster_id, s.cluster_size
+    FROM comp c JOIN sizes s ON s.cluster_id = c.cluster_id
+    WHERE s.cluster_size >= 2
     """
 
 
@@ -546,7 +608,8 @@ def _cluster_output(labels: DataFrame) -> DataFrame:
                     "cluster_size"))
 
 
-@register("dedup_clusters", oracle=None, tags=("dedup", "iterative"))
+@register("dedup_clusters", oracle=_clusters_oracle_sql(True),
+          tags=("dedup", "iterative"))
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the duplicate
     graph — the step after pair detection in a real dedup pipeline
@@ -567,8 +630,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (O(diameter) rounds with a fixpoint stop — near-dup chains give
     the graph real diameter, unlike pure stars).
     Returns (doc_id, cluster_id, cluster_size) for docs in clusters
-    of ≥2. Iterative → not SQL-expressible → rows-only; planted-
-    cluster behavior (edge linearity included) is pinned in tests.
+    of ≥2. Oracled since round 8: the EXECUTION stays the iterative
+    O(diameter) loop (the 100 TB plan), but the ANSWER is
+    SQL-expressible — a DuckDB recursive-CTE transitive closure over
+    the same (fully oracled) edge set re-derives every min-label
+    cluster assignment, so the convergence loop is value-checked,
+    not just planted-tested. Planted-cluster behavior (edge
+    linearity included) stays pinned in tests.
     """
     docs = load(spark, sf_dir, "documents")
     pairs, sig = minhash_pairs(spark, sf_dir)
@@ -599,7 +667,7 @@ def exact_dup_star_edges(docs: DataFrame) -> DataFrame:
                     F.col("doc_id").alias("dst")))
 
 
-@register("dedup_clusters_neardup", oracle=None,
+@register("dedup_clusters_neardup", oracle=_clusters_oracle_sql(False),
           tags=("dedup", "iterative", "approx"))
 def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NEAR-duplicate clusters: connected components over the
@@ -612,7 +680,9 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently under-merges. :func:`connected_components`' convergence
     loop runs O(diameter) rounds and stops at the fixpoint (pinned by
     a planted chain-of-7 test). Returns (doc_id, cluster_id,
-    cluster_size) for near-dup clusters of ≥2 docs.
+    cluster_size) for near-dup clusters of ≥2 docs. Oracled since
+    round 8 via the same recursive-CTE closure as dedup_clusters,
+    minus the exact-dup star edges.
     """
     pairs, sig = minhash_pairs(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("src"),
