@@ -139,16 +139,22 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
     unit — the batch analog of the reference finishing one dataset
     crawl and flushing its JSON.
 
-    Offsets are CONTENT-ADDRESSED (the last-processed filename), not
-    positions into a list snapshot: ``read`` re-globs on every
-    micro-batch so files that arrive after stream start are
-    discovered (they're streaming arrivals, that's the point), and
-    ``readBetweenOffsets`` replays exactly the files whose basenames
-    sort inside ``(start, end]`` — stable under corpus growth, which
-    a positional index is not (a prepended file would shift every
-    index and silently replay DIFFERENT rows for a committed range).
-    Replay assumes files are immutable once written and never deleted
-    mid-retention — the standard capture-directory contract."""
+    Offsets are the SET of processed basenames, not a lexicographic
+    high-watermark (the round-7 form): a watermark silently DROPS any
+    late arrival whose name sorts below it — a slow writer finishing
+    ``cap-001`` after ``cap-002`` was read would never be ingested,
+    data loss the round-8 advice flagged. With the seen-set, ``read``
+    re-globs every micro-batch and takes exactly glob∖seen, so
+    arrival ORDER is irrelevant; ``readBetweenOffsets`` replays
+    exactly ``end.seen ∖ start.seen`` — stable under corpus growth
+    and arrival reordering, which neither a positional index nor a
+    watermark is. The offset grows with the retention window's file
+    count (names only — ~40 B each; a capture directory is pruned by
+    retention, and a pruned file's name leaves the glob and the next
+    offset alike). Replay assumes files are immutable once written
+    and not deleted mid-retention — the standard capture-directory
+    contract; writers should stage via tmp+rename so a name never
+    appears before its content is complete."""
 
     def __init__(self, options: dict):
         self.path = options.get("path")
@@ -156,19 +162,19 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
             raise ValueError("ord_stream source requires a 'path' option")
 
     def initialOffset(self) -> dict:
-        return {"last_file": ""}
+        return {"seen": []}
 
-    def _files_between(self, lo: str, hi: str | None) -> list[str]:
-        """Sorted capture files with basename in (lo, hi] — re-globbed
-        NOW, so new arrivals show up; hi=None means 'everything after
-        lo' (the advancing read path)."""
+    def _norm(self, off: dict) -> set[str]:
+        """Seen-set of an offset; legacy round-7 watermark offsets
+        (``{"last_file": x}``, e.g. a checkpoint taken before the
+        upgrade) convert by materializing the names the watermark
+        semantics had considered processed."""
         import os
-        out = []
-        for p in sorted(glob.glob(self.path)):
-            base = os.path.basename(p)
-            if base > lo and (hi is None or base <= hi):
-                out.append(p)
-        return out
+        if "seen" in off:
+            return set(off["seen"])
+        last = off.get("last_file", "")
+        return {os.path.basename(p) for p in glob.glob(self.path)
+                if os.path.basename(p) <= last}
 
     def _rows_for(self, paths: list[str]) -> Iterator[tuple]:
         reader = OrdDataSourceReader({"path": self.path})
@@ -177,9 +183,11 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         import os
-        paths = self._files_between(start["last_file"], None)
-        if not paths:  # quiet tick: offset unchanged
-            return [], dict(start)
+        seen = self._norm(start)
+        paths = [p for p in sorted(glob.glob(self.path))
+                 if os.path.basename(p) not in seen]
+        if not paths:  # quiet tick: offset unchanged (canonical form)
+            return [], {"seen": sorted(seen)}
         # materialized list, not a generator: the simple-reader
         # framework CACHES and PICKLES the returned iterator for
         # replay (generators can't pickle). The simple API ships all
@@ -187,11 +195,15 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
         # sources like this one; a high-volume source graduates to
         # the full DataSourceStreamReader with executor partitions.
         return (list(self._rows_for(paths)),
-                {"last_file": os.path.basename(paths[-1])})
+                {"seen": sorted(seen
+                                | {os.path.basename(p) for p in paths})})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        import os
+        batch = self._norm(end) - self._norm(start)
         return list(self._rows_for(
-            self._files_between(start["last_file"], end["last_file"])))
+            [p for p in sorted(glob.glob(self.path))
+             if os.path.basename(p) in batch]))
 
     def commit(self, end: dict) -> None:
         pass  # files are immutable; nothing to clean up
@@ -266,8 +278,15 @@ class OrdSinkWriter(DataSourceWriter):
             return OrdShardCommit(None, 0)
         return OrdShardCommit(tmp, n)
 
+    # Commit-lock acquisition budget. Manifest rewrite + shard GC is
+    # milliseconds of work, so a minute of contention means a peer
+    # crashed INSIDE its critical section (post-acquire crashes leave
+    # the lock behind) — fail loudly rather than deadlock quietly.
+    _LOCK_TIMEOUT_S = 60.0
+
     def commit(self, messages) -> None:
         import os
+        import time
         import uuid
         job = uuid.uuid4().hex[:12]
         shards, total = [], 0
@@ -278,31 +297,55 @@ class OrdSinkWriter(DataSourceWriter):
             shards.append(os.path.basename(final))
             total += m.n_rows
         mpath = os.path.join(self.path, "_MANIFEST.json")
-        old = {"shards": [], "total_rows": 0}
-        if os.path.exists(mpath):
+        # The manifest update is a read-modify-write: two concurrent
+        # appends without mutual exclusion would both read the old
+        # manifest and the last os.replace would silently drop the
+        # other job's shards (round-8 advice). Serialize commits with
+        # an O_EXCL lock file — shard renames above stay outside the
+        # critical section (per-job-UUID names can't clobber).
+        lock = os.path.join(self.path, "_MANIFEST.lock")
+        deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+        while True:
             try:
-                with open(mpath, encoding="utf-8") as f:
-                    old = json.load(f)
-            except (OSError, json.JSONDecodeError):
-                pass  # unreadable prior manifest: treat as empty
-        if not self.overwrite:
-            shards = old.get("shards", []) + shards
-            total += old.get("total_rows", 0)
-        manifest = {"shards": shards, "total_rows": total}
-        tmp = mpath + f".tmp-{job}"
-        with open(tmp, "w", encoding="utf-8") as f:
-            json.dump(manifest, f, sort_keys=True)
-        os.replace(tmp, mpath)  # atomic: readers see old XOR new
-        if self.overwrite:
-            # superseded shards are deleted only after the new
-            # manifest is live; a crash in this loop leaves invisible
-            # garbage, never a broken table.
-            for name in old.get("shards", []):
-                if name not in shards:
-                    try:
-                        os.remove(os.path.join(self.path, name))
-                    except OSError:
-                        pass
+                os.close(os.open(lock, os.O_CREAT | os.O_EXCL
+                                 | os.O_WRONLY))
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise RuntimeError(
+                        f"ord_sink: {lock} held for >"
+                        f"{self._LOCK_TIMEOUT_S:.0f}s — a concurrent "
+                        "commit crashed mid-critical-section; verify "
+                        "and remove the stale lock") from None
+                time.sleep(0.05)
+        try:
+            old = {"shards": [], "total_rows": 0}
+            if os.path.exists(mpath):
+                try:
+                    with open(mpath, encoding="utf-8") as f:
+                        old = json.load(f)
+                except (OSError, json.JSONDecodeError):
+                    pass  # unreadable prior manifest: treat as empty
+            if not self.overwrite:
+                shards = old.get("shards", []) + shards
+                total += old.get("total_rows", 0)
+            manifest = {"shards": shards, "total_rows": total}
+            tmp = mpath + f".tmp-{job}"
+            with open(tmp, "w", encoding="utf-8") as f:
+                json.dump(manifest, f, sort_keys=True)
+            os.replace(tmp, mpath)  # atomic: readers see old XOR new
+            if self.overwrite:
+                # superseded shards are deleted only after the new
+                # manifest is live; a crash in this loop leaves
+                # invisible garbage, never a broken table.
+                for name in old.get("shards", []):
+                    if name not in shards:
+                        try:
+                            os.remove(os.path.join(self.path, name))
+                        except OSError:
+                            pass
+        finally:
+            os.remove(lock)
 
     def abort(self, messages) -> None:
         import os

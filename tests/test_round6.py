@@ -411,9 +411,9 @@ def test_ord_datasource_pushdown_query_plan(spark):
 
 def test_ord_stream_reader_offsets_and_replay():
     """Offset math and deterministic replay: read() drains all
-    files and advances to a CONTENT-ADDRESSED offset (last basename,
-    not a list position); readBetweenOffsets re-yields the exact
-    name range; an empty range is empty."""
+    files and advances to a SEEN-SET offset (processed basenames,
+    not a list position or watermark); readBetweenOffsets re-yields
+    exactly the set difference; an empty range is empty."""
     import glob as _glob
     import os
     from open_reaction_database_web_scraper_spark.sources.ord_datasource \
@@ -421,15 +421,14 @@ def test_ord_stream_reader_offsets_and_replay():
     pattern = "/root/reference/ord_formatted_data*.json"
     names = sorted(os.path.basename(p) for p in _glob.glob(pattern))
     r = OrdStreamReader({"path": pattern})
-    assert r.initialOffset() == {"last_file": ""}
-    rows, nxt = r.read({"last_file": ""})
+    assert r.initialOffset() == {"seen": []}
+    rows, nxt = r.read({"seen": []})
     rows = list(rows)
-    assert nxt == {"last_file": names[-1]} and rows
+    assert nxt == {"seen": names} and rows
     # replay of the full range is byte-identical
-    assert list(r.readBetweenOffsets({"last_file": ""}, nxt)) == rows
+    assert list(r.readBetweenOffsets({"seen": []}, nxt)) == rows
     # replay of a sub-range equals the matching file's rows
-    sub = list(r.readBetweenOffsets({"last_file": ""},
-                                    {"last_file": names[0]}))
+    sub = list(r.readBetweenOffsets({"seen": []}, {"seen": names[:1]}))
     assert rows[:len(sub)] == sub and 0 < len(sub) < len(rows)
     # caught-up read: no new rows, offset unchanged
     rows2, nxt2 = r.read(nxt)

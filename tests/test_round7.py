@@ -17,7 +17,9 @@ from open_reaction_database_web_scraper_spark.registry import (
     load_all_operators,
 )
 from open_reaction_database_web_scraper_spark.sources.ord_datasource import (
+    OrdShardCommit,
     OrdSinkDataSource,
+    OrdSinkWriter,
     OrdStreamReader,
 )
 
@@ -85,18 +87,36 @@ def test_ord_stream_discovers_late_arrivals(tmp_path):
     _mk_capture(d, "cap-001.json", "ds1", 2)
     r = OrdStreamReader({"path": f"{d}/cap-*.json"})
     rows1, off1 = r.read(r.initialOffset())
-    assert len(list(rows1)) == 2 and off1 == {"last_file": "cap-001.json"}
+    assert len(list(rows1)) == 2 and off1 == {"seen": ["cap-001.json"]}
     # a file that lands AFTER stream start must be picked up
     _mk_capture(d, "cap-002.json", "ds2", 3)
     rows2, off2 = r.read(off1)
-    assert len(list(rows2)) == 3 and off2 == {"last_file": "cap-002.json"}
-    # and a committed range replays the same rows even though the
-    # corpus grew after the range was committed (positional offsets
-    # would have replayed cap-002's rows for cap-001's range)
+    assert len(list(rows2)) == 3
+    assert off2 == {"seen": ["cap-001.json", "cap-002.json"]}
+    # round-8 fix: a late arrival sorting BELOW the frontier (a slow
+    # writer finishing cap-000 after cap-002 was read) must still be
+    # ingested — the round-7 watermark offset silently dropped it
+    _mk_capture(d, "cap-000.json", "ds0", 4)
+    rows3, off3 = r.read(off2)
+    assert len(list(rows3)) == 4
+    assert off3 == {"seen": ["cap-000.json", "cap-001.json",
+                             "cap-002.json"]}
+    # a committed range replays the same rows even though the corpus
+    # grew after the range was committed (positional offsets would
+    # have replayed different rows for cap-001's range)
     _mk_capture(d, "cap-003.json", "ds3", 1)
-    replay = list(r.readBetweenOffsets({"last_file": ""}, off1))
+    replay = list(r.readBetweenOffsets({"seen": []}, off1))
     assert len(replay) == 2
     assert all(row[0] == "ds1" for row in replay)
+    # the out-of-order batch replays exactly itself
+    replay0 = list(r.readBetweenOffsets(off2, off3))
+    assert len(replay0) == 4
+    assert all(row[0] == "ds0" for row in replay0)
+    # legacy round-7 watermark offsets (pre-upgrade checkpoints)
+    # still convert: everything <= the watermark counts as seen
+    legacy = list(r.readBetweenOffsets({"last_file": ""},
+                                       {"last_file": "cap-000.json"}))
+    assert len(legacy) == 4 and all(row[0] == "ds0" for row in legacy)
 
 
 # ---------------------------------------------------------------------------
@@ -113,6 +133,43 @@ def _write_sink(spark, out, values, mode):
 def _manifest(out):
     with open(os.path.join(out, "_MANIFEST.json")) as f:
         return json.load(f)
+
+
+def test_ord_sink_commit_lock_serializes_and_cleans(tmp_path):
+    """The manifest read-modify-write runs under an O_EXCL lock file
+    (round-8 advice: two unlocked concurrent appends could both read
+    the old manifest and the loser's shards would vanish from it):
+    the lock is gone after a successful commit, a stale lock fails
+    LOUDLY after the timeout (leaving only an invisible orphan shard,
+    never a broken manifest), and commits proceed once it's freed."""
+    out = str(tmp_path / "sink_lock")
+    os.makedirs(out)
+    w = OrdSinkWriter({"path": out}, overwrite=False)
+    lock = os.path.join(out, "_MANIFEST.lock")
+
+    def shard(name, payload):
+        p = os.path.join(out, name)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(payload + "\n")
+        return p
+
+    w.commit([OrdShardCommit(shard("_tmp-a.jsonl", '{"x": 1}'), 1)])
+    assert not os.path.exists(lock)  # released on success
+    assert _manifest(out)["total_rows"] == 1
+
+    open(lock, "w").close()  # a peer crashed mid-critical-section
+    w._LOCK_TIMEOUT_S = 0.2
+    with pytest.raises(RuntimeError, match="_MANIFEST.lock"):
+        w.commit([OrdShardCommit(shard("_tmp-b.jsonl", '{"x": 2}'), 1)])
+    # the failed commit's shard was renamed but never entered the
+    # manifest — invisible orphan, manifest intact
+    assert _manifest(out)["total_rows"] == 1
+
+    os.remove(lock)  # operator clears the stale lock
+    w.commit([OrdShardCommit(shard("_tmp-c.jsonl", '{"x": 3}'), 1)])
+    m = _manifest(out)
+    assert m["total_rows"] == 2 and len(m["shards"]) == 2
+    assert not os.path.exists(lock)
 
 
 def test_ord_sink_append_unions_manifest(spark, tmp_path):
