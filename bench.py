@@ -133,6 +133,8 @@ OPTIONAL = [
     "sample_reservoir_hash",
     "text_containment_ngram",
     "corpus_token_budget_alloc",
+    # round 8
+    "multimodal_decode_gif",
 ]
 
 

@@ -7,11 +7,12 @@ Spark-side plumbing (schema, parquet round-trip, partition-preserving
 ``mapInPandas`` batch shape) is real, and so is the codec for the
 formats a stdlib parser can serve: ``decode_real`` decodes binary
 PPM/PGM, uncompressed 24-bit BMP, non-interlaced 8-bit PNG (zlib
-inflate + full unfilter) and PCM WAV (RIFF chunk walk) in pure
-python. Formats needing an external library (jpeg, compressed audio,
-video — none installed in this container) fall back through
-``decode`` to ``decode_stub``'s deterministic fake; that fallback is
-the pillow/torchaudio/pyav integration point.
+inflate + full unfilter), GIF89a (block walk + own-code LZW inflate)
+and PCM WAV (RIFF chunk walk) in pure python. Formats needing an
+external library (jpeg, compressed audio, video — none installed in
+this container) fall back through ``decode`` to ``decode_stub``'s
+deterministic fake; that fallback is the pillow/torchaudio/pyav
+integration point.
 """
 
 from __future__ import annotations
@@ -205,6 +206,206 @@ def encode_png(raster: bytes, w: int, h: int, channels: int = 3,
             + chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code_size: int,
+                expected: int) -> bytearray:
+    """GIF-variant LZW: LSB-first variable-width codes (min+1 .. 12
+    bits), CLEAR resets the table, EOI ends the stream, and the
+    KwKwK case (code == next free entry) reconstructs prev+prev[0].
+    Code width grows when the table length reaches 2^width — one
+    entry EARLIER than the encoder's own bump, because the decoder
+    builds each entry one code behind (the classic off-by-one every
+    GIF implementation must get right). ``expected`` bounds output so
+    a forged stream can't balloon memory past the declared raster."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total_bits = 0, len(data) * 8
+    while True:
+        if bitpos + code_size > total_bits:
+            raise ValueError("LZW stream ended before EOI")
+        byte_i = bitpos // 8
+        window = int.from_bytes(data[byte_i:byte_i + 3], "little")
+        code = (window >> (bitpos % 8)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            if code >= len(table):
+                raise ValueError(f"LZW first code {code} out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            new = prev + entry[:1]
+        elif code == len(table):  # KwKwK
+            entry = new = prev + prev[:1]
+        else:
+            raise ValueError(f"LZW code {code} beyond table "
+                             f"({len(table)} entries)")
+        if prev is not None and len(table) < 4096:
+            table.append(new)
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        out += entry
+        if len(out) > expected:
+            raise ValueError(f"LZW output exceeds declared raster "
+                             f"({len(out)} > {expected})")
+        prev = entry
+
+
+def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
+    """Real (compressing) GIF LZW encoder — the exact forward
+    transform of :func:`_lzw_decode`, so planted fixtures exercise
+    the decoder's dictionary growth and width bumps, not just
+    literal codes. Emits CLEAR up front (per spec) and again if the
+    table fills; width grows when the just-added entry's code
+    reaches 2^width (one entry LATER than the decoder bumps — see
+    the off-by-one note there)."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out = bytearray()
+    cur, nbits = 0, 0
+    code_size = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal cur, nbits
+        cur |= code << nbits
+        nbits += code_size
+        while nbits >= 8:
+            out.append(cur & 0xFF)
+            cur >>= 8
+            nbits -= 8
+
+    def fresh() -> tuple[dict[bytes, int], int]:
+        return {bytes([i]): i for i in range(clear)}, eoi + 1
+
+    emit(clear)
+    table, next_code = fresh()
+    w = b""
+    for x in indices:
+        wk = w + bytes([x])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w])
+        table[wk] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        if next_code == 4096:  # table full: reset rather than stall
+            emit(clear)
+            code_size = min_code_size + 1
+            table, next_code = fresh()
+        w = bytes([x])
+    if w:
+        emit(table[w])
+    emit(eoi)
+    if nbits:
+        out.append(cur & 0xFF)
+    return bytes(out)
+
+
+def _gif_decode(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib GIF decode: header + logical screen descriptor,
+    skip global/local color tables and extensions, first image
+    descriptor, LZW-inflate the data sub-blocks. Returns
+    (index_sum, w, h) where index_sum is the sum of the decoded
+    color-table INDICES — the raster as stored (palette mapping is a
+    rendering step), consistent with the family contract that the
+    value changes iff pixel data changes. Interlaced images and
+    animation (multiple images) raise ``ValueError`` like any other
+    unsupported variant (the pillow seam)."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("truncated GIF header")
+    packed = payload[10]
+    pos = 13
+    if packed & 0x80:  # global color table
+        pos += 3 * (1 << ((packed & 0x07) + 1))
+    while True:  # block walk to the first image descriptor
+        if pos >= len(payload):
+            raise ValueError("GIF missing image descriptor")
+        blk = payload[pos]
+        if blk == 0x21:  # extension: label byte + sub-blocks
+            pos += 2
+            while True:
+                if pos >= len(payload):
+                    raise ValueError("truncated GIF extension")
+                n = payload[pos]
+                pos += 1 + n
+                if n == 0:
+                    break
+        elif blk == 0x2C:
+            break
+        elif blk == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"unknown GIF block 0x{blk:02x}")
+    if pos + 10 > len(payload):
+        raise ValueError("truncated GIF image descriptor")
+    w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+    h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+    ipacked = payload[pos + 9]
+    pos += 10
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if ipacked & 0x80:  # local color table
+        pos += 3 * (1 << ((ipacked & 0x07) + 1))
+    if w < 1 or h < 1:
+        raise ValueError(f"degenerate GIF geometry {w}x{h}")
+    if pos >= len(payload):
+        raise ValueError("truncated GIF data")
+    min_code = payload[pos]
+    pos += 1
+    if not 2 <= min_code <= 11:
+        raise ValueError(f"bad LZW min code size {min_code}")
+    data = bytearray()
+    while True:  # concatenate ≤255-byte data sub-blocks
+        if pos >= len(payload):
+            raise ValueError("unterminated GIF data sub-blocks")
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        chunk = payload[pos:pos + n]
+        if len(chunk) != n:
+            raise ValueError("truncated GIF sub-block")
+        data += chunk
+        pos += n
+    indices = _lzw_decode(bytes(data), min_code, w * h)
+    if len(indices) != w * h:
+        raise ValueError(f"GIF raster {len(indices)} != {w}x{h}")
+    return sum(indices), w, h
+
+
+def encode_gif(indices: bytes, w: int, h: int) -> bytes:
+    """Stdlib GIF89a encoder (the planted-fixture generator for the
+    decode path): raw ``w*h`` color-index bytes → a valid
+    non-interlaced GIF with a 256-entry grayscale global color table
+    and REAL LZW-compressed data, split into ≤255-byte sub-blocks.
+    Exact forward transform of :func:`_gif_decode`."""
+    if len(indices) != w * h:
+        raise ValueError("raster size mismatch")
+    # 0xF7: GCT present, 8 bits/channel color resolution, 256 entries
+    header = b"GIF89a" + struct.pack("<HH", w, h) + bytes([0xF7, 0, 0])
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+    lzw = _lzw_encode(indices, 8)
+    blocks = bytearray([8])  # LZW min code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return header + gct + desc + bytes(blocks) + b"\x3B"
+
+
 def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
     """Real (pure-python, stdlib-only) decode for the container-
     friendly raster formats: binary PPM (P6, RGB), binary PGM (P5,
@@ -221,6 +422,8 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
     pillow/torchaudio/pyav."""
     if fmt == "png":
         return _png_decode(payload)
+    if fmt == "gif":
+        return _gif_decode(payload)
     if fmt in ("ppm", "pgm"):
         magic, (w, h, maxval), off = _pnm_header(payload)
         channels = {b"P6": 3, b"P5": 1}.get(magic)
@@ -304,7 +507,7 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
                      "plug pillow/torchaudio/pyav here")
 
 
-REAL_FMTS = ("ppm", "pgm", "bmp", "png", "wav")
+REAL_FMTS = ("ppm", "pgm", "bmp", "png", "gif", "wav")
 CORRUPT_SENTINEL = (-1, 0, 0)  # impossible for a real decode
 
 
@@ -887,3 +1090,64 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_sum").alias("pcm_byte_sum"),
         F.col("fake_width").alias("n_samples"),
         F.col("fake_height").alias("sample_rate"))
+
+
+GIF_W, GIF_H = 6, 4  # 24 index pixels = the first 24 sha-256 hex chars
+
+
+@register(
+    "multimodal_decode_gif",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(COALESCE(text, '')), 1, 24) AS r
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(list_sum(list_transform(range(1, 25),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pixel_sum,
+           CAST({GIF_W} AS INTEGER) AS px_w,
+           CAST({GIF_H} AS INTEGER) AS px_h
+    FROM h
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth oracled codec: each document's first 24 sha-256 hex
+    chars become the color-index raster of a REAL GIF89a — 256-entry
+    global color table and genuinely LZW-COMPRESSED data sub-blocks
+    (``encode_gif``) — and ``decode_real``'s chunk walk + LZW inflate
+    must recover the exact index sum and geometry DuckDB predicts
+    from the hex chars alone. Same contract as the PPM/PNG/BMP/WAV
+    family; the new ground it covers is variable-width LSB-first
+    entropy coding with dictionary state (PNG's zlib is handled by
+    the stdlib — this LZW path is decoded by the engine's own code,
+    including the KwKwK reconstruction and width-bump off-by-one
+    that planted tests pin). Construction mirrors the PNG query:
+    sha JVM-side, encode in an Arrow batch pass, decode under test
+    in ``extract_features``."""
+    docs = load(spark, sf_dir, "documents")
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1,
+        GIF_W * GIF_H)
+    seed = docs.select(F.col("doc_id").alias("asset_id"),
+                       raster.alias("raster"),
+                       F.col("source").alias("source"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [encode_gif(r.encode("ascii"), GIF_W, GIF_H)
+                        for r in pdf["raster"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "payload": payloads,
+                "meta": [{"fmt": "gif", "n_bytes": len(p), "source": s}
+                         for p, s in zip(payloads, pdf["source"])],
+            })
+
+    assets = seed.mapInPandas(build, ASSET_SCHEMA)
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pixel_sum"),
+        F.col("fake_width").alias("px_w"),
+        F.col("fake_height").alias("px_h"))

@@ -1,0 +1,159 @@
+"""Round-8 pins: the GIF/LZW codec (fifth oracled decode family
+member — the first whose entropy coding is decoded by the engine's
+OWN code rather than the stdlib), the per-vector reshape of
+dedup_embed_cosine, and the recursive-CTE cluster oracles' agreement
+with the iterative Spark CC loop on planted chain graphs.
+"""
+
+import random
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_reaction_database_web_scraper_spark.operators.multimodal import (
+    CORRUPT_SENTINEL,
+    _gif_decode,
+    _lzw_decode,
+    _lzw_encode,
+    decode,
+    decode_real,
+    encode_gif,
+)
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+
+load_all_operators()
+
+
+# ---------------------------------------------------------------------------
+# GIF / LZW codec
+
+
+def test_gif_roundtrip_exact():
+    idx = bytes(range(24))
+    p = encode_gif(idx, 6, 4)
+    assert decode_real(p, "gif") == (sum(idx), 6, 4)
+    # 1×1 smallest legal image
+    assert decode_real(encode_gif(b"\x7f", 1, 1), "gif") == (127, 1, 1)
+
+
+def test_gif_lzw_kwkwk_and_runs():
+    """A run of one symbol forces the KwKwK case (decoder sees the
+    code for an entry it hasn't built yet) on the second code — the
+    classic LZW reconstruction corner."""
+    for n in (1, 2, 3, 5, 50, 300):
+        idx = b"\x61" * n
+        assert _gif_decode(encode_gif(idx, n, 1)) == (sum(idx), n, 1)
+
+
+def test_gif_lzw_width_growth_and_table_reset():
+    """A large random raster drives the code width through every bump
+    (9→10→11→12 bits), fills the 4096-entry table (forcing the
+    encoder's CLEAR-reset path and the decoder's mid-stream reset),
+    and spans hundreds of ≤255-byte sub-blocks."""
+    random.seed(7)
+    idx = bytes(random.randrange(256) for _ in range(40000))
+    p = encode_gif(idx, 200, 200)
+    assert _gif_decode(p) == (sum(idx), 200, 200)
+    lzw = _lzw_encode(idx, 8)
+    assert len(lzw) > 4096 * 12 // 8  # width must have reached 12 bits
+    # deep dictionary reuse actually compresses
+    idx2 = (b"abcd" * 2500)
+    assert len(_lzw_encode(idx2, 8)) < len(idx2) // 10
+    assert bytes(_lzw_decode(_lzw_encode(idx2, 8), 8, len(idx2))) == idx2
+
+
+def test_gif_corruption_classes_map_to_sentinel():
+    idx = bytes(range(24))
+    p = encode_gif(idx, 6, 4)
+    assert decode(b"JIF89a" + p[6:], "gif") == CORRUPT_SENTINEL  # magic
+    assert decode(p[:10], "gif") == CORRUPT_SENTINEL        # short header
+    assert decode(p[:-3], "gif") == CORRUPT_SENTINEL        # truncated
+    hdr = 13 + 768  # header + 256-entry GCT → image descriptor
+    assert p[hdr] == 0x2C
+    interlaced = bytearray(p)
+    interlaced[hdr + 9] |= 0x40
+    assert decode(bytes(interlaced), "gif") == CORRUPT_SENTINEL
+    # declared geometry disagreeing with the LZW payload
+    wrong_geom = bytearray(p)
+    wrong_geom[hdr + 5] = 7  # image w: 6 → 7
+    assert decode(bytes(wrong_geom), "gif") == CORRUPT_SENTINEL
+    # trailer byte where the image descriptor should be
+    no_image = p[:hdr] + b"\x3B"
+    assert decode(no_image, "gif") == CORRUPT_SENTINEL
+    # an extension block before the image must be skipped cleanly
+    with_ext = (p[:hdr] + b"\x21\xFE\x03abc\x00" + p[hdr:])
+    assert decode_real(with_ext, "gif") == (sum(idx), 6, 4)
+
+
+@settings(max_examples=25, deadline=None)
+@given(w=st.integers(1, 20), h=st.integers(1, 20),
+       data=st.binary(min_size=0, max_size=400))
+def test_gif_roundtrip_property(w, h, data):
+    idx = ((data + b"\x00" * (w * h)) * 2)[:w * h]
+    assert _gif_decode(encode_gif(idx, w, h)) == (sum(idx), w, h)
+
+
+def test_gif_query_matches_oracle(spark, sf_dir):
+    spec = REGISTRY["multimodal_decode_gif"]
+    rows = sorted(tuple(r) for r in spec.fn(spark, sf_dir).collect())
+    con = duckdb.connect()
+    con.execute("CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    orc = sorted(tuple(r) for r in con.execute(spec.oracle).fetchall())
+    assert rows == orc and len(rows) > 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_embed_cosine audit reshape: the oracle agrees on a planted
+# fixture where candidates, ties and the dup verdict all matter
+
+
+def test_embed_cosine_oracle_on_planted_dups(spark, tmp_path):
+    from open_reaction_database_web_scraper_spark.testing import compare
+
+    base = [1.0, 0.0, 2.0, -1.0, 0.5, 3.0, -2.0, 1.5]
+    near = [x * 1.001 + (0.0001 if i == 0 else 0)
+            for i, x in enumerate(base)]
+    anti = [-x for x in base]  # same planes' buckets differ, cos = -1
+    rows = [(0, base), (1, near), (2, anti),
+            (3, [0.0, 5.0] + [0.0] * 6)]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(rows, "vec_id bigint, embedding array<double>") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    spec = REGISTRY["dedup_embed_cosine"]
+    ok, msg = compare(spec.fn(spark, d), spec.oracle, d,
+                      "dedup_embed_cosine", fail_on_empty=True)
+    assert ok, msg
+
+
+# ---------------------------------------------------------------------------
+# recursive-CTE cluster oracle vs the iterative loop on a CHAIN graph
+# (diameter > 1 — the case where closure and propagation could differ)
+
+
+def test_cluster_oracle_agrees_on_neardup_chain(spark, tmp_path):
+    from open_reaction_database_web_scraper_spark.testing import compare
+
+    # a 5-doc near-dup chain (each ~= its neighbor) + 2 exact copies
+    words = [f"w{i}" for i in range(40)]
+    docs = []
+    for i in range(5):
+        docs.append((i, " ".join(words[i * 4: i * 4 + 24])))
+    docs += [(10, "dup dup " + " ".join(words[:22]))] * 1
+    docs.append((11, docs[-1][1]))
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(docs, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    for name in ("dedup_clusters", "dedup_clusters_neardup"):
+        spec = REGISTRY[name]
+        ok, msg = compare(spec.fn(spark, d), spec.oracle, d, name)
+        assert ok, msg
+
+
+if __name__ == "__main__":
+    raise SystemExit(pytest.main([__file__, "-x", "-q"]))
