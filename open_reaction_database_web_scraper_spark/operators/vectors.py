@@ -235,9 +235,86 @@ def vector_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 N_CELLS = 8        # IVF coarse cells
 N_PROBE = 2        # cells probed per query
+IVF_SAMPLE_MOD = 5  # ~20% deterministic Lloyd train sample
 
 
-@register("vector_ann_ivf", oracle=None, tags=("vector", "approx"))
+def _ivf_oracle_sql() -> str:
+    """DuckDB SQL recomputing the EXACT IVF pipeline — possible since
+    round 8 because every stage was made engine-deterministic: the
+    Lloyd train sample gates on the portable md5 hash (was Spark
+    xxhash64 — engine-private), cell argmins tie-break on
+    (distance, cell_id), and the centroid means accumulate in
+    DECIMAL and round to 6 dp (order-free, like vector_centroid_agg)
+    so both engines derive bit-identical centroids. The rerank
+    reuses the 9-dp-rounded exact-cosine idiom."""
+    nq, nc, npb, k = N_QUERIES, N_CELLS, N_PROBE, TOP_K
+    norm = "list_transform(e, x -> x / sqrt(list_dot_product(e, e)))"
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), q0 AS (
+      SELECT vec_id AS query_id, {norm} AS q FROM emb
+      WHERE vec_id < {nq}
+    ), c0 AS (
+      SELECT vec_id AS neighbor_id, {norm} AS c FROM emb
+      WHERE vec_id >= {nq}
+    ), seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1
+                  AS INTEGER) AS cell_id,
+             c AS centroid
+      FROM c0 ORDER BY neighbor_id LIMIT {nc}
+    ), train AS (
+      SELECT * FROM c0
+      WHERE CAST(('0x' || substr(md5(CAST(neighbor_id AS VARCHAR)),
+                  1, 8)) AS BIGINT) % {IVF_SAMPLE_MOD} = 0
+         OR neighbor_id < {nq + nc}
+    ), a0 AS (
+      SELECT neighbor_id, cell_id, c FROM (
+        SELECT t.neighbor_id, s.cell_id, t.c,
+               ROW_NUMBER() OVER (PARTITION BY t.neighbor_id
+                 ORDER BY -list_dot_product(t.c, s.centroid),
+                          s.cell_id) AS rn
+        FROM train t CROSS JOIN seeds s) WHERE rn = 1
+    ), cent AS (
+      SELECT cell_id, t.pos AS dim,
+             ROUND(CAST(CAST(SUM(CAST(c[t.pos] AS DECIMAL(18,15)))
+                             AS DECIMAL(38,8)) AS DOUBLE)
+                   / COUNT(*), 6) AS mu
+      FROM a0, UNNEST(generate_series(1, len(c))) AS t(pos)
+      GROUP BY cell_id, t.pos
+    ), cents AS (
+      SELECT cell_id, list(mu ORDER BY dim) AS centroid
+      FROM cent GROUP BY cell_id
+    ), idx AS (
+      SELECT neighbor_id, cell_id, c FROM (
+        SELECT c0.neighbor_id, s.cell_id, c0.c,
+               ROW_NUMBER() OVER (PARTITION BY c0.neighbor_id
+                 ORDER BY -list_dot_product(c0.c, s.centroid),
+                          s.cell_id) AS rn
+        FROM c0 CROSS JOIN cents s) WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, q, cell_id FROM (
+        SELECT q0.query_id, q0.q, s.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY q0.query_id
+                 ORDER BY -list_dot_product(q0.q, s.centroid),
+                          s.cell_id) AS prb
+        FROM q0 CROSS JOIN cents s) WHERE prb <= {npb}
+    ), scored AS (
+      SELECT p.query_id, i.neighbor_id, i.cell_id,
+             ROUND(list_dot_product(p.q, i.c)
+               / (sqrt(list_dot_product(p.q, p.q))
+                  * sqrt(list_dot_product(i.c, i.c))), 9) AS cosine
+      FROM probes p JOIN idx i ON i.cell_id = p.cell_id
+    )
+    SELECT query_id, neighbor_id, cosine, cell_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@register("vector_ann_ivf", oracle=_ivf_oracle_sql(),
+          tags=("vector", "approx"))
 def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via an IVF (inverted-file) coarse quantizer.
 
@@ -291,24 +368,38 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # --- train: deterministic seeds + one distributed Lloyd step
     # over a hash-sample (seeds always included so no cell starves
-    # on tiny corpora).
+    # on tiny corpora). Round-8 determinization (what made the
+    # DuckDB oracle possible): the sample gates on the portable md5
+    # hash instead of engine-private xxhash64; argmins carry the
+    # (dist, cell_id) prefix in a struct-min so ties break
+    # identically everywhere; centroid means accumulate in DECIMAL
+    # and seal at 6 dp (order-free — the vector_centroid_agg idiom),
+    # so the refined quantizer is bit-identical across engines,
+    # shuffle widths and partitionings.
+    from .dedup import portable_hash32
+
     seeds = (corpus.orderBy("neighbor_id").limit(N_CELLS)
              .withColumn("cell_id",
                          F.row_number().over(
                              Window.orderBy("neighbor_id")) - 1)
              .select("cell_id", F.col("c").alias("centroid")))
     train = corpus.filter(
-        (F.pmod(F.xxhash64("neighbor_id"), F.lit(5)) == 0)
+        (F.pmod(portable_hash32(F.col("neighbor_id").cast("string")),
+                F.lit(IVF_SAMPLE_MOD)) == 0)
         | (F.col("neighbor_id") < N_QUERIES + N_CELLS))
     assign0 = (train.crossJoin(F.broadcast(seeds))
                .withColumn("dist", -dot(F.col("c"), F.col("centroid")))
                .groupBy("neighbor_id")
-               .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
+               .agg(F.min(F.struct("dist", "cell_id", "c")).alias("m"))
                .select(F.col("m.cell_id").alias("cell_id"),
                        F.col("m.c").alias("c")))
     centroids = (assign0
                  .select("cell_id", F.posexplode("c").alias("dim", "x"))
-                 .groupBy("cell_id", "dim").agg(F.avg("x").alias("mu"))
+                 .groupBy("cell_id", "dim")
+                 .agg(F.round(
+                     (F.sum(F.col("x").cast("decimal(18,15)"))
+                      .cast("decimal(38,8)").cast("double")
+                      / F.count("*")), 6).alias("mu"))
                  .groupBy("cell_id")
                  .agg(F.array_sort(
                      F.collect_list(F.struct("dim", "mu"))).alias("dm"))
@@ -324,7 +415,7 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     index = (corpus.crossJoin(F.broadcast(centroids))
              .withColumn("dist", -dot(F.col("c"), F.col("centroid")))
              .groupBy("neighbor_id")
-             .agg(F.min_by(F.struct("cell_id", "c"), "dist").alias("m"))
+             .agg(F.min(F.struct("dist", "cell_id", "c")).alias("m"))
              .select(F.col("m.cell_id").alias("cell_id"),
                      F.col("neighbor_id"), F.col("m.c").alias("c")))
 
@@ -337,7 +428,8 @@ def vector_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("query_id", "q", "cell_id"))
     scored = (probes.join(index, "cell_id")
               .withColumn("cosine",
-                          cosine_similarity(F.col("q"), F.col("c"))))
+                          F.round(cosine_similarity(
+                              F.col("q"), F.col("c")), 9)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     result = (scored.withColumn("rn", F.row_number().over(w))
@@ -547,7 +639,103 @@ def _subvectors(vec: F.Column, dim: int) -> F.Column:
         lambda m: F.slice(vec, m * sub + 1, sub))
 
 
-@register("vector_ann_pq", oracle=None, tags=("vector", "approx"))
+def _pq_oracle_sql() -> str:
+    """DuckDB SQL recomputing the EXACT PQ pipeline (possible since
+    the round-8 determinization): subvector L2 distances are the
+    same sequential fold both engines run (list_zip + list_sum ≡
+    Spark's zip_with + aggregate — verified bit-exact), codeword
+    means use the decimal idiom sealed at 6 dp, every argmin
+    tie-breaks on (distance, code), and the ADC score sums
+    12-dp-decimal LUT entries so the 8-way addition is order-free.
+    The rerank reuses the 9-dp-rounded exact-cosine idiom."""
+    nq, k = N_QUERIES, TOP_K
+    m_rng = f"range(0, {PQ_M}) AS m(m)"
+
+    def l2sq(a: str, b: str) -> str:
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                "pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))")
+
+    def subv(col: str) -> str:
+        return (f"({col})[m.m * p.sub + 1 : m.m * p.sub + p.sub]")
+
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+    ), q0 AS (
+      SELECT vec_id AS query_id, e AS q FROM emb WHERE vec_id < {nq}
+    ), c0 AS (
+      SELECT vec_id AS neighbor_id, e AS c FROM emb
+      WHERE vec_id >= {nq}
+    ), params AS (
+      SELECT len(c) // {PQ_M} AS sub FROM c0 LIMIT 1
+    ), seeds AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY neighbor_id) - 1
+                  AS INTEGER) AS code, c
+      FROM c0 ORDER BY neighbor_id LIMIT {PQ_K}
+    ), seed_sub AS (
+      SELECT s.code, m.m AS m, {subv('s.c')} AS cw
+      FROM seeds s, params p, {m_rng}
+    ), corp_sub AS (
+      SELECT c0.neighbor_id, m.m AS m, {subv('c0.c')} AS sv
+      FROM c0, params p, {m_rng}
+    ), a0 AS (
+      SELECT neighbor_id, m, code, sv FROM (
+        SELECT cs.neighbor_id, cs.m, ss.code, cs.sv,
+               ROW_NUMBER() OVER (PARTITION BY cs.neighbor_id, cs.m
+                 ORDER BY {l2sq('cs.sv', 'ss.cw')}, ss.code) AS rn
+        FROM corp_sub cs JOIN seed_sub ss ON ss.m = cs.m) WHERE rn = 1
+    ), cbd AS (
+      SELECT m, code, t.pos AS dim,
+             ROUND(CAST(CAST(SUM(CAST(sv[t.pos] AS DECIMAL(18,15)))
+                             AS DECIMAL(38,8)) AS DOUBLE)
+                   / COUNT(*), 6) AS mu
+      FROM a0, UNNEST(generate_series(1, len(sv))) AS t(pos)
+      GROUP BY m, code, t.pos
+    ), cb AS (
+      SELECT m, code, list(mu ORDER BY dim) AS cw
+      FROM cbd GROUP BY m, code
+    ), codes AS (
+      SELECT neighbor_id, m, code FROM (
+        SELECT cs.neighbor_id, cs.m, cb.code,
+               ROW_NUMBER() OVER (PARTITION BY cs.neighbor_id, cs.m
+                 ORDER BY {l2sq('cs.sv', 'cb.cw')}, cb.code) AS rn
+        FROM corp_sub cs JOIN cb ON cb.m = cs.m) WHERE rn = 1
+    ), qsub AS (
+      SELECT q0.query_id, m.m AS m, {subv('q0.q')} AS qv
+      FROM q0, params p, {m_rng}
+    ), lut AS (
+      SELECT qs.query_id, qs.m, cb.code,
+             list_dot_product(qs.qv, cb.cw) AS pdot
+      FROM qsub qs JOIN cb ON cb.m = qs.m
+    ), adc AS (
+      SELECT l.query_id, cd.neighbor_id,
+             SUM(CAST(l.pdot AS DECIMAL(18,12))) AS approx_dot
+      FROM codes cd JOIN lut l ON l.m = cd.m AND l.code = cd.code
+      GROUP BY l.query_id, cd.neighbor_id
+    ), cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY approx_dot DESC, neighbor_id) AS rn
+        FROM adc) WHERE rn <= {PQ_CAND}
+    ), scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             ROUND(list_dot_product(q0.q, c0.c)
+               / (sqrt(list_dot_product(q0.q, q0.q))
+                  * sqrt(list_dot_product(c0.c, c0.c))), 9) AS cosine
+      FROM cand
+      JOIN q0 ON q0.query_id = cand.query_id
+      JOIN c0 ON c0.neighbor_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id) AS rn
+      FROM scored) WHERE rn <= {k}
+    """
+
+
+@register("vector_ann_pq", oracle=_pq_oracle_sql(),
+          tags=("vector", "approx"))
 def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN via product quantization (PQ) with asymmetric
     distance (ADC) and exact rerank.
@@ -590,14 +778,23 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_sub = corpus.select(
         "neighbor_id", F.posexplode(_subvectors(F.col("c"), dim))
         .alias("m", "sv"))
+    # Round-8 determinization (what made the DuckDB oracle possible):
+    # argmins carry (distance, code) in a struct-min so ties break
+    # identically everywhere; codeword means accumulate in DECIMAL
+    # sealed at 6 dp; the ADC 8-way addition sums 12-dp DECIMAL LUT
+    # entries (order-free) instead of raw doubles.
     assign0 = (corpus_sub.join(F.broadcast(seeds), "m")
                .withColumn("d", _l2sq(F.col("sv"), F.col("cw")))
                .groupBy("neighbor_id", "m")
-               .agg(F.min_by(F.struct("code", "sv"), "d").alias("a")))
+               .agg(F.min(F.struct("d", "code", "sv")).alias("a")))
     codebook = (assign0
                 .select("m", F.col("a.code").alias("code"),
                         F.posexplode("a.sv").alias("dim", "x"))
-                .groupBy("m", "code", "dim").agg(F.avg("x").alias("mu"))
+                .groupBy("m", "code", "dim")
+                .agg(F.round(
+                    (F.sum(F.col("x").cast("decimal(18,15)"))
+                     .cast("decimal(38,8)").cast("double")
+                     / F.count("*")), 6).alias("mu"))
                 .groupBy("m", "code")
                 .agg(F.array_sort(
                     F.collect_list(F.struct("dim", "mu"))).alias("dm"))
@@ -609,7 +806,8 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = (corpus_sub.join(F.broadcast(codebook), "m")
              .withColumn("d", _l2sq(F.col("sv"), F.col("cw")))
              .groupBy("neighbor_id", "m")
-             .agg(F.min_by("code", "d").alias("code")))
+             .agg(F.min(F.struct("d", "code")).alias("a"))
+             .select("neighbor_id", "m", F.col("a.code").alias("code")))
 
     # --- probe: per-query LUT of subspace dots, ADC score, rerank.
     qsub = queries.select(
@@ -620,7 +818,8 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
                    dot(F.col("qv"), F.col("cw")).alias("pdot")))
     adc = (codes.join(F.broadcast(lut), ["m", "code"])
            .groupBy("query_id", "neighbor_id")
-           .agg(F.sum("pdot").alias("approx_dot")))
+           .agg(F.sum(F.col("pdot").cast("decimal(18,12)"))
+                .alias("approx_dot")))
     wq = Window.partitionBy("query_id").orderBy(
         F.desc("approx_dot"), F.asc("neighbor_id"))
     cand = (adc.withColumn("rn", F.row_number().over(wq))
@@ -628,7 +827,9 @@ def vector_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "neighbor_id"))
     rer = (cand.join(corpus, "neighbor_id")
            .join(F.broadcast(queries), "query_id")
-           .withColumn("cosine", cosine_similarity(F.col("q"), F.col("c"))))
+           .withColumn("cosine",
+                       F.round(cosine_similarity(
+                           F.col("q"), F.col("c")), 9)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (rer.withColumn("rn", F.row_number().over(w))
