@@ -155,5 +155,31 @@ def test_cluster_oracle_agrees_on_neardup_chain(spark, tmp_path):
         assert ok, msg
 
 
+def test_embed_cosine_audit_plan_has_no_cartesian(spark, sf_dir):
+    """The per-vector audit reshape must keep every join an
+    equi-join: LSH (table, bucket) candidate join, vec_id argmax
+    window, vec_id left join — no cartesian, no nested loop."""
+    df = REGISTRY["dedup_embed_cosine"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ann_quantizers_still_broadcast_shaped(spark, sf_dir):
+    """Determinization (struct-min argmins, decimal means, portable
+    sample hash) must not change the scale shape: the PQ codebook
+    joins stay broadcasts of constant-size frames and nothing goes
+    cartesian. (vector_ann_ivf returns an eager localCheckpoint for
+    cache ownership, so its executed plan is opaque here — its shape
+    is covered by scripts/explain_all.py's pre-checkpoint scan and
+    the scaleup_r8b decades.)"""
+    df = REGISTRY["vector_ann_pq"].fn(spark, sf_dir)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
