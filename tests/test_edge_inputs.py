@@ -402,6 +402,21 @@ def test_semdedup_empty_embeddings(spark, empty_embeddings_dir):
     assert df.collect() == []
 
 
+def test_embed_cosine_audit_empty_embeddings(spark, empty_embeddings_dir):
+    """The round-8 per-vector audit form: an empty corpus yields an
+    empty audit (the count-derived bits formula clamps at the floor
+    instead of dividing by zero or logging zero)."""
+    df = REGISTRY["dedup_embed_cosine"].fn(spark, empty_embeddings_dir)
+    assert df.collect() == []
+
+
+def test_ann_ivf_empty_embeddings(spark, empty_embeddings_dir):
+    """Empty corpus: no seeds, no cells, no probes — empty result,
+    no crash in the eager localCheckpoint."""
+    df = REGISTRY["vector_ann_ivf"].fn(spark, empty_embeddings_dir)
+    assert df.collect() == []
+
+
 @pytest.fixture(scope="module")
 def empty_orders_dir(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("empty_ord")
