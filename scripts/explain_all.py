@@ -61,7 +61,13 @@ ALLOW = {
                                 # revenue / the acctbal cutoff
                                 "sql_tpch_q11",
                                 "sql_tpch_q15",
-                                "sql_tpch_q22"},
+                                "sql_tpch_q22",
+                                # 1-row broadcasts (llmdata5 mixing
+                                # tranche): the (tot, flat_tot) /
+                                # budget-total aggregates crossed
+                                # onto the ~20-row source table
+                                "sample_temperature_mix",
+                                "corpus_token_budget_alloc"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),
