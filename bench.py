@@ -135,6 +135,9 @@ OPTIONAL = [
     "corpus_token_budget_alloc",
     # round 8
     "multimodal_decode_gif",
+    "text_ngram_novelty",
+    "stats_ks_drift",
+    "corpus_vocab_growth",
 ]
 
 

@@ -1,0 +1,258 @@
+"""Round-8 tranche: corpus diagnostics (§2.12c).
+
+Three curation-side diagnostics a 100 TB training-data pipeline runs
+between dedup and sampling: per-document n-gram NOVELTY (how much of
+a doc is first-seen here — the dedup-adjacent keep signal),
+distribution DRIFT between corpus segments (two-sample
+Kolmogorov-Smirnov over a fixed histogram — the scale-right KS), and
+the VOCABULARY GROWTH curve (Heaps-law diagnostic: is the corpus
+still contributing new tokens, or has collection saturated?).
+
+All three are exactly DuckDB-oracled: hashes are the portable md5
+family, ratios are rounded at the engine boundary, and every
+cumulative runs over a FIXED tiny domain (10 deciles / 256 buckets),
+never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import fanout, load
+from ..registry import register
+from .dedup import SHINGLE_W, _shingles, _tokens, portable_hash32
+
+_NOVELTY_SHINGLE_SQL = f"""
+      SELECT DISTINCT doc_id, UNNEST(list_transform(
+        range(1, greatest(len(t) - {SHINGLE_W - 1}, 0) + 1),
+        i -> CAST(('0x' || substr(md5(array_to_string(
+               t[CAST(i AS BIGINT):CAST(i + {SHINGLE_W - 1} AS BIGINT)],
+               ' ')), 1, 8)) AS BIGINT))) AS h
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+"""
+
+
+@register(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH sh AS ({_NOVELTY_SHINGLE_SQL}
+    ), firsts AS (
+      SELECT h, MIN(doc_id) AS first_doc FROM sh GROUP BY h
+    ), per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_ngrams,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      FROM sh JOIN firsts f ON f.h = sh.h
+      GROUP BY sh.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(p.n_ngrams, 0) AS n_ngrams,
+           COALESCE(p.n_novel, 0) AS n_novel,
+           ROUND(COALESCE(p.n_novel / p.n_ngrams, 0.0), 9) AS novelty
+    FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """,
+    tags=("text", "dedup", "llm-data", "quality"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    3-word shingles whose first corpus occurrence (minimum doc_id) is
+    this doc — ~1.0 for fresh content, →0 for recombinations of
+    already-seen text. The keep-score complement to pair-based dedup
+    (a doc can be 60% recycled without being anyone's near-dup).
+
+    Scale shape: shingles hash to the portable 8-byte md5 family at
+    the source, so the distinct, the first-occurrence min-aggregate
+    (map-side combined) and the join back all shuffle (hash, doc_id)
+    pairs — never shingle text. First-occurrence is an aggregate, not
+    a window: no global sort anywhere. Ratio rounds to 9 dp on both
+    sides (engine-boundary convention).
+    """
+    docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    sh = (docs.select(
+        "doc_id", F.explode(_shingles(_tokens())).alias("shingle"))
+        .select("doc_id", portable_hash32(F.col("shingle")).alias("h"))
+        .distinct())
+    firsts = sh.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (sh.join(firsts, "h")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_ngrams"),
+                    F.sum(F.when(F.col("first_doc") == F.col("doc_id"), 1)
+                          .otherwise(0)).cast("bigint").alias("n_novel")))
+    return (load(spark, sf_dir, "documents").select("doc_id")
+            .join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_ngrams", F.lit(0)).alias("n_ngrams"),
+                F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+                F.round(F.coalesce(
+                    F.col("n_novel") / F.col("n_ngrams"), F.lit(0.0)),
+                    9).alias("novelty")))
+
+
+KS_BUCKETS = 256
+
+
+@register(
+    "stats_ks_drift",
+    oracle=f"""
+    WITH pts AS (
+      SELECT o_totalprice AS x, o_orderstatus = 'F' AS seg_a
+      FROM orders
+    ), rng AS (
+      SELECT MIN(x) AS lo, MAX(x) AS hi FROM pts
+    ), bucketed AS (
+      SELECT LEAST(CAST(FLOOR({KS_BUCKETS} * (x - lo) / (hi - lo))
+                   AS INTEGER), {KS_BUCKETS - 1}) AS bucket,
+             seg_a
+      FROM pts, rng
+    ), counts AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN seg_a THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(SUM(CASE WHEN seg_a THEN 0 ELSE 1 END) AS BIGINT)
+               AS cb
+      FROM bucketed GROUP BY bucket
+    ), cum AS (
+      SELECT bucket,
+             SUM(ca) OVER (ORDER BY bucket) AS cum_a,
+             SUM(cb) OVER (ORDER BY bucket) AS cum_b,
+             SUM(ca) OVER () AS n_a, SUM(cb) OVER () AS n_b
+      FROM counts
+    ), scored AS (
+      SELECT bucket, n_a, n_b,
+             ROUND(ABS(cum_a / n_a - cum_b / n_b), 9) AS gap
+      FROM cum
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           gap AS d_stat, CAST(bucket AS INTEGER) AS at_bucket
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY gap DESC, bucket) AS rn
+          FROM scored) WHERE rn = 1
+    """,
+    tags=("stats", "quality", "llm-data"),
+)
+def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift statistic between corpus
+    segments (here: finalized vs in-flight orders over o_totalprice —
+    the stand-in for "last month's crawl vs this month's" feature
+    drift). D = max over histogram buckets of |F_A - F_B|.
+
+    The textbook KS sorts the pooled sample — a global sort, the
+    anti-pattern at 100 TB. This is the fixed-histogram form: one
+    (min, max) aggregate broadcast, one hash-aggregate into
+    {KS_BUCKETS} buckets (map-side combined), then the cumulative
+    CDFs run over the FIXED {KS_BUCKETS}-row domain — bounded state
+    regardless of corpus size, the same trick num_histogram_fixed
+    uses. Histogram granularity bounds the D estimate error at
+    max-bucket-mass, the standard trade (a production drift monitor
+    uses KLL/t-digest sketches, same contract). Bucket math is pure
+    double arithmetic identical in both engines; the gap rounds to
+    9 dp before the argmax so the reported bucket matches too."""
+    pts = load(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("x"),
+        (F.col("o_orderstatus") == "F").alias("seg_a"))
+    rng = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    bucket = F.least(
+        F.floor(KS_BUCKETS * (F.col("x") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))).cast("int"),
+        F.lit(KS_BUCKETS - 1))
+    counts = (pts.crossJoin(F.broadcast(rng))
+              .select(bucket.alias("bucket"), "seg_a")
+              .groupBy("bucket")
+              .agg(F.sum(F.when(F.col("seg_a"), 1).otherwise(0))
+                   .cast("bigint").alias("ca"),
+                   F.sum(F.when(F.col("seg_a"), 0).otherwise(1))
+                   .cast("bigint").alias("cb")))
+    wcum = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = counts.select(
+        "bucket",
+        F.sum("ca").over(wcum).alias("cum_a"),
+        F.sum("cb").over(wcum).alias("cum_b"),
+        F.sum("ca").over(wall).alias("n_a"),
+        F.sum("cb").over(wall).alias("n_b"))
+    scored = cum.select(
+        "bucket", "n_a", "n_b",
+        F.round(F.abs(F.col("cum_a") / F.col("n_a")
+                      - F.col("cum_b") / F.col("n_b")), 9).alias("gap"))
+    wtop = Window.orderBy(F.desc("gap"), F.asc("bucket"))
+    return (scored.withColumn("rn", F.row_number().over(wtop))
+            .filter(F.col("rn") == 1)
+            .select(F.col("n_a").cast("bigint").alias("n_a"),
+                    F.col("n_b").cast("bigint").alias("n_b"),
+                    F.col("gap").alias("d_stat"),
+                    F.col("bucket").cast("int").alias("at_bucket")))
+
+
+VOCAB_DECILES = 10
+
+
+@register(
+    "corpus_vocab_growth",
+    oracle=f"""
+    WITH mx AS (
+      SELECT MAX(doc_id) + 1 AS n FROM documents
+    ), tok AS (
+      SELECT DISTINCT doc_id,
+             CAST(('0x' || substr(md5(UNNEST(string_split(text, ' '))),
+                   1, 8)) AS BIGINT) AS h
+      FROM documents
+    ), firsts AS (
+      SELECT h, MIN(doc_id) AS first_doc FROM tok GROUP BY h
+    ), decs AS (
+      SELECT LEAST(CAST(FLOOR({VOCAB_DECILES} * first_doc / n)
+                   AS INTEGER), {VOCAB_DECILES - 1}) AS decile
+      FROM firsts, mx
+    ), counts AS (
+      SELECT decile, COUNT(*) AS new_tokens FROM decs GROUP BY decile
+    ), spine AS (
+      SELECT UNNEST(range({VOCAB_DECILES})) AS decile
+    )
+    SELECT CAST(s.decile AS INTEGER) AS decile,
+           COALESCE(c.new_tokens, 0) AS new_tokens,
+           CAST(SUM(COALESCE(c.new_tokens, 0))
+                OVER (ORDER BY s.decile) AS BIGINT) AS cum_vocab
+    FROM spine s LEFT JOIN counts c ON c.decile = s.decile
+    """,
+    tags=("text", "stats", "llm-data"),
+)
+def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps-law diagnostic): the corpus is
+    split into {VOCAB_DECILES} doc_id deciles and each distinct token
+    is credited to the decile of its FIRST occurrence; the cumulative
+    curve shows whether more data still buys new vocabulary (healthy
+    sublinear growth) or the collection has saturated/duplicated
+    (flat tail) — the collection-level complement to per-doc novelty.
+
+    Scale shape: tokens hash to 8 bytes at the source, first
+    occurrence is one min-aggregate on the hash (map-side combined,
+    no window, no sort over data), decile assignment is row-local
+    integer math off a 1-row MAX broadcast, and the cumulative runs
+    over a fixed {VOCAB_DECILES}-row spine generated on both engines
+    — so empty deciles still appear with new_tokens = 0."""
+    docs = fanout(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    mx = load(spark, sf_dir, "documents").agg(
+        (F.max("doc_id") + 1).alias("n"))
+    tok = (docs.select(
+        "doc_id", F.explode(_tokens()).alias("token"))
+        .select("doc_id", portable_hash32(F.col("token")).alias("h"))
+        .distinct())
+    firsts = tok.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    decile = F.least(
+        F.floor(F.lit(VOCAB_DECILES) * F.col("first_doc") / F.col("n"))
+        .cast("int"),
+        F.lit(VOCAB_DECILES - 1))
+    counts = (firsts.crossJoin(F.broadcast(mx))
+              .select(decile.alias("decile"))
+              .groupBy("decile").agg(F.count("*").alias("new_tokens")))
+    spine = spark.range(VOCAB_DECILES).select(
+        F.col("id").cast("int").alias("decile"))
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    return (spine.join(counts, "decile", "left")
+            .select("decile",
+                    F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
+            .withColumn("cum_vocab",
+                        F.sum("new_tokens").over(wcum).cast("bigint")))

@@ -60,6 +60,7 @@ def load_all_operators() -> None:
         llmdata3,
         llmdata4,
         llmdata5,
+        llmdata6,
         maintenance,
         multimodal,
         ord_queries,

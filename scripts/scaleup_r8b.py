@@ -53,6 +53,33 @@ def build_emb(spark, sf_dir: str, copies: int, out: str) -> None:
     print(f"  embeddings: {copies}x at {n} rows", flush=True)
 
 
+def build_emb_isotropic(spark, sf_dir: str, copies: int, out: str) -> None:
+    """Isotropic growth: copies get FRESH pseudo-random directions
+    (per-(vec_id, dim) hash-derived coordinates), not jitter — the
+    jittered corpus makes every copy a TRUE near-dup of its base, so
+    dedup_embed_cosine's candidate work there measures the planted
+    quadratic pair structure (28.7× pairs for 10× rows — verified),
+    not the operator. ANN ops with fixed query sets are insensitive
+    to the difference; the all-pairs near-dup audit is not."""
+    vkey = (load(spark, sf_dir, "embeddings")
+            .agg(F.max("vec_id")).collect()[0][0] + 1)
+    emb = (load(spark, sf_dir, "embeddings")
+           .withColumn("copy", F.explode(
+               F.sequence(F.lit(0), F.lit(copies - 1))))
+           .filter((F.col("copy") == 0) | (F.col("vec_id") >= 8))
+           .withColumn("vec_id", F.col("vec_id") + F.col("copy") * vkey)
+           .withColumn("embedding", F.expr(
+               "CASE WHEN copy = 0 THEN embedding ELSE "
+               "transform(sequence(0, size(embedding) - 1), i -> "
+               "CAST((pmod(xxhash64(concat(CAST(vec_id AS STRING), ':', "
+               "CAST(i AS STRING))), 2000) - 1000) / 1000.0 AS FLOAT)) "
+               "END")))
+    (emb.drop("copy").repartition(32)
+     .write.mode("overwrite").parquet(f"{out}/embeddings.parquet"))
+    n = spark.read.parquet(f"{out}/embeddings.parquet").count()
+    print(f"  embeddings (isotropic): {copies}x at {n} rows", flush=True)
+
+
 def time_op(spark, name: str, sf_dir: str) -> float:
     fn = REGISTRY[name].fn
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
@@ -90,6 +117,25 @@ def main() -> None:
             "1x": round(t1, 2), "10x": round(t10, 2), "100x": round(t100, 2),
             "ratio_1_to_10": round(t10 / t1, 1),
             "ratio_10_to_100": round(t100 / t10, 1)}
+
+    # embed_cosine again on ISOTROPIC growth: separates the
+    # operator's own scaling from the jittered corpus' quadratic
+    # true-pair structure (see build_emb_isotropic docstring).
+    iso10 = tempfile.mkdtemp(prefix="ordspark_scaleup_r8b_iso10x_")
+    iso100 = tempfile.mkdtemp(prefix="ordspark_scaleup_r8b_iso100x_")
+    build_emb_isotropic(spark, sf_dir, 10, iso10)
+    build_emb_isotropic(spark, sf_dir, 100, iso100)
+    name = "dedup_embed_cosine"
+    t1 = time_op(spark, name, sf_dir)
+    t10 = time_op(spark, name, iso10)
+    t100 = time_op(spark, name, iso100)
+    print(f"{name} (isotropic): 1x={t1:.2f}s 10x={t10:.2f}s "
+          f"100x={t100:.2f}s ratio10={t10 / t1:.1f}x "
+          f"ratio100={t100 / t10:.1f}x", flush=True)
+    summary["dedup_embed_cosine_isotropic"] = {
+        "1x": round(t1, 2), "10x": round(t10, 2), "100x": round(t100, 2),
+        "ratio_1_to_10": round(t10 / t1, 1),
+        "ratio_10_to_100": round(t100 / t10, 1)}
     summary["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print("SCALEUP_R8B_JSON " + json.dumps(summary), flush=True)
 

@@ -181,5 +181,55 @@ def test_ann_quantizers_still_broadcast_shaped(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+# ---------------------------------------------------------------------------
+# §2.12c corpus diagnostics: planted-fixture semantics
+
+
+def test_ngram_novelty_planted(spark, tmp_path):
+    """doc0 is all-novel (1.0), its verbatim copy doc1 is all-stale
+    (0.0), a half-overlap doc scores exactly its fresh fraction."""
+    rows = [(0, "a b c d e f"), (1, "a b c d e f"),
+            (2, "a b c x y z")]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = {r.doc_id: r for r in
+           REGISTRY["text_ngram_novelty"].fn(spark, d).collect()}
+    assert out[0].novelty == 1.0 and out[0].n_ngrams == 4
+    assert out[1].novelty == 0.0 and out[1].n_novel == 0
+    # doc2 shingles: (a b c) seen, (b c x)/(c x y)/(x y z) fresh
+    assert out[2].n_ngrams == 4 and out[2].n_novel == 3
+    assert out[2].novelty == 0.75
+
+
+def test_ks_drift_planted_extremes(spark, tmp_path):
+    """Identical segments → D ≈ 0; disjoint supports → D = 1."""
+    same = [(float(i), "F") for i in range(100)] + \
+           [(float(i), "O") for i in range(100)]
+    apart = [(float(i), "F") for i in range(100)] + \
+            [(float(i + 1000), "O") for i in range(100)]
+    for rows, expect in ((same, 0.0), (apart, 1.0)):
+        d = str(tmp_path / f"ord_{expect}")
+        spark.createDataFrame(
+            rows, "o_totalprice double, o_orderstatus string") \
+            .write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        r = REGISTRY["stats_ks_drift"].fn(spark, d).collect()[0]
+        assert r.d_stat == expect, (expect, r)
+        assert r.n_a == 100 and r.n_b == 100
+
+
+def test_vocab_growth_planted(spark, tmp_path):
+    """Each of 10 docs introduces one private token; a shared token
+    is credited only to decile 0; empty deciles would still appear."""
+    rows = [(i, f"common t{i}") for i in range(10)]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = sorted(REGISTRY["corpus_vocab_growth"].fn(spark, d).collect(),
+                 key=lambda r: r.decile)
+    assert [r.new_tokens for r in out] == [2] + [1] * 9
+    assert [r.cum_vocab for r in out] == list(range(2, 12))
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
