@@ -175,6 +175,21 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _R = N_HASHES // N_BANDS  # rows per band
 
 
+def shingle_hash_unnest_sql(toks: str = "t") -> str:
+    """DuckDB expression UNNESTing a doc's w-word shingles, each
+    hashed with the portable md5-head-32 idiom — the ONE home for
+    the shingle-hash recipe (round-8 review: it had grown a second
+    copy in text_ngram_novelty's oracle). Shared by the minhash CTE
+    chain and llmdata6; a retune of SHINGLE_W or the hash idiom now
+    lands everywhere at once."""
+    w = SHINGLE_W
+    return f"""UNNEST(list_transform(
+        range(1, greatest(len({toks}) - {w - 1}, 0) + 1),
+        i -> CAST(('0x' || substr(md5(array_to_string(
+               {toks}[CAST(i AS BIGINT):CAST(i + {w - 1} AS BIGINT)],
+               ' ')), 1, 8)) AS BIGINT)))"""
+
+
 def _minhash_pair_ctes() -> str:
     """CTE chain defining ``mh_pairs(doc_a, doc_b, est_jaccard)`` —
     the exact minhash+LSH pipeline in DuckDB SQL: same md5-derived
@@ -189,15 +204,10 @@ def _minhash_pair_ctes() -> str:
     matches = " + ".join(
         f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
         for i in range(N_HASHES))
-    w = SHINGLE_W
     return f"""toks AS (
       SELECT doc_id, string_split(text, ' ') AS t FROM documents
     ), sh AS (
-      SELECT doc_id, UNNEST(list_transform(
-        range(1, greatest(len(t) - {w - 1}, 0) + 1),
-        i -> CAST(('0x' || substr(md5(array_to_string(
-               t[CAST(i AS BIGINT):CAST(i + {w - 1} AS BIGINT)], ' ')),
-             1, 8)) AS BIGINT))) AS h
+      SELECT doc_id, {shingle_hash_unnest_sql("t")} AS h
       FROM toks
     ), sig AS (
       SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id

@@ -21,14 +21,15 @@ from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
 from ..registry import register
-from .dedup import SHINGLE_W, _shingles, _tokens, portable_hash32
+from .dedup import (
+    _shingles,
+    _tokens,
+    portable_hash32,
+    shingle_hash_unnest_sql,
+)
 
 _NOVELTY_SHINGLE_SQL = f"""
-      SELECT DISTINCT doc_id, UNNEST(list_transform(
-        range(1, greatest(len(t) - {SHINGLE_W - 1}, 0) + 1),
-        i -> CAST(('0x' || substr(md5(array_to_string(
-               t[CAST(i AS BIGINT):CAST(i + {SHINGLE_W - 1} AS BIGINT)],
-               ' ')), 1, 8)) AS BIGINT))) AS h
+      SELECT DISTINCT doc_id, {shingle_hash_unnest_sql("t")} AS h
       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
 """
 
@@ -103,8 +104,10 @@ KS_BUCKETS = 256
     ), rng AS (
       SELECT MIN(x) AS lo, MAX(x) AS hi FROM pts
     ), bucketed AS (
-      SELECT LEAST(CAST(FLOOR({KS_BUCKETS} * (x - lo) / (hi - lo))
-                   AS INTEGER), {KS_BUCKETS - 1}) AS bucket,
+      SELECT CASE WHEN hi = lo THEN 0
+                  ELSE LEAST(CAST(FLOOR({KS_BUCKETS} * (x - lo)
+                                        / (hi - lo)) AS INTEGER),
+                             {KS_BUCKETS - 1}) END AS bucket,
              seg_a
       FROM pts, rng
     ), counts AS (
@@ -122,7 +125,9 @@ KS_BUCKETS = 256
       FROM counts
     ), scored AS (
       SELECT bucket, n_a, n_b,
-             ROUND(ABS(cum_a / n_a - cum_b / n_b), 9) AS gap
+             ROUND(COALESCE(ABS(cum_a / NULLIF(n_a, 0)
+                                - cum_b / NULLIF(n_b, 0)), 0.0), 9)
+               AS gap
       FROM cum
     )
     SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
@@ -148,15 +153,24 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     max-bucket-mass, the standard trade (a production drift monitor
     uses KLL/t-digest sketches, same contract). Bucket math is pure
     double arithmetic identical in both engines; the gap rounds to
-    9 dp before the argmax so the reported bucket matches too."""
+    9 dp before the argmax so the reported bucket matches too.
+
+    Degenerate inputs are pinned explicitly (round-8 review): a
+    constant-price corpus (hi == lo) maps every row to bucket 0 by
+    CASE on both engines — without the guard Spark's 0.0/0.0 = NaN
+    and DuckDB's NULL diverge — and an empty segment coalesces the
+    gap to 0.0 (D is undefined with an empty sample; 0.0 is the
+    deterministic sentinel both engines agree on, vs NaN-sorts-first
+    in Spark against NULL-sorts-last in DuckDB)."""
     pts = load(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("x"),
         (F.col("o_orderstatus") == "F").alias("seg_a"))
     rng = pts.agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
-    bucket = F.least(
-        F.floor(KS_BUCKETS * (F.col("x") - F.col("lo"))
-                / (F.col("hi") - F.col("lo"))).cast("int"),
-        F.lit(KS_BUCKETS - 1))
+    bucket = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor(KS_BUCKETS * (F.col("x") - F.col("lo"))
+                    / (F.col("hi") - F.col("lo"))).cast("int"),
+            F.lit(KS_BUCKETS - 1)))
     counts = (pts.crossJoin(F.broadcast(rng))
               .select(bucket.alias("bucket"), "seg_a")
               .groupBy("bucket")
@@ -175,8 +189,10 @@ def stats_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cb").over(wall).alias("n_b"))
     scored = cum.select(
         "bucket", "n_a", "n_b",
-        F.round(F.abs(F.col("cum_a") / F.col("n_a")
-                      - F.col("cum_b") / F.col("n_b")), 9).alias("gap"))
+        F.round(F.coalesce(
+            F.abs(F.col("cum_a") / F.nullif(F.col("n_a"), F.lit(0))
+                  - F.col("cum_b") / F.nullif(F.col("n_b"), F.lit(0))),
+            F.lit(0.0)), 9).alias("gap"))
     wtop = Window.orderBy(F.desc("gap"), F.asc("bucket"))
     return (scored.withColumn("rn", F.row_number().over(wtop))
             .filter(F.col("rn") == 1)

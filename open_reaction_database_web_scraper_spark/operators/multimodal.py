@@ -305,6 +305,17 @@ def _lzw_encode(indices: bytes, min_code_size: int) -> bytes:
         w = bytes([x])
     if w:
         emit(table[w])
+        # End-of-stream twin of the in-loop width bump (round-8
+        # review, fuzz-found): the decoder ADDS one more entry after
+        # reading this final code — its table builds one code behind
+        # the encoder's, so at this point its length equals OUR
+        # next_code. If that final add fills the table to 2^width,
+        # the decoder bumps the width BEFORE reading EOI; without
+        # mirroring it here the EOI is written narrow and the stream
+        # fails to terminate whenever the boundary lands on the last
+        # data code (34/20000 random rasters at min sizes 2-7).
+        if next_code == (1 << code_size) and code_size < 12:
+            code_size += 1
     emit(eoi)
     if nbits:
         out.append(cur & 0xFF)

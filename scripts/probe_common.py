@@ -1,0 +1,47 @@
+"""Shared helpers for the scaleup_r* probe scripts (round-8 review:
+the timing harness and the salted-documents corpus builder had grown
+three verbatim copies — one home, like operators' _auto_width).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from open_reaction_database_web_scraper_spark.catalog import load
+from open_reaction_database_web_scraper_spark.registry import REGISTRY
+
+
+def time_op(spark, name: str, sf_dir: str) -> float:
+    """Warm once (codegen/JIT/footer caches), then one timed
+    noop-sink materialization with caches dropped on both sides —
+    the probe scripts' standard protocol."""
+    fn = REGISTRY[name].fn
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    return time.perf_counter() - t0
+
+
+def build_salted_docs(spark, sf_dir: str, copies: int, out: str) -> None:
+    """documents × copies with per-copy salt tokens INTERLEAVED
+    (regexp space → ' s<copy> '), so cross-copy shingle/block overlap
+    is 0 and true shared structure stays 1x-like within each copy —
+    the corpus-growth model every documents-side probe uses."""
+    dkey = (load(spark, sf_dir, "documents")
+            .agg(F.max("doc_id")).collect()[0][0] + 1)
+    salt = F.concat(F.lit(" s"), F.col("copy").cast("string"), F.lit(" "))
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("copy", F.explode(
+                F.sequence(F.lit(0), F.lit(copies - 1))))
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * dkey)
+            .withColumn("text", F.when(
+                F.col("copy") == 0, F.col("text")).otherwise(
+                F.regexp_replace("text", " ", salt))))
+    (docs.drop("copy").repartition(32)
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    n = spark.read.parquet(f"{out}/documents.parquet").count()
+    print(f"  documents: {copies}x at {n} rows", flush=True)

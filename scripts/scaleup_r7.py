@@ -19,7 +19,6 @@ import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -31,10 +30,10 @@ from open_reaction_database_web_scraper_spark.operators.dedup import (  # noqa: 
     _path_bytes,
 )
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
-    REGISTRY,
     load_all_operators,
 )
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+from scripts.probe_common import time_op  # noqa: E402
 
 
 def build_docs(spark, sf_dir: str, copies: int, out: str) -> None:
@@ -54,15 +53,6 @@ def build_docs(spark, sf_dir: str, copies: int, out: str) -> None:
     print(f"  documents: {copies}x at {n} rows, "
           f"{_path_bytes(f'{out}/documents.parquet') >> 20} MiB", flush=True)
 
-
-def time_op(spark, name: str, sf_dir: str) -> float:
-    fn = REGISTRY[name].fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    return time.perf_counter() - t0
 
 
 def main() -> None:

@@ -18,7 +18,6 @@ import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -30,6 +29,7 @@ from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     load_all_operators,
 )
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+from scripts.probe_common import time_op  # noqa: E402
 
 OPS = ("dedup_simhash", "text_fingerprint", "vector_ann_lsh")
 
@@ -57,15 +57,6 @@ def build_scaled(spark, sf_dir: str, copies: int, out: str) -> None:
         n = spark.read.parquet(f"{out}/{table}.parquet").count()
         print(f"  {table}: {copies}x at {n} rows", flush=True)
 
-
-def time_op(spark, name: str, sf_dir: str) -> float:
-    fn = REGISTRY[name].fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    return time.perf_counter() - t0
 
 
 def main() -> None:

@@ -21,47 +21,17 @@ import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from open_reaction_database_web_scraper_spark.catalog import load  # noqa: E402
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
-    REGISTRY,
     load_all_operators,
 )
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+from scripts.probe_common import build_salted_docs, time_op  # noqa: E402
 
 OPS = ("text_boilerplate_strip", "dedup_subdoc_blocks")
 
-
-def build_docs(spark, sf_dir: str, copies: int, out: str) -> None:
-    dkey = (load(spark, sf_dir, "documents")
-            .agg(F.max("doc_id")).collect()[0][0] + 1)
-    salt = F.concat(F.lit(" s"), F.col("copy").cast("string"), F.lit(" "))
-    docs = (load(spark, sf_dir, "documents")
-            .withColumn("copy", F.explode(
-                F.sequence(F.lit(0), F.lit(copies - 1))))
-            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * dkey)
-            .withColumn("text", F.when(
-                F.col("copy") == 0, F.col("text")).otherwise(
-                F.regexp_replace("text", " ", salt))))
-    (docs.drop("copy").repartition(32)
-     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
-    n = spark.read.parquet(f"{out}/documents.parquet").count()
-    print(f"  documents: {copies}x at {n} rows", flush=True)
-
-
-def time_op(spark, name: str, sf_dir: str) -> float:
-    fn = REGISTRY[name].fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -75,9 +45,9 @@ def main() -> None:
     big10 = tempfile.mkdtemp(prefix="ordspark_scaleup_r8_10x_")
     big100 = tempfile.mkdtemp(prefix="ordspark_scaleup_r8_100x_")
     print("building 10x ...", flush=True)
-    build_docs(spark, sf_dir, 10, big10)
+    build_salted_docs(spark, sf_dir, 10, big10)
     print("building 100x ...", flush=True)
-    build_docs(spark, sf_dir, 100, big100)
+    build_salted_docs(spark, sf_dir, 100, big100)
 
     summary: dict = {}
     for name in OPS:

@@ -20,7 +20,6 @@ import json
 import os
 import sys
 import tempfile
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -28,10 +27,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from open_reaction_database_web_scraper_spark.catalog import load  # noqa: E402
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
-    REGISTRY,
     load_all_operators,
 )
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+from scripts.probe_common import time_op  # noqa: E402
 
 OPS = ("dedup_embed_cosine", "vector_ann_ivf", "vector_ann_pq")
 
@@ -79,15 +78,6 @@ def build_emb_isotropic(spark, sf_dir: str, copies: int, out: str) -> None:
     n = spark.read.parquet(f"{out}/embeddings.parquet").count()
     print(f"  embeddings (isotropic): {copies}x at {n} rows", flush=True)
 
-
-def time_op(spark, name: str, sf_dir: str) -> float:
-    fn = REGISTRY[name].fn
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    spark.catalog.clearCache()
-    return time.perf_counter() - t0
 
 
 def main() -> None:

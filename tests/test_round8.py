@@ -90,6 +90,26 @@ def test_gif_corruption_classes_map_to_sentinel():
     assert decode_real(with_ext, "gif") == (sum(idx), 6, 4)
 
 
+def test_gif_lzw_eoi_width_boundary():
+    """End-of-stream width off-by-one regression (round-8 review,
+    fuzz-found): when the decoder's add after the FINAL data code
+    fills the table to exactly 2^width, it bumps the width before
+    reading EOI — the encoder must mirror that or the EOI is written
+    narrow and decode dies with 'ended before EOI'. The all-distinct-
+    pairs raster sweep below lands the boundary on the last code for
+    several lengths; a seeded fuzz belt covers the small code sizes."""
+    for n in range(4080, 4100):
+        idx = bytes((i * 2) % 256 if i % 2 == 0 else (i * 2 + 1) % 256
+                    for i in range(n))
+        assert _gif_decode(encode_gif(idx, n, 1)) == (sum(idx), n, 1)
+    random.seed(1234)
+    for _ in range(2000):
+        mcs = random.randrange(2, 8)
+        n = random.randrange(1, 400)
+        data = bytes(random.randrange(1 << mcs) for _ in range(n))
+        assert bytes(_lzw_decode(_lzw_encode(data, mcs), mcs, n)) == data
+
+
 @settings(max_examples=25, deadline=None)
 @given(w=st.integers(1, 20), h=st.integers(1, 20),
        data=st.binary(min_size=0, max_size=400))
@@ -216,6 +236,32 @@ def test_ks_drift_planted_extremes(spark, tmp_path):
         r = REGISTRY["stats_ks_drift"].fn(spark, d).collect()[0]
         assert r.d_stat == expect, (expect, r)
         assert r.n_a == 100 and r.n_b == 100
+
+
+def test_ks_drift_degenerate_inputs_match_oracle(spark, tmp_path):
+    """Round-8 review hardening: constant-price corpora (hi == lo →
+    0.0/0.0 is NaN in Spark but NULL in DuckDB without the CASE) and
+    one-empty-segment corpora (gap division by zero) must produce
+    IDENTICAL, defined results on both engines — bucket 0 and
+    d_stat 0.0 respectively."""
+    from open_reaction_database_web_scraper_spark.testing import compare
+
+    const = [(42.0, "F")] * 30 + [(42.0, "O")] * 20
+    onesided = [(float(i), "F") for i in range(50)]
+    for tag, rows in (("const", const), ("onesided", onesided)):
+        d = str(tmp_path / f"ord_{tag}")
+        spark.createDataFrame(
+            rows, "o_totalprice double, o_orderstatus string") \
+            .write.mode("overwrite").parquet(f"{d}/orders.parquet")
+        spec = REGISTRY["stats_ks_drift"]
+        ok, msg = compare(spec.fn(spark, d), spec.oracle, d,
+                          f"stats_ks_drift[{tag}]")
+        assert ok, msg
+        r = spec.fn(spark, d).collect()[0]
+        if tag == "const":
+            assert r.at_bucket == 0 and r.d_stat == 0.0
+        else:
+            assert r.d_stat == 0.0 and r.n_b == 0
 
 
 def test_vocab_growth_planted(spark, tmp_path):
