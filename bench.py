@@ -138,6 +138,8 @@ OPTIONAL = [
     "text_ngram_novelty",
     "stats_ks_drift",
     "corpus_vocab_growth",
+    "text_bpe_pair_merge",
+    "sample_hard_negative_mine",
 ]
 
 

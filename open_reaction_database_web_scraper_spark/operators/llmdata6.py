@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
+from ..functions.vector_math import cosine_similarity
 from ..registry import register
 from .dedup import (
     _shingles,
@@ -272,3 +273,141 @@ def corpus_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("new_tokens", F.lit(0)).alias("new_tokens"))
             .withColumn("cum_vocab",
                         F.sum("new_tokens").over(wcum).cast("bigint")))
+
+
+BPE_TOP_K = 20
+
+
+@register(
+    "text_bpe_pair_merge",
+    oracle=f"""
+    WITH words AS (
+      SELECT UNNEST(string_split(text, ' ')) AS word FROM documents
+    ), wf AS (
+      SELECT word, COUNT(*) AS freq FROM words
+      WHERE length(word) >= 2 GROUP BY word
+    ), exploded AS (
+      SELECT UNNEST(list_transform(range(1, length(word)),
+                    i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+             freq
+      FROM wf
+    ), pairs AS (
+      SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM exploded GROUP BY pair
+    )
+    SELECT pair, pair_count, CAST(rn AS INTEGER) AS rank
+    FROM (SELECT pair, pair_count,
+                 ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS rn
+          FROM pairs) WHERE rn <= {BPE_TOP_K}
+    """,
+    tags=("text", "tokenizer", "llm-data"),
+)
+def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE training step over the corpus: count adjacent
+    character pairs inside words, weighted by word frequency, and
+    emit the top-{BPE_TOP_K} merge candidates — the inner loop of
+    byte-pair-encoding tokenizer training (Sennrich et al. 2016)
+    expressed as two hash aggregates.
+
+    Scale shape — the reason BPE training is feasible on a 100 TB
+    corpus at all: the corpus collapses to its WORD-FREQUENCY table
+    first (one hash agg, map-side combined — the vocabulary is
+    millions of rows regardless of corpus size), and pair counting
+    then runs over the vocab × word-length, never the corpus. The
+    pair domain is bounded by alphabet² per step, so the second agg
+    is tiny; top-k is a TakeOrderedAndProject. Iterating merges
+    would loop this plan with a vocab rewrite per round — this
+    registers the single auditable step (count parity is what
+    tokenizer reproducibility rests on), exactly oracled with ties
+    broken on the pair string."""
+    docs = load(spark, sf_dir, "documents")
+    words = fanout(docs.select(
+        F.explode(F.split("text", " ")).alias("word")))
+    wf = (words.filter(F.length("word") >= 2)
+          .groupBy("word").agg(F.count("*").alias("freq")))
+    pairs = (wf.select(
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2))")).alias("pair"),
+        "freq")
+        .groupBy("pair")
+        .agg(F.sum("freq").cast("bigint").alias("pair_count")))
+    wtop = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (pairs.withColumn("rank", F.row_number().over(wtop))
+            .filter(F.col("rank") <= BPE_TOP_K)
+            .select("pair", "pair_count", F.col("rank").cast("int")))
+
+
+HARDNEG_K = 3       # hard negatives mined per probe vector
+
+
+@register(
+    "sample_hard_negative_mine",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), q AS (
+      SELECT * FROM emb WHERE vec_id % 25 = 0
+    ), c AS (
+      SELECT * FROM emb WHERE vec_id % 25 <> 0
+    ), scored AS (
+      SELECT q.vec_id AS query_id, q.label AS label,
+             c.vec_id AS negative_id, c.label AS neg_label,
+             ROUND(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 9) AS cosine
+      FROM q JOIN c ON q.label <> c.label
+    ), ranked AS (
+      SELECT query_id, label, negative_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, negative_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, label, negative_id, neg_label, cosine
+    FROM ranked WHERE rn <= {HARDNEG_K}
+    """,
+    tags=("vector", "sample", "llm-data"),
+)
+def sample_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training data: for every
+    probe vector (the 1/25 deterministic slice vector_knn_join also
+    uses), the {HARDNEG_K} highest-cosine vectors with a DIFFERENT
+    label — the near-miss negatives that make embedding training
+    converge (random negatives are trivially separable).
+
+    The mirror image of vector_knn_join — but label INEQUALITY is
+    not a blocking key, and a naive ``q.join(c, label != label)``
+    plans as a nested-loop broadcast of the probe side, which GROWS
+    with the corpus. Instead each probe fans out across the BOUNDED
+    label domain minus its own (the only inequality join left is
+    probe × |labels| rows — the same constant-small-side class as
+    the engine's scalar-subquery broadcasts), and the corpus-sized
+    join is then a plain hash EQUI-join on neg_label. At 100 TB the
+    negative pool per probe would further narrow to the probe's
+    ANN-candidate cells minus its own label — vector_ann_* build
+    exactly those. Cosines are elementwise-exact cross-engine
+    (double cast before the sequential fold) and rounded to 9 dp
+    before ranking, tie-broken on negative_id — the round-8
+    boundary convention."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    is_probe = F.pmod(F.col("vec_id"), F.lit(25)) == 0
+    q = emb.filter(is_probe).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("e").alias("qe"))
+    lab = emb.select(F.col("label").alias("neg_label")).distinct()
+    qx = q.join(F.broadcast(lab), F.col("label") != F.col("neg_label"))
+    c = emb.filter(~is_probe).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"), F.col("e").alias("ce"))
+    scored = (qx.join(c, "neg_label")
+              .withColumn("cosine",
+                          F.round(cosine_similarity(
+                              F.col("qe"), F.col("ce")), 9)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HARDNEG_K)
+            .select("query_id", "label", "negative_id", "neg_label",
+                    "cosine"))

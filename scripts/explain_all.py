@@ -67,7 +67,16 @@ ALLOW = {
                                 # budget-total aggregates crossed
                                 # onto the ~20-row source table
                                 "sample_temperature_mix",
-                                "corpus_token_budget_alloc"},
+                                "corpus_token_budget_alloc",
+                                # 1-row broadcasts (llmdata6): the
+                                # (lo, hi) range / MAX(doc_id)
+                                # aggregates crossed onto the scan
+                                "stats_ks_drift",
+                                "corpus_vocab_growth",
+                                # bounded label-DOMAIN broadcast
+                                # (|labels| rows); the corpus-sized
+                                # join is the neg_label equi-join
+                                "sample_hard_negative_mine"},
     "CartesianProduct": set(),
     "BatchEvalPython": {"udf_python_scalar", "udtf_flatten"},
     "GlobalWindow": set(),

@@ -277,5 +277,38 @@ def test_vocab_growth_planted(spark, tmp_path):
     assert [r.cum_vocab for r in out] == list(range(2, 12))
 
 
+def test_bpe_pair_merge_planted(spark, tmp_path):
+    """Word-frequency weighting: 'ab' appearing in 3 word instances
+    outranks 'cd' with 1; single-char words contribute nothing."""
+    rows = [(0, "ab ab cd x"), (1, "ab y")]
+    d = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    out = sorted(REGISTRY["text_bpe_pair_merge"].fn(spark, d).collect(),
+                 key=lambda r: r.rank)
+    assert [(r.pair, r.pair_count) for r in out] == [("ab", 3), ("cd", 1)]
+
+
+def test_hard_negative_mine_excludes_same_label(spark, tmp_path):
+    """The mined negatives must be the highest-cosine DIFFERENT-label
+    vectors: a same-label near-twin is skipped in favor of a slightly
+    less similar cross-label vector."""
+    base = [1.0, 0.0, 2.0, -1.0]
+    twin = [x * 1.001 for x in base]          # same label, cos ~ 1
+    close = [1.0, 0.1, 2.0, -1.0]             # other label, cos ~ 0.998
+    far = [0.0, 5.0, 0.0, 0.0]                # other label, cos 0
+    rows = [(0, "a", base), (1, "a", twin), (2, "b", close),
+            (3, "b", far)]
+    d = str(tmp_path / "emb")
+    spark.createDataFrame(
+        rows, "vec_id bigint, label string, embedding array<double>") \
+        .write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    out = sorted(REGISTRY["sample_hard_negative_mine"].fn(spark, d)
+                 .collect(), key=lambda r: -r.cosine)
+    assert all(r.query_id == 0 and r.neg_label == "b" for r in out)
+    assert [r.negative_id for r in out] == [2, 3]  # hard first
+    assert 1 not in {r.negative_id for r in out}   # twin excluded
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
