@@ -339,6 +339,7 @@ def text_bpe_pair_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 HARDNEG_K = 3       # hard negatives mined per probe vector
+HARDNEG_SALT = 16   # label-key salt width (see the salting note)
 
 
 @register(
@@ -397,11 +398,26 @@ def sample_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "label",
         F.col("e").alias("qe"))
     lab = emb.select(F.col("label").alias("neg_label")).distinct()
-    qx = q.join(F.broadcast(lab), F.col("label") != F.col("neg_label"))
-    c = emb.filter(~is_probe).select(
-        F.col("vec_id").alias("negative_id"),
-        F.col("label").alias("neg_label"), F.col("e").alias("ce"))
-    scored = (qx.join(c, "neg_label")
+    # SALTED equi-join (the round-8c probe's finding): neg_label has
+    # only |labels| distinct keys, so however many executors exist,
+    # at most |labels| tasks score pairs - the 100x probe measured
+    # the host stuck ~4-wide on a 1.2B-pair stage. Salting the key
+    # to (neg_label, query_id % SALT) with the pool side replicated
+    # xSALT restores SALT*|labels|-way parallelism for a xSALT
+    # pool-shuffle cost - join_salted_skew's trade, applied here
+    # because a bounded key domain is a PERMANENT skew. Output
+    # values are identical (salting only re-partitions the pairs).
+    qx = (q.join(F.broadcast(lab), F.col("label") != F.col("neg_label"))
+          .withColumn("salt",
+                      F.pmod(F.col("query_id"), F.lit(HARDNEG_SALT))
+                      .cast("int")))
+    c = (emb.filter(~is_probe)
+         .select(F.col("vec_id").alias("negative_id"),
+                 F.col("label").alias("neg_label"),
+                 F.col("e").alias("ce"))
+         .withColumn("salt", F.explode(F.sequence(
+             F.lit(0), F.lit(HARDNEG_SALT - 1)))))
+    scored = (qx.join(c, ["neg_label", "salt"])
               .withColumn("cosine",
                           F.round(cosine_similarity(
                               F.col("qe"), F.col("ce")), 9)))
