@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..catalog import fanout, load
 from ..functions.vector_math import cosine_similarity
 from ..registry import register
+from .vectors import _lsh_tables, plane_weights_lit
 from .dedup import (
     _shingles,
     _tokens,
@@ -383,10 +384,13 @@ def sample_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     label domain minus its own (the only inequality join left is
     probe × |labels| rows — the same constant-small-side class as
     the engine's scalar-subquery broadcasts), and the corpus-sized
-    join is then a plain hash EQUI-join on neg_label. At 100 TB the
-    negative pool per probe would further narrow to the probe's
-    ANN-candidate cells minus its own label — vector_ann_* build
-    exactly those. Cosines are elementwise-exact cross-engine
+    join is then a plain hash EQUI-join on neg_label. This form is
+    EXHAUSTIVE by spec — O(N²/100) pair work — and serves as the
+    ground truth for sample_hard_negative_mine_ann, the celled
+    composition that scales to 100 TB (probe pool narrowed to the
+    probe's LSH candidate cells minus its own label; recall-floor
+    tested against this query). Cosines are elementwise-exact
+    cross-engine
     (double cast before the sequential fold) and rounded to 9 dp
     before ranking, tie-broken on negative_id — the round-8
     boundary convention."""
@@ -418,6 +422,151 @@ def sample_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
          .withColumn("salt", F.explode(F.sequence(
              F.lit(0), F.lit(HARDNEG_SALT - 1)))))
     scored = (qx.join(c, ["neg_label", "salt"])
+              .withColumn("cosine",
+                          F.round(cosine_similarity(
+                              F.col("qe"), F.col("ce")), 9)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("negative_id"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= HARDNEG_K)
+            .select("query_id", "label", "negative_id", "neg_label",
+                    "cosine"))
+
+
+HARDNEG_TABLES = 8        # OR-amplification buys the recall floor
+HARDNEG_TARGET_BUCKET = 64  # target pool vectors per bucket per table
+HARDNEG_MIN_BITS, HARDNEG_MAX_BITS = 3, 24
+HARDNEG_PLANE_BASE = 2000  # plane namespace: ANN=0, dedup=1000, miner=2000
+
+
+def _hardneg_ann_oracle_sql() -> str:
+    """DuckDB SQL recomputing the celled miner EXACTLY: the same
+    driver-side plane weights interpolate as a DOUBLE[][] literal
+    (plane_weights_lit — the vector_ann_lsh/dedup_embed_cosine
+    contract), bits is re-derived from COUNT(*) with the same
+    clamped-ceil-log2 formula, so both engines fold identical sign
+    bits into identical buckets, build the identical cross-label
+    candidate set, and rerank with the 9-dp-rounded exact cosine.
+    Approximate vs the exhaustive miner, exact vs this plan — fully
+    value-checked."""
+    w_lit = plane_weights_lit(HARDNEG_TABLES * HARDNEG_MAX_BITS,
+                              HARDNEG_PLANE_BASE)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), params AS (
+      SELECT LEAST(GREATEST(CAST(CEIL(LOG2(GREATEST(COUNT(*), 2)
+                 / {HARDNEG_TARGET_BUCKET}.0)) AS INTEGER),
+                 {HARDNEG_MIN_BITS}), {HARDNEG_MAX_BITS}) AS bits
+      FROM embeddings
+    ), w AS (SELECT {w_lit} AS w),
+    bitv AS (
+      SELECT e.vec_id, e.label, t.t AS tbl,
+             CASE WHEN list_dot_product(e.e,
+                    (w.w)[p.bits * t.t + i.i + 1][1:len(e.e)]) > 0
+                  THEN (CAST(1 AS BIGINT) << (p.bits - 1 - i.i))
+                  ELSE 0 END AS bv
+      FROM emb e, params p, w,
+           range(0, {HARDNEG_TABLES}) AS t(t),
+           range(0, {HARDNEG_MAX_BITS}) AS i(i)
+      WHERE i.i < p.bits
+    ), sigs AS (
+      SELECT vec_id, label, tbl, SUM(bv) AS bucket FROM bitv
+      GROUP BY vec_id, label, tbl
+    ), cand AS (
+      SELECT DISTINCT s.vec_id AS query_id, s.label AS label,
+             c.vec_id AS negative_id, c.label AS neg_label
+      FROM sigs s JOIN sigs c
+        ON s.tbl = c.tbl AND s.bucket = c.bucket
+       AND s.label <> c.label
+      WHERE s.vec_id % 25 = 0 AND c.vec_id % 25 <> 0
+    ), scored AS (
+      SELECT cand.query_id, cand.label, cand.negative_id,
+             cand.neg_label,
+             ROUND(list_dot_product(q.e, c.e)
+               / (sqrt(list_dot_product(q.e, q.e))
+                  * sqrt(list_dot_product(c.e, c.e))), 9) AS cosine
+      FROM cand
+      JOIN emb q ON q.vec_id = cand.query_id
+      JOIN emb c ON c.vec_id = cand.negative_id
+    ), ranked AS (
+      SELECT query_id, label, negative_id, neg_label, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+               ORDER BY cosine DESC, negative_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, label, negative_id, neg_label, cosine
+    FROM ranked WHERE rn <= {HARDNEG_K}
+    """
+
+
+@register(
+    "sample_hard_negative_mine_ann",
+    oracle=_hardneg_ann_oracle_sql(),
+    tags=("vector", "sample", "approx", "llm-data"),
+)
+def sample_hard_negative_mine_ann(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Hard-negative mining composed with the ANN index — the 100 TB
+    form of sample_hard_negative_mine (the round-8 verdict's one
+    `weak`). Each probe's negative pool is narrowed from "every
+    other-label vector" (O(N²/100) pair work — the exhaustive spec)
+    to the probe's multi-table sign-LSH candidate CELLS minus its
+    own label, then exact cosine top-{HARDNEG_K} within the pool.
+
+    Scale shape — why this survives where the exhaustive form
+    can't: vectors shuffle once as (table, bucket) keys and the
+    candidate join is a plain hash join whose per-probe fan-out is
+    BUCKET OCCUPANCY, not corpus size. The signature width ADAPTS
+    like dedup_embed_cosine's — bits = log2(N / {HARDNEG_TARGET_BUCKET}),
+    clamped to [{HARDNEG_MIN_BITS}, {HARDNEG_MAX_BITS}] — so buckets
+    hold ~{HARDNEG_TARGET_BUCKET} pool vectors each at ANY corpus
+    size and candidate work grows ∝ N (per-probe candidates ≈
+    {HARDNEG_TABLES} tables × {HARDNEG_TARGET_BUCKET}, constant),
+    while OR-ing {HARDNEG_TABLES} independent tables buys back the
+    recall narrower buckets alone would lose (measured 0.80 of the
+    exhaustive top-{HARDNEG_K} at sf0.001/sf0.01; floor-pinned ≥0.6
+    in tests/test_llmdata6.py like the vector_ann_* family). The
+    output itself is exactly DuckDB-value-checked because the oracle
+    replays the same plane weights and the same count-derived bits.
+    Probed 1x/10x/100x in SCALING.md round 9 — subquadratic decades
+    where the exhaustive form's are quadratic."""
+    import math
+
+    raw = load(spark, sf_dir, "embeddings")
+    n = raw.count()  # sizes the signature (table statistics at scale)
+    bits = min(max(int(math.ceil(math.log2(max(n, 2)
+                                           / HARDNEG_TARGET_BUCKET))),
+                   HARDNEG_MIN_BITS), HARDNEG_MAX_BITS)
+    emb = fanout(raw).select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    is_probe = F.pmod(F.col("vec_id"), F.lit(25)) == 0
+    q = emb.filter(is_probe).select(
+        F.col("vec_id").alias("query_id"), "label",
+        F.col("e").alias("qe"))
+    pool = emb.filter(~is_probe).select(
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("neg_label"),
+        F.col("e").alias("ce"))
+    tables = lambda col: _lsh_tables(  # noqa: E731
+        spark, col, n_tables=HARDNEG_TABLES, bits=bits,
+        plane_base=HARDNEG_PLANE_BASE)
+    qb = q.select(
+        "query_id", "label", "qe",
+        F.posexplode(tables(F.col("qe"))).alias("table_id", "bucket"))
+    cb = pool.select(
+        "negative_id", "neg_label",
+        F.posexplode(tables(F.col("ce"))).alias("table_id", "bucket"))
+    # candidate exchange carries ids + one query vector, never both
+    # embeddings; the pool vector re-joins by id after the dedup.
+    cand = (qb.join(cb, ["table_id", "bucket"])
+            .filter(F.col("label") != F.col("neg_label"))
+            .select("query_id", "label", "qe",
+                    "negative_id", "neg_label")
+            .dropDuplicates(["query_id", "negative_id"]))
+    scored = (cand.join(pool.select("negative_id", "ce"),
+                        "negative_id")
               .withColumn("cosine",
                           F.round(cosine_similarity(
                               F.col("qe"), F.col("ce")), 9)))

@@ -145,23 +145,44 @@ def _lsh_tables(spark: SparkSession, vec: F.Column,
                 1).otherwise(0)))
 
 
+def plane_weights_lit(n_planes: int, plane_base: int = 0) -> str:
+    """DOUBLE[][] literal of `n_planes` consecutive plane-weight rows
+    starting at `plane_base` — the interpolation every LSH oracle
+    shares so DuckDB folds the identical sign bits."""
+    planes = [plane_base + i for i in range(n_planes)]
+    _plane_weights(None, planes)
+    return "[" + ", ".join(
+        "[" + ", ".join(repr(x) for x in _PLANE_W[p]) + "]"
+        for p in planes) + "]::DOUBLE[][]"
+
+
+def lsh_oracle_parts(n_tables: int = N_TABLES,
+                     bits: int = BITS_PER_TABLE,
+                     plane_base: int = 0) -> tuple[str, str]:
+    """(weight-literal SQL, bucket-expression SQL) for a DuckDB
+    oracle that recomputes the multi-table sign-LSH bit-for-bit: the
+    driver-side plane weights interpolate as a DOUBLE[][] literal and
+    the bucket expression folds the same MSB-first sign bits over
+    `e` (a DOUBLE[] column) for table alias `t.t`. Shared by
+    vector_ann_lsh's oracle and any query that composes with its
+    candidate cells (sample_hard_negative_mine_ann)."""
+    w_lit = plane_weights_lit(n_tables * bits, plane_base)
+    # MSB-first fold: bit for plane i carries 2^(bits-1-i)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(e, (w.w)[t.t*{bits}"
+        f" + {i + 1}][1:len(e)]) > 0"
+        f" THEN {1 << (bits - 1 - i)} ELSE 0 END)"
+        for i in range(bits))
+    return w_lit, bucket
+
+
 def _ann_lsh_oracle_sql() -> str:
     """DuckDB SQL recomputing the EXACT multi-table LSH: the same
     driver-side plane weights are interpolated as a 24×64 DOUBLE
     literal, so both engines fold identical sign bits into identical
     buckets, then the rerank reuses the proven exact-cosine idiom
     from vector_topk_similarity's oracle."""
-    planes = list(range(N_TABLES * BITS_PER_TABLE))
-    _plane_weights(None, planes)
-    w_lit = "[" + ", ".join(
-        "[" + ", ".join(repr(x) for x in _PLANE_W[p]) + "]"
-        for p in planes) + "]::DOUBLE[][]"
-    # MSB-first fold: bit for plane i carries 2^(bits-1-i)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(e, (w.w)[t.t*{BITS_PER_TABLE}"
-        f" + {i + 1}][1:len(e)]) > 0"
-        f" THEN {1 << (BITS_PER_TABLE - 1 - i)} ELSE 0 END)"
-        for i in range(BITS_PER_TABLE))
+    w_lit, bucket = lsh_oracle_parts()
     cos = ("ROUND(list_dot_product(q.e, c.e)"
            " / (sqrt(list_dot_product(q.e, q.e))"
            " * sqrt(list_dot_product(c.e, c.e))), 9)")
