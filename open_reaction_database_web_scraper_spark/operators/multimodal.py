@@ -8,11 +8,12 @@ Spark-side plumbing (schema, parquet round-trip, partition-preserving
 formats a stdlib parser can serve: ``decode_real`` decodes binary
 PPM/PGM, uncompressed 24-bit BMP, non-interlaced 8-bit PNG (zlib
 inflate + full unfilter), GIF89a (block walk + own-code LZW inflate)
-and PCM WAV (RIFF chunk walk) in pure python. Formats needing an
-external library (jpeg, compressed audio, video — none installed in
-this container) fall back through ``decode`` to ``decode_stub``'s
-deterministic fake; that fallback is the pillow/torchaudio/pyav
-integration point.
+PCM WAV (RIFF chunk walk) and baseline-JPEG (own-code Huffman +
+batched IDCT) in pure python (+numpy for the dense transforms).
+Formats needing an external library (compressed audio, video — none
+installed in this container) fall back through ``decode`` to
+``decode_stub``'s deterministic fake; that fallback is the
+torchaudio/pyav integration point.
 """
 
 from __future__ import annotations
@@ -426,15 +427,18 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
     where pixel_sum covers actual raster bytes only (header, BMP row
     padding and PNG filter bytes excluded), so the value changes iff
     pixel data changes. PCM WAV (RIFF chunk walk) joins the family in
-    round 7 under the same contract (sum = PCM data bytes). Formats
-    needing an external codec (jpeg, compressed audio, video, exotic
-    PNG variants) raise ``ValueError`` and the caller falls back to
-    the stub — that fallback edge is the integration point for
-    pillow/torchaudio/pyav."""
+    round 7 under the same contract (sum = PCM data bytes); baseline
+    grayscale JPEG (own-code Huffman + IDCT) in round 9. Formats
+    needing an external codec (compressed audio, video, exotic PNG
+    variants, color/progressive JPEG) raise ``ValueError`` and the
+    caller falls back to the stub — that fallback edge is the
+    integration point for pillow/torchaudio/pyav."""
     if fmt == "png":
         return _png_decode(payload)
     if fmt == "gif":
         return _gif_decode(payload)
+    if fmt == "jpeg":
+        return _jpeg_decode(payload)
     if fmt in ("ppm", "pgm"):
         magic, (w, h, maxval), off = _pnm_header(payload)
         channels = {b"P6": 3, b"P5": 1}.get(magic)
@@ -518,14 +522,14 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
                      "plug pillow/torchaudio/pyav here")
 
 
-REAL_FMTS = ("ppm", "pgm", "bmp", "png", "gif", "wav")
+REAL_FMTS = ("ppm", "pgm", "bmp", "png", "gif", "wav", "jpeg")
 CORRUPT_SENTINEL = (-1, 0, 0)  # impossible for a real decode
 
 
 def decode(payload: bytes, fmt: str) -> tuple[int, int, int]:
     """Codec dispatch, total over any (payload, fmt): formats with a
-    stdlib parser go to ``decode_real``; everything else ('txt',
-    jpeg/audio/video — the pillow/pyav integration point) goes to the
+    pure-python parser go to ``decode_real``; everything else ('txt',
+    audio/video codecs — the pyav integration point) goes to the
     deterministic stub WITHOUT paying a raise/catch per row. A
     corrupt payload of a SUPPORTED format returns CORRUPT_SENTINEL
     (pixel_sum −1), never stub-fabricated geometry — corruption in a
@@ -783,7 +787,68 @@ def phash64(payload: bytes) -> int:
     return bits - (1 << 64) if bits >= (1 << 63) else bits
 
 
-@register("multimodal_phash_dedup", oracle=None,
+def _phash_oracle_sql() -> str:
+    """DuckDB SQL recomputing the 64-bit block-mean phash from the
+    payload BYTES (rows-only through round 8): the payloads are the
+    documents' UTF-8 text, and ``hex(encode(text))`` exposes every
+    byte to SQL as two hex chars — so the 64 window sums, the upper
+    median threshold, the per-window bits, the 4 16-bit bands and
+    the Hamming verify are all replayed exactly. The bit vector
+    stays a LIST (band values are 16-bit sums) so no signed-int64
+    packing is needed. Window indexing matches phash64: n =
+    max(len//64, 1), windows past the payload are empty (sum 0),
+    tail bytes beyond 64·n are dropped."""
+    return f"""
+    WITH raw AS (
+      SELECT doc_id AS asset_id,
+             hex(encode(COALESCE(text, ''))) AS hx,
+             octet_length(encode(COALESCE(text, ''))) AS len_b
+      FROM documents
+    ), wins AS (
+      SELECT asset_id,
+             list_transform(range(0, 64), i ->
+               COALESCE(list_sum(list_transform(
+                 range(i * GREATEST(len_b // 64, 1),
+                       (i + 1) * GREATEST(len_b // 64, 1)),
+                 j -> CASE WHEN j < len_b THEN
+                        CAST(('0x' || substr(hx,
+                               CAST(2 * j + 1 AS INTEGER), 2))
+                             AS INTEGER)
+                      ELSE 0 END)), 0)) AS sums
+      FROM raw
+    ), bits AS (
+      SELECT asset_id,
+             list_transform(sums,
+               s -> CASE WHEN s > list_sort(sums)[33]
+                         THEN 1 ELSE 0 END) AS w
+      FROM wins
+    ), banded AS (
+      SELECT asset_id, w, t.c AS band_no,
+             list_sum(list_transform(range(0, 16),
+               k -> w[CAST(48 - 16 * t.c + k + 1 AS INTEGER)]
+                    * (1 << (15 - k)))) AS band
+      FROM bits, range(0, {PHASH_CHUNKS}) AS t(c)
+    ), pairs AS (
+      SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b
+      FROM banded a JOIN banded b
+        ON a.band_no = b.band_no AND a.band = b.band
+       AND a.asset_id < b.asset_id
+    ), scored AS (
+      SELECT p.asset_a, p.asset_b,
+             CAST(list_sum(list_transform(range(1, 65),
+               i -> CASE WHEN x.w[CAST(i AS INTEGER)]
+                              <> y.w[CAST(i AS INTEGER)]
+                         THEN 1 ELSE 0 END)) AS INTEGER) AS hamming
+      FROM pairs p
+      JOIN bits x ON x.asset_id = p.asset_a
+      JOIN bits y ON y.asset_id = p.asset_b
+    )
+    SELECT asset_a, asset_b, hamming
+    FROM scored WHERE hamming <= {PHASH_MAX_HAMMING}
+    """
+
+
+@register("multimodal_phash_dedup", oracle=_phash_oracle_sql(),
           tags=("multimodal", "dedup", "approx"))
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection over BINARY media payloads: 64-bit
@@ -803,9 +868,12 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Nothing quadratic: pair work is bounded by band-bucket occupancy
     (the LSH property), the exchange carries (16-bit band, 8-byte
-    sig, id) rows, and the verify is one integer instruction. Binary
-    codec family → rows-only; a planted perturbed-copy test pins
-    recall, and the pair set is deterministic for fixed payloads.
+    sig, id) rows, and the verify is one integer instruction.
+    Rows-only through round 8; fully DuckDB-oracled since round 9 —
+    the payloads are UTF-8 text bytes, which ``hex(encode(...))``
+    exposes to SQL byte-by-byte (see ``_phash_oracle_sql``), so the
+    whole signature → band → Hamming chain is value-checked. A
+    planted perturbed-copy test additionally pins recall.
     Returns (asset_a, asset_b, hamming) pairs.
     """
     assets = assets_frame(spark, sf_dir)
@@ -1153,6 +1221,439 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "asset_id": pdf["asset_id"],
                 "payload": payloads,
                 "meta": [{"fmt": "gif", "n_bytes": len(p), "source": s}
+                         for p, s in zip(payloads, pdf["source"])],
+            })
+
+    assets = seed.mapInPandas(build, ASSET_SCHEMA)
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pixel_sum"),
+        F.col("fake_width").alias("px_w"),
+        F.col("fake_height").alias("px_h"))
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, SOF0) — sixth oracled codec family member,
+# the first transform-coded one: real Huffman entropy coding (canonical
+# DHT tables, DC DPCM, AC run/size with EOB+ZRL, 0xFF byte stuffing)
+# over quantized 8×8 DCT blocks, decoded end-to-end by the engine's
+# own code (numpy supplies only the dense IDCT arithmetic).
+
+
+def _zigzag_order() -> list[int]:
+    """The 64-entry zigzag scan as natural (row*8+col) indices,
+    generated by the diagonal walk rather than transcribed."""
+    order, r, c, up = [], 0, 0, True
+    for _ in range(64):
+        order.append(r * 8 + c)
+        if up:
+            if c == 7:
+                r, up = r + 1, False
+            elif r == 0:
+                c, up = c + 1, False
+            else:
+                r, c = r - 1, c + 1
+        else:
+            if r == 7:
+                c, up = c + 1, True
+            elif c == 0:
+                r, up = r + 1, True
+            else:
+                r, c = r + 1, c - 1
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+_JPEG_QT = [1] * 64  # flat quality-100 table: exact for constant
+#                      blocks (DC-only), ±ε elsewhere
+# Fixed-length canonical Huffman tables. Any spec-valid DHT works —
+# the decoder rebuilds codes from the counts exactly as it would for
+# a foreign file's tables: DC = the 12 size categories as 4-bit
+# codes, AC = the 162 baseline (run,size) symbols (EOB 0x00, ZRL
+# 0xF0, runs 0-15 × sizes 1-10) as 8-bit codes. No code is all-ones.
+_JPEG_DC_SYMS = list(range(12))
+_JPEG_AC_SYMS = [0x00, 0xF0] + [(r << 4) | s
+                                for r in range(16) for s in range(1, 11)]
+_JPEG_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
+_JPEG_AC_COUNTS = [0] * 7 + [162] + [0] * 8
+
+_DCT_M = None
+
+
+def _dct_mat():
+    """Orthonormal 8-point DCT-II matrix M[u,x] = C(u)/2 ·
+    cos((2x+1)uπ/16): forward DCT is M·B·Mᵀ, inverse is Mᵀ·F·M."""
+    global _DCT_M
+    if _DCT_M is None:
+        import numpy as np
+        k = np.arange(8, dtype=np.float64)
+        m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2
+        m[0] *= 1 / np.sqrt(2)
+        _DCT_M = m
+    return _DCT_M
+
+
+def _canonical_codes(counts: list[int],
+                     syms: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, bit length) per the JPEG canonical-code
+    construction (Annex C): codes assign in symbol order within
+    ascending lengths, left-shifting at each length boundary."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[syms[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return codes
+
+
+def _jpeg_category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+class _JpegBitWriter:
+    """MSB-first bit packer with the entropy-segment stuffing rule
+    (a 0xFF data byte is followed by 0x00)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, bits: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((bits >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.buf.append(self.acc)
+                if self.acc == 0xFF:
+                    self.buf.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self) -> None:
+        while self.n:
+            self.write(1, 1)  # pad the last byte with 1-bits (spec)
+
+
+def encode_jpeg(gray: bytes, w: int, h: int) -> bytes:
+    """Baseline-JPEG encoder (the planted-fixture generator for the
+    decode path): a ``w×h`` 8-bit grayscale raster → a real SOF0
+    JFIF stream — flat DQT, canonical DHT pair, DPCM'd DC + run/size
+    AC Huffman data with byte stuffing. Exact forward transform of
+    :func:`_jpeg_decode`; the roundtrip is bit-exact for rasters
+    whose 8×8 blocks are constant (DC-only blocks quantize with zero
+    loss) and within ±ε of the quantizer elsewhere."""
+    import numpy as np
+    if len(gray) != w * h:
+        raise ValueError("raster size mismatch")
+    if w % 8 or h % 8:
+        raise ValueError("encoder requires 8-aligned dimensions")
+    m = _dct_mat()
+    bh, bw = h // 8, w // 8
+    arr = (np.frombuffer(gray, dtype=np.uint8)
+           .reshape(h, w).astype(np.float64) - 128.0)
+    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,ijxy,vy->ijuv", m, blocks, m)
+    qt = np.array(_JPEG_QT, dtype=np.float64).reshape(8, 8)
+    q = np.rint(coef / qt).astype(np.int64)
+
+    dc_codes = _canonical_codes(_JPEG_DC_COUNTS, _JPEG_DC_SYMS)
+    ac_codes = _canonical_codes(_JPEG_AC_COUNTS, _JPEG_AC_SYMS)
+    bwr = _JpegBitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            flat = q[by, bx].reshape(64)
+            zz = [int(flat[_ZIGZAG[k]]) for k in range(64)]
+            diff = zz[0] - prev_dc
+            prev_dc = zz[0]
+            s = _jpeg_category(diff)
+            code, ln = dc_codes[s]
+            bwr.write(code, ln)
+            if s:
+                bwr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+            run = 0
+            for k in range(1, 64):
+                v = zz[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bwr.write(code, ln)
+                    run -= 16
+                s = _jpeg_category(v)
+                code, ln = ac_codes[(run << 4) | s]
+                bwr.write(code, ln)
+                bwr.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if run:
+                code, ln = ac_codes[0x00]
+                bwr.write(code, ln)  # EOB
+    bwr.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) \
+            + body
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(
+        _JPEG_QT[_ZIGZAG[k]] for k in range(64)))
+    sof0 = seg(0xC0, bytes([8]) + struct.pack(">HH", h, w)
+               + bytes([1, 1, 0x11, 0]))
+    dht = (seg(0xC4, bytes([0x00]) + bytes(_JPEG_DC_COUNTS)
+               + bytes(_JPEG_DC_SYMS))
+           + seg(0xC4, bytes([0x10]) + bytes(_JPEG_AC_COUNTS)
+                 + bytes(_JPEG_AC_SYMS)))
+    sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (b"\xff\xd8" + dqt + sof0 + dht + sos + bytes(bwr.buf)
+            + b"\xff\xd9")
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over the entropy segment, consuming the
+    stuffing rule (0xFF 0x00 → literal 0xFF). Any other marker inside
+    entropy data (restart intervals, premature EOI) raises — baseline
+    non-restart streams only."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy data exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data):
+                    raise ValueError("truncated after 0xFF")
+                nxt = self.data[self.pos]
+                if nxt != 0x00:
+                    raise ValueError(
+                        f"marker 0xFF{nxt:02X} inside entropy data")
+                self.pos += 1
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+
+def _jpeg_decode(payload: bytes) -> tuple[int, int, int]:
+    """Baseline-JPEG decoder, stdlib + numpy only: marker walk (DQT /
+    SOF0 / DHT / SOS; APPn/COM skipped), canonical Huffman rebuild
+    from the DHT counts, DC-DPCM + AC run/size entropy decode with
+    byte-destuffing, dezigzag, dequant, batched IDCT, level shift.
+    Grayscale (1-component, 8-bit, 1×1 sampling) sequential streams
+    only; progressive / multi-component / restart-interval streams
+    raise ValueError (→ CORRUPT_SENTINEL upstream). Returns
+    (pixel_sum, width, height) under the family contract."""
+    import numpy as np
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    w = h = None
+    comp_tq = 0
+    data_start = None
+    dc_tbl = ac_tbl = None
+    while True:
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG before SOS")
+        if payload[pos] != 0xFF:
+            raise ValueError("marker sync lost")
+        m = payload[pos + 1]
+        if m == 0xD9:
+            raise ValueError("EOI before SOS")
+        if pos + 4 > len(payload):
+            raise ValueError("truncated marker segment")
+        seglen = struct.unpack(">H", payload[pos + 2:pos + 4])[0]
+        body = payload[pos + 4:pos + 2 + seglen]
+        if seglen < 2 or len(body) != seglen - 2:
+            raise ValueError("truncated segment body")
+        if m == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 15
+                i += 1
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                if i + 64 > len(body):
+                    raise ValueError("short DQT")
+                nat = [0] * 64
+                for k in range(64):
+                    nat[_ZIGZAG[k]] = body[i + k]
+                qt[tq] = nat
+                i += 64
+        elif m == 0xC0:
+            if body[0] != 8:
+                raise ValueError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", body[1:5])
+            if body[5] != 1:
+                raise ValueError("only 1-component (grayscale) "
+                                 "baseline supported")
+            if body[7] != 0x11:
+                raise ValueError("subsampling unsupported")
+            comp_tq = body[8]
+            if w < 1 or h < 1:
+                raise ValueError(f"degenerate JPEG geometry {w}x{h}")
+        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF 0xFF{m:02X} unsupported")
+        elif m == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 15
+                counts = list(body[i + 1:i + 17])
+                nsym = sum(counts)
+                if i + 17 + nsym > len(body):
+                    raise ValueError("short DHT")
+                syms = list(body[i + 17:i + 17 + nsym])
+                fwd = _canonical_codes(counts, syms)
+                huff[(tc, th)] = {(ln, code): sym
+                                  for sym, (code, ln) in fwd.items()}
+                i += 17 + nsym
+        elif m == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif m == 0xDA:
+            if w is None:
+                raise ValueError("SOS before SOF0")
+            if body[0] != 1:
+                raise ValueError("interleaved scan unsupported")
+            td, ta = body[2] >> 4, body[2] & 15
+            if body[3] != 0 or body[4] != 63 or body[5] != 0:
+                raise ValueError("non-sequential scan unsupported")
+            dc_tbl = huff.get((0, td))
+            ac_tbl = huff.get((1, ta))
+            if dc_tbl is None or ac_tbl is None:
+                raise ValueError("scan references a missing DHT")
+            if comp_tq not in qt:
+                raise ValueError("scan references a missing DQT")
+            data_start = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+
+    br = _JpegBitReader(payload, data_start)
+
+    def read_huff(table: dict[tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code")
+
+    def receive_extend(s: int) -> int:
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | br.bit()
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    bx_n, by_n = (w + 7) // 8, (h + 7) // 8
+    nat_qt = np.array(qt[comp_tq], dtype=np.float64).reshape(8, 8)
+    coefs = np.zeros((by_n, bx_n, 8, 8), dtype=np.float64)
+    prev_dc = 0
+    for by in range(by_n):
+        for bx in range(bx_n):
+            zz = [0] * 64
+            s = read_huff(dc_tbl)
+            if s > 11:
+                raise ValueError("DC category out of range")
+            prev_dc += receive_extend(s) if s else 0
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = read_huff(ac_tbl)
+                run, size = rs >> 4, rs & 15
+                if size == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    break  # EOB
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past block end")
+                zz[k] = receive_extend(size)
+                k += 1
+            blk = np.zeros(64, dtype=np.float64)
+            for k in range(64):
+                blk[_ZIGZAG[k]] = zz[k]
+            coefs[by, bx] = blk.reshape(8, 8) * nat_qt
+    m_ = _dct_mat()
+    pix = np.einsum("ux,ijuv,vy->ijxy", m_, coefs, m_) + 128.0
+    img = (np.rint(pix).clip(0, 255)
+           .transpose(0, 2, 1, 3).reshape(by_n * 8, bx_n * 8))
+    return int(img[:h, :w].sum()), w, h
+
+
+JPEG_BW, JPEG_BH = 6, 4  # 6×4 blocks of 8×8 = 48×32 px; one block
+#                          per sha-256 hex char (24 chars)
+
+
+@register(
+    "multimodal_decode_jpeg",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(COALESCE(text, '')), 1, 24) AS r
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(64 * list_sum(list_transform(range(1, 25),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pixel_sum,
+           CAST({JPEG_BW * 8} AS INTEGER) AS px_w,
+           CAST({JPEG_BH * 8} AS INTEGER) AS px_h
+    FROM h
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sixth oracled codec — the first TRANSFORM-CODED one: each
+    document's first 24 sha-256 hex chars become the 8×8-block
+    grayscale raster of a REAL baseline JPEG (each char's ASCII
+    value fills one constant 8×8 block), Huffman-entropy-coded by
+    ``encode_jpeg`` (canonical DHT pair, DC DPCM across the 24
+    blocks, byte stuffing), and ``decode_real``'s own-code marker
+    walk + Huffman decode + dequant + batched IDCT must recover the
+    exact pixel sum and geometry DuckDB predicts from the hex chars
+    alone: constant blocks survive quantization losslessly (all AC
+    coefficients are exactly 0; the DC quantizes to the integer
+    8·(v−128)), so pixel_sum = 64 · Σ ascii(char) EXACTLY — the
+    lossy codec exercised on the inputs where it is provably
+    lossless, the same contract trick as the other five family
+    members. Construction mirrors the PNG/GIF queries: sha JVM-side,
+    encode in an Arrow batch pass, decode under test in
+    ``extract_features``. The AC run/size path (EOB/ZRL, nonzero
+    ACs) is fuzz-pinned in tests/test_round9.py on random rasters,
+    like the round-8 LZW fuzz that caught a real off-by-one."""
+    import numpy as np
+    docs = load(spark, sf_dir, "documents")
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1,
+        JPEG_BW * JPEG_BH)
+    seed = docs.select(F.col("doc_id").alias("asset_id"),
+                       raster.alias("raster"),
+                       F.col("source").alias("source"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tile = np.ones((8, 8), dtype=np.uint8)
+        for pdf in batches:
+            payloads = []
+            for r in pdf["raster"]:
+                vals = np.frombuffer(r.encode("ascii"), dtype=np.uint8)
+                img = np.kron(vals.reshape(JPEG_BH, JPEG_BW), tile)
+                payloads.append(encode_jpeg(
+                    img.tobytes(), JPEG_BW * 8, JPEG_BH * 8))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "payload": payloads,
+                "meta": [{"fmt": "jpeg", "n_bytes": len(p), "source": s}
                          for p, s in zip(payloads, pdf["source"])],
             })
 

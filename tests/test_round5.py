@@ -174,8 +174,9 @@ def test_decode_real_rejects_truncated_and_unknown():
         decode_real(b"\xff\xd8\xff", "jpeg")
     # dispatcher: stub for library-only formats, sentinel (NOT
     # stub-fabricated geometry, NOT an exception) for corrupt
-    # payloads of supported formats
-    assert decode(b"abc", "jpeg") == decode_stub(b"abc", "jpeg")
+    # payloads of supported formats (jpeg joined REAL_FMTS in r9)
+    assert decode(b"abc", "jpeg") == CORRUPT_SENTINEL
+    assert decode(b"abc", "mp3") == decode_stub(b"abc", "mp3")
     assert decode(_ppm(4, 3, 7)[:-1], "ppm") == CORRUPT_SENTINEL
     assert decode(b"not a bitmap", "bmp") == CORRUPT_SENTINEL
 
@@ -253,17 +254,18 @@ def test_bmp_decode_roundtrip_property(w, h, data):
 
 @settings(max_examples=40, deadline=None)
 @given(payload=st.binary(max_size=64),
-       fmt=st.sampled_from(["ppm", "pgm", "bmp", "jpeg", "txt"]))
+       fmt=st.sampled_from(["ppm", "pgm", "bmp", "jpeg", "mp3", "txt"]))
 def test_decode_dispatch_never_raises_property(payload, fmt):
     """decode() must totalize: malformed/truncated payloads of any
-    claimed format fall back to the stub, never crash the executor
-    batch (IndexError/struct.error escaping a mapInPandas pass kills
-    the whole task, not the row)."""
+    claimed format fall back to the stub (library-only formats) or
+    the corrupt sentinel (supported formats), never crash the
+    executor batch (IndexError/struct.error escaping a mapInPandas
+    pass kills the whole task, not the row)."""
     from open_reaction_database_web_scraper_spark.operators.multimodal \
         import decode, decode_stub
     out = decode(payload, fmt)
     assert isinstance(out, tuple) and len(out) == 3
-    if fmt in ("jpeg", "txt"):
+    if fmt in ("mp3", "txt"):
         assert out == decode_stub(payload, fmt)
 
 

@@ -1,16 +1,116 @@
 """Round-9 pins: the ANN-celled hard-negative miner (the round-8
 verdict's one `weak` — its exhaustive pool replaced by LSH candidate
-cells) recall floor + planted semantics.
+cells) recall floor + planted semantics, and the baseline-JPEG codec
+(sixth oracled decode family member, first transform-coded one).
 """
 
-import pytest
+import random
 
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from open_reaction_database_web_scraper_spark.operators.multimodal import (
+    CORRUPT_SENTINEL,
+    _jpeg_decode,
+    decode,
+    decode_real,
+    encode_jpeg,
+)
 from open_reaction_database_web_scraper_spark.registry import (
     REGISTRY,
     load_all_operators,
 )
 
 load_all_operators()
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec
+
+
+def _const_block_img(vals, bw, bh) -> bytes:
+    """Raster whose 8×8 blocks are constant — the provably-lossless
+    input class (DC-only blocks quantize exactly)."""
+    tiles = np.asarray(vals, dtype=np.uint8).reshape(bh, bw)
+    return np.kron(tiles, np.ones((8, 8), dtype=np.uint8)).tobytes()
+
+
+def test_jpeg_roundtrip_exact_constant_blocks():
+    vals = list(range(48, 72))  # the sha-hex ASCII neighborhood
+    img = _const_block_img(vals, 6, 4)
+    assert decode_real(encode_jpeg(img, 48, 32), "jpeg") == \
+        (64 * sum(vals), 48, 32)
+    # extremes: 0 → DC −1024 (category 11), 255 → +1016
+    img = _const_block_img([0, 255], 2, 1)
+    assert _jpeg_decode(encode_jpeg(img, 16, 8)) == (64 * 255, 16, 8)
+    # 8×8 smallest legal image
+    assert _jpeg_decode(encode_jpeg(b"\x80" * 64, 8, 8)) == \
+        (64 * 128, 8, 8)
+
+
+def test_jpeg_dc_dpcm_and_stuffing_stress():
+    """1024 random constant blocks drive the DC DPCM chain through
+    every category sign/size and make 0xFF bytes (hence stuffing)
+    statistically certain in the entropy stream — still bit-exact."""
+    random.seed(9)
+    vals = [random.randrange(256) for _ in range(32 * 32)]
+    p = encode_jpeg(_const_block_img(vals, 32, 32), 256, 256)
+    assert b"\xff\x00" in p[2:-2], "no stuffed byte — stress too weak"
+    assert _jpeg_decode(p) == (64 * sum(vals), 256, 256)
+
+
+def test_jpeg_ac_path_near_exact():
+    """Arbitrary rasters exercise the AC run/size path (EOB, ZRL,
+    nonzero coefficients): geometry is exact and every pixel is
+    within the flat-quantizer error bound (|err| ≤ 8 worst case;
+    observed ≤ 2)."""
+    random.seed(17)
+    raw = bytes(random.randrange(256) for _ in range(64 * 64))
+    s, w, h = _jpeg_decode(encode_jpeg(raw, 64, 64))
+    assert (w, h) == (64, 64)
+    ref = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+    assert abs(s - int(ref.sum())) <= 8 * 64 * 64
+    # gradient raster → long zero runs → ZRL/EOB coverage
+    grad = bytes((x + y) % 256 for y in range(32) for x in range(48))
+    s2, w2, h2 = _jpeg_decode(encode_jpeg(grad, 48, 32))
+    assert (w2, h2) == (48, 32)
+    assert abs(s2 - sum(grad)) / len(grad) < 2.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.integers(0, 255), min_size=1, max_size=48))
+def test_jpeg_roundtrip_property(vals):
+    """Property fuzz (the LZW-fuzz discipline that caught a real
+    off-by-one in round 8): any constant-block raster of any block
+    count roundtrips exactly through encode→decode."""
+    bw = len(vals)
+    p = encode_jpeg(_const_block_img(vals, bw, 1), bw * 8, 8)
+    assert _jpeg_decode(p) == (64 * sum(vals), bw * 8, 8)
+
+
+def test_jpeg_rejects_corrupt_and_unsupported():
+    img = _const_block_img([100, 200], 2, 1)
+    p = encode_jpeg(img, 16, 8)
+    with pytest.raises(ValueError):
+        _jpeg_decode(p[:40])                   # truncated mid-segment
+    with pytest.raises(ValueError):
+        _jpeg_decode(b"\xff\xd8\xff\xd9")      # EOI before SOS
+    with pytest.raises(ValueError):
+        _jpeg_decode(b"NOTAJPEG")
+    # progressive SOF2 must raise, not mis-decode
+    bad = p.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError):
+        _jpeg_decode(bad)
+    # dispatcher: corrupt jpeg → sentinel, never an exception
+    assert decode(p[:40], "jpeg") == CORRUPT_SENTINEL
+    assert decode(p, "jpeg") == (64 * 300, 16, 8)
+    # encoder contract
+    with pytest.raises(ValueError):
+        encode_jpeg(b"\x00" * 63, 8, 8)        # size mismatch
+    with pytest.raises(ValueError):
+        encode_jpeg(b"\x00" * 60, 10, 6)       # unaligned dims
 
 
 # ---------------------------------------------------------------------------
