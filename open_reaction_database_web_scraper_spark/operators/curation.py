@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .dedup import portable_hash32
 
 # Knuth multiplicative hash (same constant as sample_per_group_topk):
 # doc_id * MULT % 100 scrambles sequential ids into a uniform keep
@@ -107,9 +108,60 @@ _PACK_SCHEMA = ("lang string, shard int, bin_id long, doc_id long, "
                 "n_chars long")
 
 
+def _pack_oracle_sql() -> str:
+    """DuckDB SQL replaying the greedy packer EXACTLY via a recursive
+    CTE (rows-only through round 8): shard assignment is the portable
+    md5 hash (shared with the Spark side since round 9 — xxhash64 was
+    engine-private), n_shards re-derives from COUNT(*) with the same
+    ceil formula, and the recursion walks each (lang, shard) group in
+    doc_id rank order carrying (bin_id, filled) — one iteration per
+    rank, all groups advanced in parallel, so depth = the largest
+    group (bounded by PACK_GROUP_DOCS at any corpus size, the same
+    bound that keeps the Arrow group in memory). The filled > 0 guard
+    matches the Python packer on zero-length docs."""
+    return f"""
+    WITH RECURSIVE params AS (
+      SELECT GREATEST({PACK_SHARDS},
+                      CAST(CEIL(COUNT(*) / {PACK_GROUP_DOCS}.0) AS BIGINT))
+               AS n_shards
+      FROM documents
+    ), d0 AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % p.n_shards AS INTEGER) AS shard
+      FROM documents, params p
+    ), docs AS (
+      SELECT lang, shard, doc_id, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang, shard
+                                ORDER BY doc_id) AS rk
+      FROM d0
+    ), walk AS (
+      SELECT lang, shard, rk, n_chars,
+             CAST(0 AS BIGINT) AS bin_id,
+             CAST(n_chars AS BIGINT) AS filled
+      FROM docs WHERE rk = 1
+      UNION ALL
+      SELECT d.lang, d.shard, d.rk, d.n_chars,
+             CASE WHEN w.filled > 0
+                   AND w.filled + d.n_chars > {PACK_BUDGET}
+                  THEN w.bin_id + 1 ELSE w.bin_id END,
+             CASE WHEN w.filled > 0
+                   AND w.filled + d.n_chars > {PACK_BUDGET}
+                  THEN CAST(d.n_chars AS BIGINT)
+                  ELSE w.filled + d.n_chars END
+      FROM walk w JOIN docs d
+        ON d.lang = w.lang AND d.shard = w.shard AND d.rk = w.rk + 1
+    )
+    SELECT lang, shard, bin_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS seq_chars
+    FROM walk GROUP BY lang, shard, bin_id
+    """
+
+
 @register(
     "pack_sequences",
-    oracle=None,  # greedy stateful scan — pinned by property tests
+    oracle=_pack_oracle_sql(),
     tags=("curation", "pandas-udf"),
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,9 +179,11 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size (docs / PACK_GROUP_DOCS, min PACK_SHARDS) so a
     group's pandas frame stays bounded at any scale (waste is
     bounded: ≤ one partial bin per shard). The
-    returned frame is the per-bin rollup; bin membership itself is
+    returned frame is the per-bin rollup; bin membership is
     property-tested (every doc exactly once, no bin over budget
-    unless a single oversized doc, deterministic across runs).
+    unless a single oversized doc, deterministic across runs) AND —
+    since round 9 — the whole greedy walk is value-checked by a
+    recursive-CTE DuckDB oracle that replays it bin by bin.
     """
     base = load(spark, sf_dir, "documents")
     # Shard count derives from the corpus (ceil(n/PACK_GROUP_DOCS),
@@ -140,10 +194,12 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count() scalar (bounded driver state, IVF-centroid posture).
     n_docs = base.count()
     n_shards = max(PACK_SHARDS, -(-n_docs // PACK_GROUP_DOCS))
+    # portable shard die (round 9): md5-derived, so the DuckDB oracle
+    # recomputes the same shards — xxhash64 was engine-private.
     docs = base.select(
         "doc_id", "lang", "n_chars",
-        F.pmod(F.xxhash64("doc_id"), F.lit(n_shards)).cast("int")
-        .alias("shard"))
+        F.pmod(portable_hash32(F.col("doc_id").cast("string")),
+               F.lit(n_shards)).cast("int").alias("shard"))
     packed = (docs.groupBy("lang", "shard")
               .applyInPandas(_pack_group, _PACK_SCHEMA))
     return (packed.groupBy("lang", "shard", "bin_id")

@@ -80,10 +80,12 @@ def test_pack_greedy_boundary_planted(spark):
 def test_pack_single_shard_exact_boundaries(spark):
     """Force every doc into one shard by using doc_ids that hash to
     the same shard, then assert the exact greedy bin layout."""
-    # find doc_ids 0..N hashing to shard 0
-    ids = [r.id for r in spark.range(200).select(
-        "id", F.pmod(F.xxhash64("id"), F.lit(PACK_SHARDS)).alias("s"))
-        .filter("s = 0").limit(4).collect()]
+    # find doc_ids 0..N hashing to shard 0 (portable md5 die — the
+    # same function pack_sequences shards with since round 9)
+    import hashlib
+    ids = [i for i in range(200)
+           if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+           % PACK_SHARDS == 0][:4]
     assert len(ids) == 4
     sizes = dict(zip(sorted(ids), [1500, 600, 500, 2100]))
     rows = [(i, "x", "en", "src0", sizes[i]) for i in sorted(ids)]
