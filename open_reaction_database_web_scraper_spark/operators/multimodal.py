@@ -226,6 +226,12 @@ def _lzw_decode(data: bytes, min_code_size: int,
     bitpos, total_bits = 0, len(data) * 8
     while True:
         if bitpos + code_size > total_bits:
+            if len(out) == expected:
+                # spec-tolerated encoder quirk (round-8 advice): many
+                # real-world encoders end the data at the sub-block
+                # terminator without an explicit EOI code; a complete
+                # raster at stream end is a valid image, not CORRUPT
+                return out
             raise ValueError("LZW stream ended before EOI")
         byte_i = bitpos // 8
         window = int.from_bytes(data[byte_i:byte_i + 3], "little")

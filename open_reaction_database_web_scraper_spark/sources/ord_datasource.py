@@ -149,9 +149,12 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
     exactly ``end.seen ∖ start.seen`` — stable under corpus growth
     and arrival reordering, which neither a positional index nor a
     watermark is. The offset grows with the retention window's file
-    count (names only — ~40 B each; a capture directory is pruned by
-    retention, and a pruned file's name leaves the glob and the next
-    offset alike). Replay assumes files are immutable once written
+    count (names only — ~40 B each): each data-bearing batch emits
+    the names of exactly the files currently in the glob, so a
+    retention-pruned file's name leaves the next offset rather than
+    accumulating forever (a quiet tick leaves the offset unchanged;
+    pruning lands when new data next arrives). Replay assumes files
+    are immutable once written
     and not deleted mid-retention — the standard capture-directory
     contract; writers should stage via tmp+rename so a name never
     appears before its content is complete."""
@@ -184,8 +187,8 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
         import os
         seen = self._norm(start)
-        paths = [p for p in sorted(glob.glob(self.path))
-                 if os.path.basename(p) not in seen]
+        live = sorted(glob.glob(self.path))
+        paths = [p for p in live if os.path.basename(p) not in seen]
         if not paths:  # quiet tick: offset unchanged (canonical form)
             return [], {"seen": sorted(seen)}
         # materialized list, not a generator: the simple-reader
@@ -194,9 +197,19 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
         # rows through the driver by design — right for control-rate
         # sources like this one; a high-volume source graduates to
         # the full DataSourceStreamReader with executor partitions.
+        #
+        # The emitted seen-set intersects with the CURRENT glob
+        # (round-8 advice): a retention-pruned file's name now leaves
+        # the next offset instead of accumulating forever, so the
+        # offset tracks the retention window's file count, not the
+        # all-time count. Safe under the immutable/no-reappear
+        # contract because replay only ever reads end.seen ∖
+        # start.seen — a name absent from both sets replays as
+        # nothing, exactly like its pruned content. (seen ∩ live) ∪
+        # new-names reduces to exactly the live names: every live
+        # file is either already seen or in this batch.
         return (list(self._rows_for(paths)),
-                {"seen": sorted(seen
-                                | {os.path.basename(p) for p in paths})})
+                {"seen": sorted(os.path.basename(p) for p in live)})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         import os
@@ -281,8 +294,62 @@ class OrdSinkWriter(DataSourceWriter):
     # Commit-lock acquisition budget. Manifest rewrite + shard GC is
     # milliseconds of work, so a minute of contention means a peer
     # crashed INSIDE its critical section (post-acquire crashes leave
-    # the lock behind) — fail loudly rather than deadlock quietly.
+    # the lock behind). Stale locks are taken over (owner provably
+    # dead, or lock older than the budget); only a LIVE owner holding
+    # past the budget fails loudly.
     _LOCK_TIMEOUT_S = 60.0
+
+    def _try_break_stale_lock(self, lock: str) -> bool:
+        """Remove `lock` iff its owner is dead or it has outlived
+        _LOCK_TIMEOUT_S (round-8 advice: a committer SIGKILLed inside
+        the critical section used to wedge every later commit until a
+        human deleted the file). The lock carries its owner's PID;
+        liveness is a kill-0 probe (this is a local-filesystem sink,
+        so owner and breaker share a host). Breaking renames to a
+        unique name first so concurrent breakers race on the rename —
+        exactly one wins — and re-stats the inode before renaming so
+        a lock that just changed hands is left alone. Returns True if
+        the caller should retry acquisition immediately."""
+        import os
+        import time
+        try:
+            st = os.stat(lock)
+        except FileNotFoundError:
+            return True  # released while we looked
+        pid = None
+        try:
+            with open(lock, encoding="utf-8") as f:
+                pid = int(f.read().split()[0])
+        except (OSError, ValueError, IndexError):
+            pid = None  # empty/garbled lock: fall back to age alone
+        if pid is None:
+            # unknown owner (e.g. acquired but PID not yet written,
+            # or a foreign tool's lock): trust it until it outlives
+            # the budget
+            stale = time.time() - st.st_mtime > self._LOCK_TIMEOUT_S
+        else:
+            try:
+                os.kill(pid, 0)
+                owner_alive = True
+            except ProcessLookupError:
+                owner_alive = False
+            except PermissionError:
+                owner_alive = True  # exists, other uid
+            stale = (not owner_alive
+                     or time.time() - st.st_mtime > self._LOCK_TIMEOUT_S)
+        if not stale:
+            return False
+        try:
+            now = os.stat(lock)
+            if (now.st_ino, now.st_mtime_ns) != \
+                    (st.st_ino, st.st_mtime_ns):
+                return False  # changed hands since we judged it
+            stale = f"{lock}.stale-{os.getpid()}-{time.time_ns()}"
+            os.replace(lock, stale)
+            os.remove(stale)
+        except FileNotFoundError:
+            pass  # another breaker (or the owner) got there first
+        return True
 
     def commit(self, messages) -> None:
         import os
@@ -307,16 +374,25 @@ class OrdSinkWriter(DataSourceWriter):
         deadline = time.monotonic() + self._LOCK_TIMEOUT_S
         while True:
             try:
-                os.close(os.open(lock, os.O_CREAT | os.O_EXCL
-                                 | os.O_WRONLY))
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL
+                             | os.O_WRONLY)
+                # owner identity for the staleness probe: PID + wall
+                # time (the breaker also has the file's mtime)
+                os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                os.close(fd)
                 break
             except FileExistsError:
+                if self._try_break_stale_lock(lock):
+                    # stale lock cleared: restart the budget — the
+                    # takeover is progress, not contention
+                    deadline = time.monotonic() + self._LOCK_TIMEOUT_S
+                    continue
                 if time.monotonic() > deadline:
                     raise RuntimeError(
-                        f"ord_sink: {lock} held for >"
-                        f"{self._LOCK_TIMEOUT_S:.0f}s — a concurrent "
-                        "commit crashed mid-critical-section; verify "
-                        "and remove the stale lock") from None
+                        f"ord_sink: could not acquire {lock} within "
+                        f"{self._LOCK_TIMEOUT_S:.0f}s — live "
+                        "committers are holding or cycling it "
+                        "(commits should take milliseconds)") from None
                 time.sleep(0.05)
         try:
             old = {"shards": [], "total_rows": 0}

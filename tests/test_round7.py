@@ -139,9 +139,11 @@ def test_ord_sink_commit_lock_serializes_and_cleans(tmp_path):
     """The manifest read-modify-write runs under an O_EXCL lock file
     (round-8 advice: two unlocked concurrent appends could both read
     the old manifest and the loser's shards would vanish from it):
-    the lock is gone after a successful commit, a stale lock fails
-    LOUDLY after the timeout (leaving only an invisible orphan shard,
-    never a broken manifest), and commits proceed once it's freed."""
+    the lock is gone after a successful commit, stale locks are
+    TAKEN OVER (round-9: dead owner → immediately, unknown owner →
+    after the budget) instead of wedging the sink forever, and a
+    LIVE holder that never yields still fails loudly."""
+    import time
     out = str(tmp_path / "sink_lock")
     os.makedirs(out)
     w = OrdSinkWriter({"path": out}, overwrite=False)
@@ -157,19 +159,37 @@ def test_ord_sink_commit_lock_serializes_and_cleans(tmp_path):
     assert not os.path.exists(lock)  # released on success
     assert _manifest(out)["total_rows"] == 1
 
-    open(lock, "w").close()  # a peer crashed mid-critical-section
-    w._LOCK_TIMEOUT_S = 0.2
-    with pytest.raises(RuntimeError, match="_MANIFEST.lock"):
-        w.commit([OrdShardCommit(shard("_tmp-b.jsonl", '{"x": 2}'), 1)])
-    # the failed commit's shard was renamed but never entered the
-    # manifest — invisible orphan, manifest intact
-    assert _manifest(out)["total_rows"] == 1
+    # a peer SIGKILLed mid-critical-section: its PID is dead, so the
+    # next commit takes the lock over immediately (round-8 advice:
+    # this used to require a human to delete the file)
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(f"999999999 {time.time()}")  # PID that cannot exist
+    w._LOCK_TIMEOUT_S = 30.0
+    w.commit([OrdShardCommit(shard("_tmp-b.jsonl", '{"x": 2}'), 1)])
+    assert _manifest(out)["total_rows"] == 2
+    assert not os.path.exists(lock)
 
-    os.remove(lock)  # operator clears the stale lock
+    # unknown-owner (empty) lock: trusted until it outlives the
+    # budget, then taken over
+    open(lock, "w").close()
+    w._LOCK_TIMEOUT_S = 0.2
+    time.sleep(0.25)
     w.commit([OrdShardCommit(shard("_tmp-c.jsonl", '{"x": 3}'), 1)])
     m = _manifest(out)
-    assert m["total_rows"] == 2 and len(m["shards"]) == 2
+    assert m["total_rows"] == 3 and len(m["shards"]) == 3
     assert not os.path.exists(lock)
+
+    # a LIVE owner (our own PID) whose lock never goes stale (mtime
+    # pinned in the future) still fails loudly at the deadline —
+    # takeover must not break a healthy holder's mutual exclusion
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(f"{os.getpid()} {time.time()}")
+    future = time.time() + 3600
+    os.utime(lock, (future, future))
+    with pytest.raises(RuntimeError, match="could not acquire"):
+        w.commit([OrdShardCommit(shard("_tmp-d.jsonl", '{"x": 4}'), 1)])
+    assert _manifest(out)["total_rows"] == 3  # manifest intact
+    os.remove(lock)
 
 
 def test_ord_sink_append_unions_manifest(spark, tmp_path):

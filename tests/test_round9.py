@@ -166,5 +166,95 @@ def test_hard_negative_ann_subset_of_pool(spark, sf_dir):
         assert r.label != r.neg_label
 
 
+
+# ---------------------------------------------------------------------------
+# round-8 ADVICE closures: ORD stream offset retention, GIF EOI
+# tolerance (the sink-lock takeover is pinned in test_round7.py's
+# updated lock test)
+
+
+def test_ord_stream_offset_drops_pruned_names(tmp_path):
+    """Retention pruning: a deleted capture file's name must leave
+    the next data-bearing offset (round-8 advice: the seen-set used
+    to grow with the ALL-TIME file count), and replay of a committed
+    range is untouched (end.seen ∖ start.seen never mentions the
+    pruned name)."""
+    import json
+    import os
+
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdStreamReader
+
+    d = str(tmp_path / "retention")
+    os.makedirs(d)
+
+    def mk(name, ds, n):
+        doc = {ds: {
+            "dataset_id": ds, "total_reactions_scraped": n,
+            "reactions": [{"reaction_id": f"{ds}-{i}",
+                           "success": True, "inputsMap": {"a": 1},
+                           "outcomes": [{}]} for i in range(n)]}}
+        with open(os.path.join(d, name), "w", encoding="utf-8") as f:
+            json.dump(doc, f)
+
+    r = OrdStreamReader({"path": f"{d}/cap-*.json"})
+    mk("cap-001.json", "ds1", 2)
+    rows1, off1 = r.read(r.initialOffset())
+    assert off1 == {"seen": ["cap-001.json"]}
+    mk("cap-002.json", "ds2", 3)
+    rows2, off2 = r.read(off1)
+    assert off2 == {"seen": ["cap-001.json", "cap-002.json"]}
+    # retention prunes cap-001; next data-bearing batch drops it
+    os.remove(os.path.join(d, "cap-001.json"))
+    mk("cap-003.json", "ds3", 1)
+    rows3, off3 = r.read(off2)
+    assert len(list(rows3)) == 1
+    assert off3 == {"seen": ["cap-002.json", "cap-003.json"]}
+    # quiet tick: offset unchanged (no spurious empty batches)
+    rows4, off4 = r.read(off3)
+    assert list(rows4) == [] and off4 == off3
+    # committed-range replay of the latest batch is exact
+    replay = list(r.readBetweenOffsets(off2, off3))
+    assert len(replay) == 1 and replay[0][0] == "ds3"
+
+
+def test_gif_tolerates_missing_eoi():
+    """Spec-tolerated encoder quirk (round-8 advice): LZW data that
+    ends at the sub-block terminator WITHOUT an explicit EOI code
+    must decode when the raster is complete — and still raise when
+    the raster is short."""
+    import struct
+
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import _gif_decode, _lzw_decode
+
+    def pack_lsb(codes, width):
+        acc = n = 0
+        out = bytearray()
+        for c in codes:
+            acc |= c << n
+            n += width
+            while n >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                n -= 8
+        if n:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    idx = b"\x05\x09\x0c"
+    data = pack_lsb([256, 5, 9, 12], 9)  # CLEAR + literals, no EOI
+    assert _lzw_decode(data, 8, 3) == bytearray(idx)
+    # short raster at stream end is still corrupt
+    with pytest.raises(ValueError):
+        _lzw_decode(data, 8, 4)
+    # end-to-end: a full GIF built without the EOI code decodes
+    header = b"GIF89a" + struct.pack("<HH", 3, 1) + bytes([0xF7, 0, 0])
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    desc = b"\x2C" + struct.pack("<HHHH", 0, 0, 3, 1) + b"\x00"
+    blocks = bytes([8, len(data)]) + data + b"\x00"
+    gif = header + gct + desc + blocks + b"\x3B"
+    assert _gif_decode(gif) == (5 + 9 + 12, 3, 1)
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
