@@ -4,11 +4,16 @@ numbers were never recorded in SCALING.md.
 
 The exhaustive miner (sample_hard_negative_mine) is probed expecting
 SUPERLINEAR decades — its probe set AND its per-probe pool both grow
-with the corpus, so pair work is O(N²/100) by construction. The
-celled miner (sample_hard_negative_mine_ann) narrows each probe's
-pool to its adaptive-bits LSH candidate cells: occupancy-bound
-candidates, so decades should be subquadratic. Recording both on the
-SAME jittered corpora is the decomposition the verdict asked for.
+with the corpus, so pair work is O(N²/100) by construction; it runs
+1x/10x ONLY. Its 100x decade is a recorded DNF: the first round-9
+attempt ran the 1.2B-pair stage >75 minutes wall without completing
+(the cosine's ArrayAggregate fold evaluates interpreted inside the
+pre-window sort projection — µs per pair × 1.2B), and was killed.
+The celled miner (sample_hard_negative_mine_ann) narrows each
+probe's pool to its adaptive-bits LSH candidate cells:
+occupancy-bound candidates, subquadratic decades — it runs all
+three on the SAME jittered corpora. That contrast is the
+decomposition the verdict asked for.
 
 Usage: python scripts/scaleup_r9.py [sf_dir]
 """
@@ -32,7 +37,8 @@ from open_reaction_database_web_scraper_spark.session import get_session  # noqa
 from scripts.probe_common import build_salted_docs, time_op  # noqa: E402
 
 DOC_OPS = ("text_bpe_pair_merge", "text_ngram_novelty")
-EMB_OPS = ("sample_hard_negative_mine", "sample_hard_negative_mine_ann")
+EMB_OPS = (("sample_hard_negative_mine", 2),       # 1x/10x only (DNF at 100x)
+           ("sample_hard_negative_mine_ann", 3))
 
 
 def build_emb_jitter(spark, sf_dir: str, copies: int, out: str) -> None:
@@ -82,17 +88,23 @@ def main() -> None:
     e100 = tempfile.mkdtemp(prefix="ordspark_r9_e100_")
     build_emb_jitter(spark, sf_dir, 10, e10)
     build_emb_jitter(spark, sf_dir, 100, e100)
-    for name in EMB_OPS:
-        t1, t10, t100 = (time_op(spark, name, d)
-                         for d in (sf_dir, e10, e100))
-        print(f"{name}: 1x={t1:.2f}s 10x={t10:.2f}s 100x={t100:.2f}s "
-              f"ratio10={t10 / t1:.1f}x ratio100={t100 / t10:.1f}x",
-              flush=True)
-        summary[name] = {
-            "1x": round(t1, 2), "10x": round(t10, 2),
-            "100x": round(t100, 2),
-            "ratio_1_to_10": round(t10 / t1, 1),
-            "ratio_10_to_100": round(t100 / t10, 1)}
+    for name, decades in EMB_OPS:
+        dirs = (sf_dir, e10, e100)[:decades]
+        ts = [time_op(spark, name, d) for d in dirs]
+        rec = {"1x": round(ts[0], 2), "10x": round(ts[1], 2),
+               "ratio_1_to_10": round(ts[1] / ts[0], 1)}
+        line = (f"{name}: 1x={ts[0]:.2f}s 10x={ts[1]:.2f}s "
+                f"ratio10={ts[1] / ts[0]:.1f}x")
+        if decades == 3:
+            rec.update({"100x": round(ts[2], 2),
+                        "ratio_10_to_100": round(ts[2] / ts[1], 1)})
+            line += (f" 100x={ts[2]:.2f}s "
+                     f"ratio100={ts[2] / ts[1]:.1f}x")
+        else:
+            rec["100x"] = "DNF (killed >75min wall, see docstring)"
+            line += " 100x=DNF(>75min)"
+        print(line, flush=True)
+        summary[name] = rec
     summary["loadavg_1m"] = round(os.getloadavg()[0], 2)
     print("SCALEUP_R9_JSON " + json.dumps(summary), flush=True)
 
