@@ -58,13 +58,13 @@ from ..registry import register
                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT event_type, h AS bucket_hour,
-           ROUND(CASE
+           FLOOR((CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                pv + (nv - pv)
                   * (CAST(date_diff('hour', ph, h) AS DOUBLE)
                      / CAST(date_diff('hour', ph, nh) AS DOUBLE))
-           END, 6) AS v_interp
+           END) * 1000000 + 0.5) / 1000000.0 AS v_interp
     FROM c
     """,
     tags=("timeseries", "window"),
@@ -82,7 +82,9 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation projection run. The interpolation weight uses
     integer hour differences cast to double, and the surrounding
     values are deterministic decimal AVGs, so the float expression
-    evaluates identically in Spark and DuckDB; ROUND(.,6) seals it.
+    evaluates identically in Spark and DuckDB; the scaled-integer
+    floor (x*1e6 + 0.5) seals it at 6 dp without either engine's
+    ROUND-on-double tie behavior.
 
     At 100 TB the hourly pre-aggregate is the load-bearing move: the
     windows run over |types| x |hours| rows, independent of raw
@@ -115,8 +117,14 @@ def ts_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     interp = F.when(F.col("v").isNotNull(), F.col("v")).otherwise(
         F.when(F.col("pv").isNotNull() & F.col("nv").isNotNull(),
                F.col("pv") + (F.col("nv") - F.col("pv")) * frac))
+    # 6-dp seal via scaled-integer floor, not ROUND: both engines'
+    # ROUND(double, n) disagree by 1 ulp on binary near-ties (a
+    # round-9 sf1 sweep catch — interpolation fractions like k/16
+    # are binary-exact and land on .xxxxxx5 boundaries); floor of
+    # x*1e6 + 0.5 is pure IEEE arithmetic, bit-identical everywhere.
     return c.select("event_type", F.col("h").alias("bucket_hour"),
-                    F.round(interp, 6).alias("v_interp"))
+                    (F.floor(interp * F.lit(1000000.0) + F.lit(0.5))
+                     / F.lit(1000000.0)).alias("v_interp"))
 
 
 @register(

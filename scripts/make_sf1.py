@@ -68,6 +68,12 @@ def main() -> None:
         "v": pc.max(base["embeddings"]["vec_id"]).as_py() + 1,
     }
 
+    # customer names get a per-copy LENGTH-DISTINCT suffix ("X"*c):
+    # verbatim-copied names make every name a 10-way distance-0
+    # family (dedup_fuzzy_levenshtein's answer set would grow
+    # quadratically with copies — output structure, not plan cost),
+    # while distinct lengths keep cross-copy pairs out of the
+    # equal-length gate and leave within-copy structure 1x-like.
     plans = {
         "customer": [("c_custkey", "c")],
         "supplier": [("s_suppkey", "s")],
@@ -83,16 +89,43 @@ def main() -> None:
             tb = base[t]
             for col, k in shifts:
                 tb = _shift(tb, col, c * key_span[k])
+            if t == "customer" and c > 0:
+                i = tb.schema.get_field_index("c_name")
+                suffixed = pc.binary_join_element_wise(
+                    tb.column("c_name").cast(pa.string()),
+                    pa.scalar("X" * c), "")
+                tb = tb.set_column(i, tb.schema.field("c_name"),
+                                   suffixed)
             parts.append(tb)
         _write(out, t, parts)
 
-    # documents: salt copies > 0 (space → ' s<c> '), recompute n_chars
+    # documents: salt copies > 0 by interleaving DOC-DEPENDENT salt
+    # tokens (' s<copy>d<doc%97>x<pos> ') between every pair of
+    # original tokens, then recompute n_chars. Doc-dependence
+    # matters: a single per-copy token (the probe corpora's
+    # transform) carries weight ~n_tokens/2 per doc and DOMINATES
+    # token-frequency-weighted signatures, so every doc in a copy
+    # becomes every other's simhash/fuzzy near-dup — 25M planted
+    # pairs per copy, the r8b "output structure" artifact. Unique-ish
+    # salts (1/97 cross-doc overlap) break shingles and blocks
+    # exactly the same while leaving similarity structure 1x-like.
     dparts = [base["documents"]]
     dpdf = base["documents"].to_pandas()
     for c in range(1, COPIES):
         pdf = dpdf.copy()
         pdf["doc_id"] = pdf["doc_id"] + c * key_span["d"]
-        pdf["text"] = pdf["text"].str.replace(" ", f" s{c} ", regex=False)
+
+        def salt(row):
+            toks = row.text.split(" ")
+            d = row.doc_id % 97
+            mixed = []
+            for j, t in enumerate(toks):
+                mixed.append(t)
+                if j < len(toks) - 1:
+                    mixed.append(f"s{c}d{d}x{j}")
+            return " ".join(mixed)
+
+        pdf["text"] = pdf.apply(salt, axis=1)
         pdf["n_chars"] = pdf["text"].str.len().astype("int64")
         dparts.append(pa.Table.from_pandas(
             pdf, schema=base["documents"].schema, preserve_index=False))

@@ -1,6 +1,10 @@
 """Tri-SF correctness sweep → checked-in JSON artifact.
 
-Usage: python scripts/sweep.py [out.json] [sf_dir ...]
+Usage: python scripts/sweep.py [out.json] [sf_dir ...] [--only q ...]
+--only restricts to the named queries and MERGES their fresh cells
+into an existing out.json (recorded in the artifact's "merged"
+list) — for re-verifying a fixed cell through the identical compare
+path without re-running the other ~240 queries.
 Runs EVERY registered query at each scale factor (default all three
 driver SFs) against its DuckDB oracle via the driver-faithful compare
 (vacuous-empty guard ON, same as scripts/diffcheck.py), and writes a
@@ -34,20 +38,53 @@ from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
 DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                "/root/testdata/sf0.1")
 
+# Oracles that are BY DESIGN brute-force (their independence from the
+# engine's blocking is the point) and therefore unaffordable above
+# the driver SFs: at those scales the sweep executes the Spark side
+# (rows + seconds recorded, status "rows_only_at_scale") instead of
+# waiting out an O(N²) single-threaded DuckDB join. Keyed by
+# (query, sf-dir basename); each entry needs a justification.
+ORACLE_SKIP_AT_SCALE = {
+    # oracle = all same-length customer pairs × levenshtein —
+    # O(N²·L²), ~1.1e9 edit-distance calls at sf1, measured >20 min
+    # single-threaded in DuckDB; the docstring's contract says the
+    # brute force is affordable only at oracle SF. Value-checked at
+    # all three driver SFs in the same artifact.
+    ("dedup_fuzzy_levenshtein", "ordspark_sf1"),
+}
+
 
 def main() -> int:
     args = sys.argv[1:]
+    only: list[str] = []
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1:]
+        args = args[:i]
     out_path = next((a for a in args if a.endswith(".json")),
                     "SWEEP_r5.json")
     sf_dirs = [a for a in args if not a.endswith(".json")] \
         or list(DEFAULT_SFS)
     load_all_operators()
-    spark = get_session("sweep")
+    spark = get_session("sweep", extra_conf={
+        # sf1 sweeps: a few pair-output queries legitimately return
+        # hundreds of MBs; the COMPARE harness collects both sides,
+        # so don't let the harness's collect cap masquerade as a
+        # query failure (the engine-side plans never collect)
+        "spark.driver.maxResultSize": "4g",
+    })
     spark.sparkContext.setLogLevel("ERROR")
-    result: dict = {"sf_dirs": sf_dirs, "n_queries": len(REGISTRY),
-                    "queries": {}}
-    n_bad = 0
-    for name in sorted(REGISTRY):
+    if only:
+        with open(out_path, encoding="utf-8") as f:
+            result = json.load(f)
+        result.setdefault("merged", []).extend(sorted(only))
+        n_bad = 0
+    else:
+        result = {"sf_dirs": sf_dirs, "n_queries": len(REGISTRY),
+                  "queries": {}}
+        n_bad = 0
+    todo = sorted(only) if only else sorted(REGISTRY)
+    for name in todo:
         spec = REGISTRY[name]
         result["queries"][name] = {}
         for sf in sf_dirs:
@@ -55,6 +92,15 @@ def main() -> int:
             t0 = time.time()
             try:
                 df = spec.fn(spark, sf)
+                if (name, key) in ORACLE_SKIP_AT_SCALE:
+                    n = df.count()
+                    result["queries"][name][key] = {
+                        "status": "rows_only_at_scale", "rows": n,
+                        "secs": round(time.time() - t0, 2)}
+                    print(f"ok   {name} @ {key}: rows_only_at_scale "
+                          f"({n} rows) [{time.time() - t0:.2f}s]",
+                          flush=True)
+                    continue
                 if spec.oracle is None:
                     n = df.count()
                     if n == 0 and name in RO_EMPTY_OK:
@@ -89,6 +135,11 @@ def main() -> int:
             result["queries"][name][key] = cell
             print(f"{'FAIL' if bad else 'ok  '} {name} @ {key}: "
                   f"{cell['status']} [{cell['sec']}s]", flush=True)
+    # recompute over the whole artifact (merge mode overwrites a
+    # stale cell in place; a fresh run counts its own cells)
+    n_bad = sum(1 for q in result["queries"].values()
+                for c in q.values()
+                if c["status"] in ("fail", "vacuous", "error"))
     result["n_bad_cells"] = n_bad
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1, sort_keys=True)
