@@ -140,6 +140,11 @@ OPTIONAL = [
     "corpus_vocab_growth",
     "text_bpe_pair_merge",
     "sample_hard_negative_mine",
+    # round 9
+    "sample_hard_negative_mine_ann",
+    "multimodal_decode_jpeg",
+    "multimodal_phash_dedup",
+    "pack_sequences",
 ]
 
 

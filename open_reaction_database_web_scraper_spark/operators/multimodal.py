@@ -1639,7 +1639,14 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ACs) is fuzz-pinned in tests/test_round9.py on random rasters,
     like the round-8 LZW fuzz that caught a real off-by-one."""
     import numpy as np
-    docs = load(spark, sf_dir, "documents")
+
+    from ..catalog import fanout
+
+    # fanout: the per-doc DCT/Huffman work (~ms each, the heaviest
+    # codec) must not serialize on the toy corpus's single row
+    # group; at real scale the scan has ≥cores splits and this is a
+    # no-op (the other codecs' sub-µs-per-row passes don't need it)
+    docs = fanout(load(spark, sf_dir, "documents"))
     raster = F.substring(
         F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1,
         JPEG_BW * JPEG_BH)
