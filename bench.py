@@ -143,7 +143,7 @@ OPTIONAL = [
     # round 9
     "sample_hard_negative_mine_ann",
     "multimodal_decode_jpeg",
-    "multimodal_phash_dedup",
+    "multimodal_decode_avi",
     "pack_sequences",
 ]
 

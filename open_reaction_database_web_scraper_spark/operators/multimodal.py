@@ -445,6 +445,8 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
         return _gif_decode(payload)
     if fmt == "jpeg":
         return _jpeg_decode(payload)
+    if fmt == "avi":
+        return _avi_decode(payload)
     if fmt in ("ppm", "pgm"):
         magic, (w, h, maxval), off = _pnm_header(payload)
         channels = {b"P6": 3, b"P5": 1}.get(magic)
@@ -528,7 +530,8 @@ def decode_real(payload: bytes, fmt: str) -> tuple[int, int, int]:
                      "plug pillow/torchaudio/pyav here")
 
 
-REAL_FMTS = ("ppm", "pgm", "bmp", "png", "gif", "wav", "jpeg")
+REAL_FMTS = ("ppm", "pgm", "bmp", "png", "gif", "wav", "jpeg",
+             "avi")
 CORRUPT_SENTINEL = (-1, 0, 0)  # impossible for a real decode
 
 
@@ -1676,3 +1679,190 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("byte_sum").alias("pixel_sum"),
         F.col("fake_width").alias("px_w"),
         F.col("fake_height").alias("px_h"))
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF video container, uncompressed DIB frames) — seventh
+# oracled codec family member, the first VIDEO one: closes the
+# "video container" half of the round-8 verdict's stub-seam item.
+
+
+AVI_W, AVI_H = 3, 2   # per-frame geometry (pixels)
+AVI_FRAMES = 4        # frames per asset: 4 × 6 px = 24 sha hex chars
+
+
+def encode_avi(frames: list[bytes], w: int, h: int) -> bytes:
+    """Minimal-but-real RIFF AVI encoder (the planted-fixture
+    generator for the decode path): grayscale rasters (one byte per
+    pixel, row-major top-down) → a spec-shaped
+    ``RIFF('AVI ' LIST hdrl(avih + LIST strl(strh+strf)) LIST
+    movi('00db'...))`` stream of uncompressed 24-bit bottom-up DIB
+    frames (each gray value replicated to B=G=R, rows padded to
+    4-byte boundaries — the BMP raster rules inside a video
+    container). Exact forward transform of :func:`_avi_decode`."""
+    if any(len(f) != w * h for f in frames):
+        raise ValueError("frame size mismatch")
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    frame_size = stride * h
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + struct.pack("<I", len(body)) + body \
+            + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(typ: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", typ + body)
+
+    avih = chunk(b"avih", struct.pack(
+        "<14I", 40_000, frame_size * 30, 0, 0x10, len(frames), 0, 1,
+        frame_size, w, h, 0, 0, 0, 0))
+    strh = chunk(b"strh", b"vids" + b"DIB " + struct.pack(
+        "<10I2H2I", 0, 0, 0, 1, 25, 0, len(frames), frame_size, 0, 0,
+        0, 0, w, h))
+    strf = chunk(b"strf", struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_size, 0, 0, 0, 0))
+    dibs = []
+    for f in frames:
+        rows = []
+        for r in range(h - 1, -1, -1):  # bottom-up
+            row = bytearray()
+            for v in f[r * w:(r + 1) * w]:
+                row += bytes((v, v, v))
+            row += b"\x00" * (stride - row_bytes)
+            rows.append(bytes(row))
+        dibs.append(chunk(b"00db", b"".join(rows)))
+    movi = lst(b"movi", b"".join(dibs))
+    hdrl = lst(b"hdrl", avih + lst(b"strl", strh + strf))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def _avi_decode(payload: bytes) -> tuple[int, int, int]:
+    """Pure-stdlib AVI decode: RIFF walk to ``avih`` (geometry +
+    declared frame count), then the ``movi`` LIST, summing each
+    uncompressed ``00db`` DIB frame's pixel bytes (row padding
+    excluded, exactly the BMP rule). Returns
+    (pixel_sum_all_frames, n_frames, px_per_frame) under the family
+    contract — three meaningful numbers, the WAV pattern. Compressed
+    streams (``00dc`` with a codec), missing headers, frame-size or
+    frame-count mismatches raise ValueError (→ CORRUPT_SENTINEL
+    upstream); that is the pyav integration seam."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = declared = None
+    frames = 0
+    total = 0
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal w, h, declared, frames, total
+        while pos + 8 <= end:
+            fourcc = payload[pos:pos + 4]
+            size = int.from_bytes(payload[pos + 4:pos + 8], "little")
+            body_start = pos + 8
+            if body_start + size > end:
+                raise ValueError(f"truncated chunk {fourcc!r}")
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif fourcc == b"avih":
+                if size < 56:
+                    raise ValueError("short avih")
+                vals = struct.unpack_from("<14I", payload, body_start)
+                declared, w, h = vals[4], vals[8], vals[9]
+                if w < 1 or h < 1:
+                    raise ValueError(f"degenerate AVI geometry {w}x{h}")
+            elif fourcc == b"00dc":
+                raise ValueError("compressed video stream "
+                                 "unsupported (pyav seam)")
+            elif fourcc == b"00db":
+                if w is None:
+                    raise ValueError("frame before avih header")
+                row_bytes = w * 3
+                stride = (row_bytes + 3) & ~3
+                if size != stride * h:
+                    raise ValueError(
+                        f"frame size {size} != {stride * h}")
+                for r in range(h):
+                    row = payload[body_start + r * stride:
+                                  body_start + r * stride + row_bytes]
+                    total += sum(row)
+                frames += 1
+            pos = body_start + size + (size & 1)  # chunks pad to even
+
+    riff_end = 8 + int.from_bytes(payload[4:8], "little")
+    if riff_end > len(payload):
+        raise ValueError("truncated RIFF container")
+    walk(12, riff_end)
+    if declared is None:
+        raise ValueError("missing avih header")
+    if frames != declared:
+        raise ValueError(f"frame count {frames} != declared {declared}")
+    if frames == 0:
+        raise ValueError("AVI with no frames")
+    return total, frames, w * h
+
+
+@register(
+    "multimodal_decode_avi",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, substr(sha256(COALESCE(text, '')), 1,
+                            {AVI_FRAMES * AVI_W * AVI_H}) AS r
+      FROM documents
+    )
+    SELECT doc_id AS asset_id,
+           CAST(3 * list_sum(list_transform(
+                range(1, {AVI_FRAMES * AVI_W * AVI_H + 1}),
+                i -> ascii(substr(r, CAST(i AS INTEGER), 1))))
+             AS BIGINT) AS pixel_sum,
+           CAST({AVI_FRAMES} AS INTEGER) AS n_frames,
+           CAST({AVI_W * AVI_H} AS INTEGER) AS px_per_frame
+    FROM h
+    """,
+    tags=("multimodal",),
+)
+def multimodal_decode_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seventh oracled codec — the VIDEO container: each document's
+    first 24 sha-256 hex chars become {AVI_FRAMES} grayscale
+    {AVI_W}×{AVI_H} frames packed as uncompressed 24-bit bottom-up
+    DIB chunks inside a real RIFF AVI (``encode_avi``), and
+    ``decode_real``'s own-code RIFF walk (nested LISTs, avih
+    geometry/frame-count validation, per-frame padded-row raster
+    sums) must recover exactly what DuckDB predicts from the hex
+    chars alone: every gray value replicates to B=G=R, so
+    pixel_sum = 3 · Σ ascii(char), with row padding excluded by the
+    BMP rule. Compressed ('00dc') streams raise — the pyav seam,
+    now reduced to actual codecs rather than "any video".
+    Construction mirrors the codec family: sha JVM-side, encode in
+    an Arrow batch pass, decode under test in
+    ``extract_features``."""
+    from ..catalog import fanout
+
+    n_chars = AVI_FRAMES * AVI_W * AVI_H
+    docs = fanout(load(spark, sf_dir, "documents"))
+    raster = F.substring(
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1, n_chars)
+    seed = docs.select(F.col("doc_id").alias("asset_id"),
+                       raster.alias("raster"),
+                       F.col("source").alias("source"))
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fpx = AVI_W * AVI_H
+        for pdf in batches:
+            payloads = []
+            for r in pdf["raster"]:
+                b = r.encode("ascii")
+                frames = [b[i * fpx:(i + 1) * fpx]
+                          for i in range(AVI_FRAMES)]
+                payloads.append(encode_avi(frames, AVI_W, AVI_H))
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "payload": payloads,
+                "meta": [{"fmt": "avi", "n_bytes": len(p), "source": s}
+                         for p, s in zip(payloads, pdf["source"])],
+            })
+
+    assets = seed.mapInPandas(build, ASSET_SCHEMA)
+    return extract_features(assets).select(
+        "asset_id",
+        F.col("byte_sum").alias("pixel_sum"),
+        F.col("fake_width").alias("n_frames"),
+        F.col("fake_height").alias("px_per_frame"))

@@ -78,6 +78,7 @@ def main() -> int:
         with open(out_path, encoding="utf-8") as f:
             result = json.load(f)
         result.setdefault("merged", []).extend(sorted(only))
+        result["n_queries"] = len(REGISTRY)
         n_bad = 0
     else:
         result = {"sf_dirs": sf_dirs, "n_queries": len(REGISTRY),

@@ -256,5 +256,55 @@ def test_gif_tolerates_missing_eoi():
     gif = header + gct + desc + blocks + b"\x3B"
     assert _gif_decode(gif) == (5 + 9 + 12, 3, 1)
 
+# ---------------------------------------------------------------------------
+# AVI video container (seventh codec)
+
+
+def test_avi_roundtrip_exact():
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import _avi_decode, encode_avi
+    frames = [bytes([10, 20, 30, 40, 50, 60]), bytes(range(6)),
+              bytes([0] * 6), bytes([255] * 6)]
+    p = encode_avi(frames, 3, 2)
+    exp = 3 * sum(sum(f) for f in frames)
+    assert _avi_decode(p) == (exp, 4, 6)
+    # single 1x1 frame — smallest legal stream; stride pads 3 -> 4
+    assert _avi_decode(encode_avi([b"\x7f"], 1, 1)) == (3 * 127, 1, 1)
+    # wide geometry where rows need no padding (w*3 % 4 == 0)
+    f8 = bytes(range(16))
+    assert _avi_decode(encode_avi([f8], 8, 2)) == (3 * sum(f8), 1, 16)
+
+
+def test_avi_rejects_corrupt_and_unsupported():
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import CORRUPT_SENTINEL, _avi_decode, decode, encode_avi
+    p = encode_avi([bytes(range(6))] * 2, 3, 2)
+    with pytest.raises(ValueError):
+        _avi_decode(b"RIFFxxxxWAVE")          # wrong RIFF type
+    with pytest.raises(ValueError):
+        _avi_decode(p[:40])                    # truncated chunk
+    with pytest.raises(ValueError):
+        _avi_decode(p.replace(b"00db", b"00dc"))  # compressed seam
+    # frame-count mismatch: declared 2, one frame chunk dropped
+    i = p.rindex(b"00db")
+    with pytest.raises(ValueError):
+        _avi_decode(p[:i] + b"JUNK" + p[i + 4:])
+    assert decode(p[:40], "avi") == CORRUPT_SENTINEL
+    assert decode(p, "avi") == (3 * 2 * sum(range(6)), 2, 6)
+    with pytest.raises(ValueError):
+        encode_avi([b"\x00" * 5], 3, 2)       # frame size mismatch
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.binary(min_size=6, max_size=6), min_size=1,
+                max_size=12))
+def test_avi_roundtrip_property(frames):
+    from open_reaction_database_web_scraper_spark.operators.multimodal \
+        import _avi_decode, encode_avi
+    p = encode_avi(frames, 3, 2)
+    exp = 3 * sum(sum(f) for f in frames)
+    assert _avi_decode(p) == (exp, len(frames), 6)
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-x", "-q"]))
