@@ -14,7 +14,10 @@ asked for (103 queries had only the builder's prose claim).
 
 Statuses: "pass" (oracle match), "rows_only" (no oracle; executed,
 row count recorded), "vacuous" (both engines empty — a FAIL),
-"fail" (mismatch), "error" (exception; message recorded). A
+"fail" (mismatch), "error" (exception; message recorded),
+"rows_only_at_scale" (oracle unaffordable at this SF, Spark side
+executed), "budget_capped" (quadratic-by-spec query excluded above
+driver SFs, justification recorded). A
 rows-only query returning 0 rows is ALSO flagged vacuous unless
 allow-listed in RO_EMPTY_OK with a justification — a rows-only
 check that counts nothing verified nothing.
@@ -53,6 +56,22 @@ ORACLE_SKIP_AT_SCALE = {
     ("dedup_fuzzy_levenshtein", "ordspark_sf1"),
 }
 
+# Queries whose SPARK side is quadratic BY SPEC (kept only as the
+# oracle/ground-truth twin of a celled production form) are not
+# executed at all above the driver SFs: the round-9 sf1 sweep spent
+# 300 s on sample_hard_negative_mine alone (next-worst real query:
+# 63 s), buying no evidence the three driver SFs plus the dedicated
+# scale probes (SCALING.md) don't already provide. Cells record
+# status "budget_capped" with the justification and do not count as
+# bad (round-9 verdict "what's wrong" #2; the probe-hygiene rule —
+# a recorded exclusion beats an unbounded wait).
+BUDGET_CAP_AT_SCALE = {
+    ("sample_hard_negative_mine", "ordspark_sf1"):
+        "quadratic by spec (exhaustive ground-truth twin of "
+        "sample_hard_negative_mine_ann); 300s at sf1 in SWEEP_r9_sf1, "
+        "value-checked at all three driver SFs + probed in SCALING.md",
+}
+
 
 def main() -> int:
     args = sys.argv[1:]
@@ -87,9 +106,20 @@ def main() -> int:
     todo = sorted(only) if only else sorted(REGISTRY)
     for name in todo:
         spec = REGISTRY[name]
-        result["queries"][name] = {}
+        # setdefault, not assignment: --only merge mode must overwrite
+        # ONLY the (query, sf) cells it re-runs — a bare assignment
+        # dropped the other SF cells from the artifact and the final
+        # recount then skipped any previously-failing dropped cell
+        # (round-9 advice: a subset merge could launder a FAIL).
+        result["queries"].setdefault(name, {})
         for sf in sf_dirs:
             key = sf.rsplit("/", 1)[-1]
+            if (name, key) in BUDGET_CAP_AT_SCALE:
+                result["queries"][name][key] = {
+                    "status": "budget_capped",
+                    "reason": BUDGET_CAP_AT_SCALE[(name, key)]}
+                print(f"ok   {name} @ {key}: budget_capped", flush=True)
+                continue
             t0 = time.time()
             try:
                 df = spec.fn(spark, sf)
@@ -97,7 +127,7 @@ def main() -> int:
                     n = df.count()
                     result["queries"][name][key] = {
                         "status": "rows_only_at_scale", "rows": n,
-                        "secs": round(time.time() - t0, 2)}
+                        "sec": round(time.time() - t0, 2)}
                     print(f"ok   {name} @ {key}: rows_only_at_scale "
                           f"({n} rows) [{time.time() - t0:.2f}s]",
                           flush=True)
