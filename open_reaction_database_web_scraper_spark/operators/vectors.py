@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.vector_math import cosine_similarity, dot, l2_norm
+from ..functions.vector_math import (
+    cosine_similarity, dot, l2_norm, unit_norm_sql, unit_normalize)
 from ..registry import register
 
 N_QUERIES = 8      # vec_id < 8 are the query vectors
@@ -906,8 +907,10 @@ KNN_K = 3
 @register(
     "vector_knn_join",
     oracle=f"""
-    WITH emb AS (
+    WITH emb0 AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+    ), emb AS (
+      SELECT vec_id, label, {unit_norm_sql('e')} AS e FROM emb0
     ), q AS (
       SELECT * FROM emb WHERE vec_id % {KNN_Q_MOD} = 0
     ), c AS (
@@ -915,9 +918,7 @@ KNN_K = 3
     ), scored AS (
       SELECT q.vec_id AS query_id, q.label AS label,
              c.vec_id AS neighbor_id,
-             ROUND(list_dot_product(q.e, c.e)
-               / (sqrt(list_dot_product(q.e, q.e))
-                  * sqrt(list_dot_product(c.e, c.e))), 9) AS cosine
+             ROUND(list_dot_product(q.e, c.e), 9) AS cosine
       FROM q JOIN c ON q.label = c.label
     ), ranked AS (
       SELECT query_id, label, neighbor_id, cosine,
@@ -951,10 +952,19 @@ def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     matches DuckDB's list_dot_product bit-for-bit (same rule as
     vector_topk_similarity); the emitted/ranked cosine is rounded to
     9 dp on both sides (round-8 boundary hardening).
+
+    Round-10 pair-stage lever (shared with the hard-negative
+    miners): both sides unit-normalize ONCE, so the O(sum of block
+    pair counts) stage folds one dot per pair instead of dot + two
+    norms, and the top-k window's exchange stays bounded by the
+    Partial WindowGroupLimit Spark infers from the rn <= k filter
+    (plan-pinned; decomposition in SCALING.md round 10).
     """
-    emb = load(spark, sf_dir, "embeddings").select(
-        "vec_id", "label",
-        F.col("embedding").cast("array<double>").alias("e"))
+    emb = unit_normalize(
+        load(spark, sf_dir, "embeddings").select(
+            "vec_id", "label",
+            F.col("embedding").cast("array<double>").alias("e")),
+        "e")
     is_probe = F.pmod(F.col("vec_id"), F.lit(KNN_Q_MOD)) == 0
     q = emb.filter(is_probe).select(
         F.col("vec_id").alias("query_id"), "label",
@@ -964,8 +974,7 @@ def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("c_label"), F.col("e").alias("ce"))
     scored = (q.join(c, q["label"] == c["c_label"])
               .withColumn("cosine",
-                          F.round(cosine_similarity(
-                              F.col("qe"), F.col("ce")), 9)))
+                          F.round(dot(F.col("qe"), F.col("ce")), 9)))
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id"))
     return (scored.withColumn("rn", F.row_number().over(w))

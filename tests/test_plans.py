@@ -556,3 +556,37 @@ def test_streak_distinct_precedes_window(spark, sf_dir):
     agg_pos = [m.start() for m in
                re.finditer(r"\(\d+\) HashAggregate", plan)]
     assert any(p > win_pos for p in agg_pos), plan
+
+
+def test_rank_windows_partial_group_limit(spark, sf_dir):
+    """The top-k rank windows in the miner/knn family must carry
+    Spark's inferred Partial WindowGroupLimit BELOW the exchange —
+    the per-partition bounded top-k that keeps the window's shuffle
+    at k rows per group per map partition instead of the full
+    candidate volume (the round-9 verdict's #1; the round-10 probe
+    showed the rule already fires, so this pin makes it load-bearing:
+    a conf or plan-shape regression that loses the partial limit
+    fails here, not at 100x)."""
+    for name in ("sample_hard_negative_mine",
+                 "sample_hard_negative_mine_ann",
+                 "vector_knn_join"):
+        plan = plan_of(spark, sf_dir, name)
+        assert "row_number(), 3, Partial" in plan, (name, plan)
+        assert "row_number(), 3, Final" in plan, (name, plan)
+
+
+def test_pair_stage_is_single_dot_fold(spark, sf_dir):
+    """The O(pairs) scoring projection must fold ONE dot product per
+    pair — vectors are unit-normalized once per side, so no SQRT
+    (norm) evaluates inside the pair stage (round-10 lever: the 10x
+    decomposition measured per-pair folds at ~91% of the exhaustive
+    miner's wall; 3 folds -> 1 took 13.69s -> 8.67s)."""
+    for name in ("sample_hard_negative_mine",
+                 "sample_hard_negative_mine_ann",
+                 "vector_knn_join"):
+        plan = plan_of(spark, sf_dir, name)
+        pair_segs = [seg for seg in plan.split("\n\n")
+                     if "zip_with" in seg]
+        assert pair_segs, (name, "no pair projection found")
+        for seg in pair_segs:
+            assert "SQRT" not in seg, (name, seg)
