@@ -143,3 +143,30 @@ def test_unit_norm_sql_matches_spark_bitwise(spark):
     """).fetchall()}
     assert got.keys() == want.keys() and got
     assert all(got[k] == want[k] for k in got), "bitwise divergence"
+
+
+def test_pca_gram_agrees_with_power_cov(spark, sf_dir):
+    """The quantized Gram table (vector_pca_gram) must reproduce
+    vector_pca_power's answer: build cov from the dequantized Gram /
+    means / count and power-iterate it — the resulting direction must
+    align with the PCA query's loadings (|cos| > 0.999; quantization
+    error is <= 1e-9 per term, orders below the spectral gap)."""
+    rows = REGISTRY["vector_pca_gram"].fn(spark, sf_dir).collect()
+    q = {(r.i, r.j): r.q for r in rows}
+    n = q[(-1, -1)]
+    d = 1 + max(i for i, j in q if j >= 0)
+    gram = np.array([[q[(i, j)] for j in range(d)]
+                     for i in range(d)]) / 1e9
+    mean = np.array([q[(i, -1)] for i in range(d)]) / 1e9 / n
+    cov = gram / n - np.outer(mean, mean)
+    v = np.ones(d) / np.sqrt(d)
+    for _ in range(50):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    loadings = np.array([
+        r.loading for r in sorted(
+            REGISTRY["vector_pca_power"].fn(spark, sf_dir).collect(),
+            key=lambda r: r.dim)])
+    cos = abs(float(v @ loadings) /
+              (np.linalg.norm(v) * np.linalg.norm(loadings)))
+    assert cos > 0.999, cos
