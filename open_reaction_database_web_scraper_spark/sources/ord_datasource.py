@@ -150,11 +150,13 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
     and arrival reordering, which neither a positional index nor a
     watermark is. The offset grows with the retention window's file
     count (names only — ~40 B each): each data-bearing batch emits
-    the names of exactly the files currently in the glob, so a
-    retention-pruned file's name leaves the next offset rather than
-    accumulating forever (a quiet tick leaves the offset unchanged;
-    pruning lands when new data next arrives). Replay assumes files
-    are immutable once written
+    the current glob's names plus any previously-seen name whose
+    deletion os.path.exists can't confirm, so a retention-pruned
+    file's name leaves the next offset rather than accumulating
+    forever while a transient listing gap never evicts a processed
+    name into double-delivery (a quiet tick leaves the offset
+    unchanged; pruning lands when new data next arrives). Replay
+    assumes files are immutable once written
     and not deleted mid-retention — the standard capture-directory
     contract; writers should stage via tmp+rename so a name never
     appears before its content is complete."""
@@ -205,11 +207,24 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
         # all-time count. Safe under the immutable/no-reappear
         # contract because replay only ever reads end.seen ∖
         # start.seen — a name absent from both sets replays as
-        # nothing, exactly like its pruned content. (seen ∩ live) ∪
-        # new-names reduces to exactly the live names: every live
-        # file is either already seen or in this batch.
+        # nothing, exactly like its pruned content.
+        #
+        # Round-9 advice hardening: a seen name missing from one
+        # glob listing is only dropped after os.path.exists CONFIRMS
+        # the deletion — a transient listing gap (NFS/glob hiccup)
+        # must not evict a processed name, or its rows double-deliver
+        # when it reappears. Names whose directory can't be derived
+        # (glob magic above the basename) are retained — unbounded
+        # growth is the safe failure, double-delivery is not.
+        live_names = {os.path.basename(p) for p in live}
+        base = os.path.dirname(self.path)
+        has_magic = any(c in base for c in "*?[")
+        kept = set()
+        for name in seen - live_names:
+            if has_magic or os.path.exists(os.path.join(base, name)):
+                kept.add(name)  # still present (or unverifiable): keep
         return (list(self._rows_for(paths)),
-                {"seen": sorted(os.path.basename(p) for p in live)})
+                {"seen": sorted(live_names | kept)})
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
         import os
@@ -294,22 +309,37 @@ class OrdSinkWriter(DataSourceWriter):
     # Commit-lock acquisition budget. Manifest rewrite + shard GC is
     # milliseconds of work, so a minute of contention means a peer
     # crashed INSIDE its critical section (post-acquire crashes leave
-    # the lock behind). Stale locks are taken over (owner provably
-    # dead, or lock older than the budget); only a LIVE owner holding
-    # past the budget fails loudly.
+    # the lock behind). Stale locks are taken over ONLY when the
+    # owner is provably dead (kill-0) or its identity is unknowable
+    # AND the lock has outlived the budget; a PROBEABLY-LIVE owner is
+    # never age-broken — however long it holds, waiters fail loudly
+    # at their own deadline instead (round-9 advice: age-breaking a
+    # live-but-paused holder re-creates the lost-update the lock
+    # exists to prevent).
     _LOCK_TIMEOUT_S = 60.0
 
     def _try_break_stale_lock(self, lock: str) -> bool:
-        """Remove `lock` iff its owner is dead or it has outlived
-        _LOCK_TIMEOUT_S (round-8 advice: a committer SIGKILLed inside
-        the critical section used to wedge every later commit until a
-        human deleted the file). The lock carries its owner's PID;
-        liveness is a kill-0 probe (this is a local-filesystem sink,
-        so owner and breaker share a host). Breaking renames to a
-        unique name first so concurrent breakers race on the rename —
-        exactly one wins — and re-stats the inode before renaming so
-        a lock that just changed hands is left alone. Returns True if
-        the caller should retry acquisition immediately."""
+        """Remove `lock` iff its owner is provably dead, or the owner
+        is unknowable (empty/garbled/foreign lock — liveness can't be
+        probed) and the lock has outlived _LOCK_TIMEOUT_S (round-8
+        advice: a committer SIGKILLed inside the critical section
+        used to wedge every later commit until a human deleted the
+        file). A PID that probes ALIVE is never broken, regardless of
+        age — a live committer paused past the budget (GC, OS stall)
+        must not lose its lock mid-critical-section (round-9 advice).
+        The lock carries its owner's PID; liveness is a kill-0 probe
+        (this is a local-filesystem sink, so owner and breaker share
+        a host). Breaking renames to a unique name first so
+        concurrent breakers race on the rename — exactly one wins —
+        re-stats the inode before renaming so a lock that just
+        changed hands is left alone, and re-stats AFTER the rename:
+        if the renamed inode is not the one judged stale (the
+        stat→rename TOCTOU lost — the stale lock was released and a
+        fresh one acquired in the window), the fresh lock is restored
+        via os.link; a restore collision raises loudly rather than
+        leaving two committers both believing they hold the lock.
+        Returns True if the caller should retry acquisition
+        immediately."""
         import os
         import time
         try:
@@ -325,31 +355,49 @@ class OrdSinkWriter(DataSourceWriter):
         if pid is None:
             # unknown owner (e.g. acquired but PID not yet written,
             # or a foreign tool's lock): trust it until it outlives
-            # the budget
+            # the budget — age is the only signal available
             stale = time.time() - st.st_mtime > self._LOCK_TIMEOUT_S
         else:
             try:
                 os.kill(pid, 0)
-                owner_alive = True
+                stale = False  # live owner: NEVER age-broken
             except ProcessLookupError:
-                owner_alive = False
+                stale = True  # provably dead: crashed post-acquire
             except PermissionError:
-                owner_alive = True  # exists, other uid
-            stale = (not owner_alive
-                     or time.time() - st.st_mtime > self._LOCK_TIMEOUT_S)
+                stale = False  # exists, other uid: live
         if not stale:
             return False
+        grab = f"{lock}.stale-{os.getpid()}-{time.time_ns()}"
         try:
             now = os.stat(lock)
             if (now.st_ino, now.st_mtime_ns) != \
                     (st.st_ino, st.st_mtime_ns):
                 return False  # changed hands since we judged it
-            stale = f"{lock}.stale-{os.getpid()}-{time.time_ns()}"
-            os.replace(lock, stale)
-            os.remove(stale)
+            os.replace(lock, grab)
         except FileNotFoundError:
-            pass  # another breaker (or the owner) got there first
-        return True
+            return True  # another breaker (or the owner) got there first
+        # post-rename verification: the replace acted on the PATH, so
+        # a release+reacquire between the re-stat and the rename
+        # would have grabbed the NEW owner's lock. Confirm the inode
+        # we renamed is the one we judged stale; if not, put it back.
+        got = os.stat(grab)
+        if (got.st_ino, got.st_mtime_ns) == (st.st_ino, st.st_mtime_ns):
+            os.remove(grab)
+            return True
+        try:
+            os.link(grab, lock)  # fails iff a third party re-created it
+            os.remove(grab)
+            return False  # victim restored; treat as live contention
+        except FileExistsError:
+            # a third committer acquired while the victim's lock was
+            # renamed away: mutual exclusion is compromised — fail
+            # loudly instead of proceeding.
+            os.remove(grab)
+            raise RuntimeError(
+                f"ord_sink: lock takeover raced a live acquisition on "
+                f"{lock}; a concurrently-acquired lock was displaced "
+                "and could not be restored — manual inspection "
+                "required") from None
 
     def commit(self, messages) -> None:
         import os

