@@ -61,6 +61,7 @@ def load_all_operators() -> None:
         llmdata4,
         llmdata5,
         llmdata6,
+        llmdata7,
         maintenance,
         multimodal,
         ord_queries,

@@ -36,6 +36,12 @@ ALLOW = {
     "BroadcastNestedLoopJoin": {"join_cross_smallk",
                                 "vector_topk_similarity",
                                 "vector_ann_ivf",
+                                # FIXED 16-probe broadcast against
+                                # the corpus on a != condition — the
+                                # binary-code compare regime the
+                                # query exists to demonstrate
+                                # (8-byte XOR/popcount per pair)
+                                "embedding_binarize_hamming",
                                 "text_tfidf",
                                 "text_lm_perplexity",
                                 "join_salted_skew",

@@ -45,3 +45,35 @@ def build_salted_docs(spark, sf_dir: str, copies: int, out: str) -> None:
      .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
     n = spark.read.parquet(f"{out}/documents.parquet").count()
     print(f"  documents: {copies}x at {n} rows", flush=True)
+
+
+def build_suffixed_docs(spark, sf_dir: str, copies: int, out: str) -> None:
+    """documents × copies under a per-copy TOKEN BIJECTION (every
+    token w becomes ``w_c<copy>``): cross-copy shingle overlap is 0
+    (like the salt-interleave model) AND each copy's within-copy
+    shingle-equality structure is ISOMORPHIC to 1x — token counts,
+    shingle counts, pair graph, and component diameters are exactly
+    the originals. This is the right growth model for FIXPOINT ops:
+    the round-10 probe measured that the salt-INTERLEAVE model halves
+    the effective shingle width inside each copy (half of every
+    shingle's tokens are the shared salt), densifying the near-dup
+    candidate graph until CC diameter exceeds its round budget — a
+    corpus-model artifact, not an engine property."""
+    from pyspark.sql import functions as F  # local: matches file style
+
+    from open_reaction_database_web_scraper_spark.catalog import load
+    dkey = (load(spark, sf_dir, "documents")
+            .agg(F.max("doc_id")).collect()[0][0] + 1)
+    tag = F.concat(F.lit("_c"), F.col("copy").cast("string"))
+    docs = (load(spark, sf_dir, "documents")
+            .withColumn("copy", F.explode(
+                F.sequence(F.lit(0), F.lit(copies - 1))))
+            .withColumn("doc_id", F.col("doc_id") + F.col("copy") * dkey)
+            .withColumn("text", F.when(
+                F.col("copy") == 0, F.col("text")).otherwise(
+                F.concat(F.regexp_replace(
+                    "text", " ", F.concat(tag, F.lit(" "))), tag))))
+    (docs.drop("copy").repartition(32)
+     .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
+    n = spark.read.parquet(f"{out}/documents.parquet").count()
+    print(f"  documents(suffix): {copies}x at {n} rows", flush=True)

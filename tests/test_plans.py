@@ -569,7 +569,8 @@ def test_rank_windows_partial_group_limit(spark, sf_dir):
     fails here, not at 100x)."""
     for name in ("sample_hard_negative_mine",
                  "sample_hard_negative_mine_ann",
-                 "vector_knn_join"):
+                 "vector_knn_join",
+                 "embedding_binarize_hamming"):
         plan = plan_of(spark, sf_dir, name)
         assert "row_number(), 3, Partial" in plan, (name, plan)
         assert "row_number(), 3, Final" in plan, (name, plan)

@@ -1,0 +1,132 @@
+"""Round-10 tranche tests (§2.12d): semantic pins for the
+compression-retrieval + curation closers, each re-deriving the
+query's answer with an independent pure-python/numpy computation on
+the same parquet (the oracle checks cross-engine agreement; these
+check the SEMANTICS are the intended ones)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from open_reaction_database_web_scraper_spark.operators.llmdata7 import (
+    HAMMING_K,
+    HAMMING_PROBES,
+    _GOPHER_MIN_STOP,
+)
+from open_reaction_database_web_scraper_spark.operators.text import STOPWORDS
+from open_reaction_database_web_scraper_spark.registry import (
+    REGISTRY,
+    load_all_operators,
+)
+
+load_all_operators()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _np_signatures(sf_dir: str) -> dict[int, tuple[int, int]]:
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    out = {}
+    for vid, emb in zip(tbl.column("vec_id").to_pylist(),
+                        tbl.column("embedding").to_pylist()):
+        lo = sum(1 << i for i in range(32) if emb[i] > 0)
+        hi = sum(1 << i for i in range(32) if emb[32 + i] > 0)
+        out[vid] = (lo, hi)
+    return out
+
+
+def test_binarize_hamming_matches_numpy_ground_truth(spark):
+    """Every (probe, rank) cell must equal the brute-force numpy
+    answer: sign signatures, XOR popcount Hamming, (hamming, cand_id)
+    order, self excluded, exactly top-3 per probe."""
+    sig = _np_signatures(SF)
+    want = {}
+    for p in range(HAMMING_PROBES):
+        plo, phi = sig[p]
+        cands = sorted(
+            (bin(plo ^ lo).count("1") + bin(phi ^ hi).count("1"), c)
+            for c, (lo, hi) in sig.items() if c != p)
+        for rnk, (ham, c) in enumerate(cands[:HAMMING_K], start=1):
+            want[(p, rnk)] = (c, ham)
+    rows = REGISTRY["embedding_binarize_hamming"].fn(spark, SF).collect()
+    got = {(r.probe_id, r.rnk): (r.cand_id, r.hamming) for r in rows}
+    assert got == want
+    assert len(got) == HAMMING_PROBES * HAMMING_K
+
+
+def test_gopher_rules_match_pure_python(spark):
+    """Signals and verdict re-derived per doc in pure python over the
+    same single-space tokenization."""
+    tbl = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text"]).to_pylist()
+    rows = {r.doc_id: r for r in
+            REGISTRY["text_gopher_quality_rules"].fn(spark, SF).collect()}
+    assert len(rows) == len(tbl)
+    for rec in tbl[:100]:
+        words = rec["text"].split(" ")
+        n = len(words)
+        mwl = sum(len(w) for w in words) / n
+        sym = rec["text"].count("#") / n
+        alpha = sum(1 for w in words
+                    if any(c.isascii() and c.isalpha() for c in w)) / n
+        stop = sum(1 for s in STOPWORDS if s in words)
+        r = rows[rec["doc_id"]]
+        assert r.n_words == n
+        assert r.mean_word_len == round(mwl, 9)
+        assert r.symbol_ratio == round(sym, 9)
+        assert r.alpha_ratio == round(alpha, 9)
+        assert r.stop_hits == stop
+        want_pass = (50 <= n <= 100_000 and 3.0 <= mwl <= 10.0
+                     and sym < 0.1 and alpha > 0.8
+                     and stop >= _GOPHER_MIN_STOP)
+        assert r.passes_gopher == want_pass, rec["doc_id"]
+    # the verdict must discriminate on this corpus (not vacuously
+    # all-true or all-false)
+    verdicts = {r.passes_gopher for r in rows.values()}
+    assert verdicts == {True, False}, verdicts
+
+
+def test_cluster_representative_keep_drop_invariants(spark):
+    """Exactly one 'keep' per cluster; the keep is the (n_chars DESC,
+    doc_id ASC) maximum of its members; membership equals
+    dedup_clusters' output row-for-row."""
+    reps = REGISTRY["curation_cluster_representative"].fn(spark, SF) \
+        .collect()
+    clusters = REGISTRY["dedup_clusters"].fn(spark, SF).collect()
+    assert {(r.doc_id, r.cluster_id, r.cluster_size) for r in reps} \
+        == {(c.doc_id, c.cluster_id, c.cluster_size) for c in clusters}
+    lens = {r["doc_id"]: r["n_chars"] for r in pq.read_table(
+        f"{SF}/documents.parquet",
+        columns=["doc_id", "n_chars"]).to_pylist()}
+    by_cluster: dict[int, list] = {}
+    for r in reps:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert by_cluster
+    for cid, members in by_cluster.items():
+        keeps = [m for m in members if m.is_representative]
+        assert len(keeps) == 1, cid
+        assert keeps[0].action == "keep"
+        assert all(m.action == "drop"
+                   for m in members if not m.is_representative)
+        best = min(members, key=lambda m: (-lens[m.doc_id], m.doc_id))
+        assert keeps[0].doc_id == best.doc_id, cid
+
+
+def test_degree_topk_matches_pandas(spark):
+    """Top-20 hub list re-derived with pandas over lineitem."""
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"]).to_pandas()
+    pairs = li.drop_duplicates()
+    deg = pd.concat([
+        ("p:" + pairs.l_partkey.astype(str)),
+        ("s:" + pairs.l_suppkey.astype(str)),
+    ]).value_counts()
+    want = sorted(((n, int(d)) for n, d in deg.items()),
+                  key=lambda t: (-t[1], t[0]))[:20]
+    rows = REGISTRY["graph_degree_topk"].fn(spark, SF).collect()
+    got = [(r.node, r.degree) for r in rows]
+    assert got == want
