@@ -38,6 +38,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
+from ..functions.vector_math import unit_norm_sql
 from ..registry import register
 from .dedup import _clusters_oracle_sql, dedup_clusters
 from .graph import _bipartite_edges
@@ -310,3 +311,173 @@ def graph_degree_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("degree"))
             .orderBy(F.col("degree").desc(), "node")
             .limit(20))
+
+
+TRUNC_DIM = 16  # matryoshka prefix width audited against full 64
+
+
+@register(
+    "vector_matryoshka_truncate",
+    oracle=f"""
+    WITH emb0 AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e64,
+             (embedding::DOUBLE[])[1:{TRUNC_DIM}] AS e16
+      FROM embeddings
+    ), emb AS (
+      SELECT vec_id, {unit_norm_sql('e64')} AS n64,
+             {unit_norm_sql('e16')} AS n16
+      FROM emb0
+    ), probes AS (
+      SELECT vec_id AS probe_id, n64 AS p64, n16 AS p16
+      FROM emb WHERE vec_id < {HAMMING_PROBES}
+    ), pairs AS (
+      SELECT probe_id, c.vec_id AS cand_id,
+             ROUND(list_dot_product(p.p64, c.n64), 9) AS c64,
+             ROUND(list_dot_product(p.p16, c.n16), 9) AS c16
+      FROM probes p JOIN emb c ON c.vec_id <> p.probe_id
+    ), rf AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY c64 DESC, cand_id) AS rnk
+      FROM pairs
+    ), rt AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                   ORDER BY c16 DESC, cand_id) AS rnk
+      FROM pairs
+    )
+    SELECT f.probe_id, f.cand_id AS top_full, f.c64 AS cos_full,
+           t.cand_id AS top_trunc, t.c16 AS cos_trunc,
+           (f.cand_id = t.cand_id) AS agree
+    FROM rf f JOIN rt t ON t.probe_id = f.probe_id AND t.rnk = 1
+    WHERE f.rnk = 1
+    """,
+    tags=("vector", "llm-data"),
+)
+def vector_matryoshka_truncate(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation audit (MRL-style): for each probe, the
+    exact top-1 cosine neighbor at the FULL 64 dims vs at the first
+    {TRUNC_DIM} dims only, plus the agreement flag — the evaluation a
+    pipeline runs before committing to truncated embeddings (storage
+    and ANN cost drop 4x; this query measures what retrieval loses).
+
+    Both widths unit-normalize once per side (the round-10 lever) so
+    the pair stage is two dot folds; probes are the fixed 16-vector
+    set the binarize query uses, so pair work is O(16·N). Cosines
+    round at 9 dp with vec_id tie-breaks, making the argmax exact
+    cross-engine; the two rank windows share one (probe_id)
+    partitioning and are pre-reduced by the inferred partial
+    WindowGroupLimit.
+    """
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e64"))
+    emb = emb.withColumn("e16", F.slice("e64", 1, TRUNC_DIM))
+    from ..functions.vector_math import dot, unit_normalize
+    emb = unit_normalize(unit_normalize(emb, "e64"), "e16")
+    probes = (emb.filter(F.col("vec_id") < HAMMING_PROBES)
+              .select(F.col("vec_id").alias("probe_id"),
+                      F.col("e64").alias("p64"),
+                      F.col("e16").alias("p16")))
+    pairs = (emb.join(F.broadcast(probes),
+                      F.col("vec_id") != F.col("probe_id"))
+             .select("probe_id", F.col("vec_id").alias("cand_id"),
+                     F.round(dot(F.col("p64"), F.col("e64")), 9)
+                     .alias("c64"),
+                     F.round(dot(F.col("p16"), F.col("e16")), 9)
+                     .alias("c16")))
+    wf = Window.partitionBy("probe_id") \
+               .orderBy(F.col("c64").desc(), "cand_id")
+    wt = Window.partitionBy("probe_id") \
+               .orderBy(F.col("c16").desc(), "cand_id")
+    full = (pairs.withColumn("rnk", F.row_number().over(wf))
+            .filter(F.col("rnk") == 1)
+            .select("probe_id", F.col("cand_id").alias("top_full"),
+                    F.col("c64").alias("cos_full")))
+    trunc = (pairs.withColumn("rnk", F.row_number().over(wt))
+             .filter(F.col("rnk") == 1)
+             .select("probe_id", F.col("cand_id").alias("top_trunc"),
+                     F.col("c16").alias("cos_trunc")))
+    return (full.join(trunc, "probe_id")
+            .select("probe_id", "top_full", "cos_full",
+                    "top_trunc", "cos_trunc",
+                    (F.col("top_full") == F.col("top_trunc"))
+                    .alias("agree")))
+
+
+@register(
+    "stats_chi2_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type, CAST(user_id % 2 AS INTEGER) AS bucket,
+             COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ), rt AS (
+      SELECT event_type, CAST(SUM(o) AS BIGINT) AS rtot
+      FROM cells GROUP BY 1
+    ), ct AS (
+      SELECT bucket, CAST(SUM(o) AS BIGINT) AS ctot
+      FROM cells GROUP BY 1
+    ), n AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n FROM cells
+    ), dom AS (
+      SELECT rt.event_type, rt.rtot, ct.bucket, ct.ctot, n.n
+      FROM rt CROSS JOIN ct CROSS JOIN n
+    ), ex AS (
+      SELECT d.event_type, d.bucket,
+             CAST(COALESCE(c.o, 0) AS DOUBLE) AS o,
+             CAST(d.rtot AS DOUBLE) * CAST(d.ctot AS DOUBLE)
+               / CAST(d.n AS DOUBLE) AS e
+      FROM dom d LEFT JOIN cells c
+        ON c.event_type = d.event_type AND c.bucket = d.bucket
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((COUNT(DISTINCT event_type) - 1)
+                * (COUNT(DISTINCT bucket) - 1) AS BIGINT) AS dof,
+           CAST(SUM(CAST(ROUND((o - e) * (o - e) / e, 9)
+                         AS DECIMAL(24,9))) AS DOUBLE) AS chi2
+    FROM ex
+    """,
+    tags=("stats", "analytics"),
+)
+def stats_chi2_independence(spark: SparkSession,
+                            sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between event type and user
+    parity (a deliberately-independent pair — the null-hypothesis
+    smoke a drift monitor calibrates against): builds the full
+    type × parity contingency domain (zero cells INCLUDED — a
+    missing combination still contributes (0−e)²/e), expected counts
+    from the marginals, and the χ² statistic with its degrees of
+    freedom.
+
+    Determinism discipline: observed and marginal counts are exact
+    integers; expected values are single IEEE double expressions of
+    those integers (identical cross-engine); each cell's
+    contribution rounds at 9 dp into DECIMAL(24,9) so the final SUM
+    is order-insensitive (the decimal-accumulator idiom) — and the
+    decimal image stays far below 2^53, so the closing DOUBLE cast
+    rounds once in both engines. Scale shape: one corpus-sized hash
+    agg; everything after runs on the tiny marginal tables
+    (broadcast joins over a |types|×2 domain).
+    """
+    ev = load(spark, sf_dir, "events")
+    cells = (ev.groupBy("event_type",
+                        (F.col("user_id") % 2).cast("int").alias("bucket"))
+             .agg(F.count("*").alias("o")))
+    rt = cells.groupBy("event_type").agg(F.sum("o").alias("rtot"))
+    ct = cells.groupBy("bucket").agg(F.sum("o").alias("ctot"))
+    n = cells.agg(F.sum("o").alias("n"))
+    dom = rt.crossJoin(F.broadcast(ct)).crossJoin(F.broadcast(n))
+    ex = (dom.join(cells, ["event_type", "bucket"], "left")
+          .select("event_type", "bucket",
+                  F.coalesce(F.col("o"), F.lit(0)).cast("double")
+                  .alias("o"),
+                  (F.col("rtot").cast("double")
+                   * F.col("ctot").cast("double")
+                   / F.col("n").cast("double")).alias("e")))
+    contrib = F.round((F.col("o") - F.col("e"))
+                      * (F.col("o") - F.col("e")) / F.col("e"), 9) \
+        .cast("decimal(24,9)")
+    return ex.agg(
+        F.count("*").cast("long").alias("n_cells"),
+        ((F.count_distinct("event_type") - 1)
+         * (F.count_distinct("bucket") - 1)).cast("long").alias("dof"),
+        F.sum(contrib).cast("double").alias("chi2"))

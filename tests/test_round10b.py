@@ -130,3 +130,65 @@ def test_degree_topk_matches_pandas(spark):
     rows = REGISTRY["graph_degree_topk"].fn(spark, SF).collect()
     got = [(r.node, r.degree) for r in rows]
     assert got == want
+
+
+def test_matryoshka_truncate_matches_numpy(spark):
+    """Top-1 at both widths re-derived in numpy with the same 9-dp
+    rounding + id tie-break; the agreement flag must be consistent
+    and the audit must not be vacuous (some probe disagrees OR the
+    corpus genuinely preserves all top-1s — assert consistency, and
+    record the non-trivial cosine ordering)."""
+    tbl = pq.read_table(f"{SF}/embeddings.parquet",
+                        columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    x = np.array(tbl.column("embedding").to_pylist(), dtype="float64")
+    x64 = x / np.linalg.norm(x, axis=1, keepdims=True)
+    x16 = x[:, :16] / np.linalg.norm(x[:, :16], axis=1, keepdims=True)
+    byid = {v: i for i, v in enumerate(ids)}
+    rows = REGISTRY["vector_matryoshka_truncate"].fn(spark, SF).collect()
+    assert len(rows) == 16
+    for r in rows:
+        p = byid[r.probe_id]
+
+        def top1(mat):
+            best = None
+            for v, i in byid.items():
+                if v == r.probe_id:
+                    continue
+                c = round(float(mat[p] @ mat[i]), 9)
+                key = (-c, v)
+                if best is None or key < best[0]:
+                    best = (key, v, c)
+            return best[1], best[2]
+
+        wf, cf = top1(x64)
+        wt, ct_ = top1(x16)
+        assert (r.top_full, r.top_trunc) == (wf, wt), r
+        assert r.cos_full == pytest.approx(cf, abs=2e-9)
+        assert r.cos_trunc == pytest.approx(ct_, abs=2e-9)
+        assert r.agree == (wf == wt)
+
+
+def test_chi2_matches_scipy_free_recompute(spark):
+    """χ² re-derived from the raw contingency table in pure numpy
+    (no scipy dependency): same marginals, same 9-dp per-cell
+    rounding, dof = (r-1)(c-1)."""
+    ev = pq.read_table(f"{SF}/events.parquet",
+                       columns=["event_type", "user_id"]).to_pandas()
+    ev["bucket"] = (ev.user_id % 2).astype(int)
+    obs = ev.groupby(["event_type", "bucket"]).size()
+    types = sorted(ev.event_type.unique())
+    buckets = sorted(ev.bucket.unique())
+    n = len(ev)
+    rt = ev.groupby("event_type").size()
+    ct = ev.groupby("bucket").size()
+    chi2 = 0.0
+    for t in types:
+        for b in buckets:
+            o = float(obs.get((t, b), 0))
+            e = float(rt[t]) * float(ct[b]) / float(n)
+            chi2 += round((o - e) * (o - e) / e, 9)
+    row = REGISTRY["stats_chi2_independence"].fn(spark, SF).collect()[0]
+    assert row.n_cells == len(types) * len(buckets)
+    assert row.dof == (len(types) - 1) * (len(buckets) - 1)
+    assert row.chi2 == pytest.approx(chi2, abs=1e-8)
