@@ -1,6 +1,7 @@
-"""TPC-H completion tranche [E] — the 14 decision-support queries the
+"""TPC-H completion tranche [E] — the decision-support queries the
 earlier tranches didn't cover (Q2/Q4/Q8/Q9/Q11/Q12/Q13/Q15/Q16/Q17/
-Q19/Q20/Q21/Q22), each built with the DataFrame API (the existing
+Q19/Q20/Q21/Q22, plus the faithful Q1 since round 10 — the full
+explicit 22/22 set), each built with the DataFrame API (the existing
 sql_tpch_q3/q5/q6/q7/q10/q14/q18 rows pin the raw-SQL entry point;
 these rows pin the expression-tree entry point for the same shapes).
 
@@ -36,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load
-from ..functions.numeric import dec, dsum
+from ..functions.numeric import davg, davg_sql, dec, dsum, dsum_sql
 from ..registry import register
 
 # Exact discounted line revenue at its true scale: extendedprice and
@@ -890,3 +891,80 @@ def sql_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n_name")
             .agg(F.count("*").alias("numcust"),
                  dsum("c_acctbal").alias("totacctbal")))
+
+
+_Q1_CUTOFF = "1998-09-02"  # DATE '1998-12-01' - 90 days, precomputed
+
+_Q1_SQL = f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                         * (1 - CAST(l_discount AS DECIMAL(18,4))))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(9,2))
+                          * (1 - CAST(l_discount AS DECIMAL(9,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(9,2)))),
+                      4) AS DOUBLE) AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF} 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_tpch_q1", oracle=_Q1_SQL, tags=("sql", "agg", "flagship"))
+def sql_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report), faithful: the shipdate
+    cutoff (DATE '1998-12-01' − 90 days, precomputed as a literal so
+    both engines compare the same timestamp), the tax-bearing
+    ``sum_charge``, and ``avg_disc`` — the three elements the
+    flagship ``agg_multi`` analog (aggregates.py:21) simplifies
+    away. Completes the explicit 22/22 TPC-H set (q2-q22 were
+    already registered; q1's shape had only the analog).
+
+    Scale notes: the cutoff filter pushes into the parquet scan;
+    one hash aggregate with map-side partials over a 4-6 row group
+    domain. The two product sums accumulate in exact DECIMAL and
+    reduce to scale 4 BEFORE the double cast (the agg_multi rule:
+    at higher scales the sum's integer image exceeds 2^53 and
+    DuckDB's int128→double→÷10^scale double-rounds where Spark's
+    BigDecimal rounds once). ``sum_charge``'s triple product stays
+    exact: three DECIMAL(18,4) operands fit precision 38.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit(f"{_Q1_CUTOFF} 00:00:00")
+        .cast("timestamp"))
+    disc_price = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # the triple product uses DECIMAL(9,2) operands: the driver's
+    # numerics are 2-decimal so the cast is exact, and the scale-6
+    # product stays under precision 38 in BOTH engines — DECIMAL(18,4)
+    # operands would push the (p, s1+s2+s3) result past 38 and make
+    # Spark round an INTERMEDIATE where DuckDB doesn't (measured as a
+    # 1e-4 sum_charge divergence at sf0.001)
+    d92 = lambda c: F.col(c).cast("decimal(9,2)")  # noqa: E731
+    charge = (d92("l_extendedprice")
+              * (F.lit(1) - d92("l_discount"))
+              * (F.lit(1) + d92("l_tax")))
+    # charge sums carry TRUE scale-6 digits (unlike disc_price, whose
+    # scale-8 image is 4-decimal-exact), so the scale reduction must
+    # be an explicit ROUND: a decimal->decimal CAST rounds HALF_UP in
+    # Spark but TRUNCATES in DuckDB (measured: .851996 -> .8520 vs
+    # .8519). ROUND is half-up in both engines on exact decimals.
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity").alias("sum_qty"),
+                 dsum("l_extendedprice").alias("sum_base_price"),
+                 F.sum(disc_price).cast("decimal(38,4)").cast("double")
+                 .alias("sum_disc_price"),
+                 F.round(F.sum(charge), 4).cast("double")
+                 .alias("sum_charge"),
+                 davg("l_quantity").alias("avg_qty"),
+                 davg("l_extendedprice").alias("avg_price"),
+                 davg("l_discount").alias("avg_disc"),
+                 F.count("*").alias("count_order"))
+            .select("l_returnflag", "l_linestatus", "sum_qty",
+                    "sum_base_price", "sum_disc_price", "sum_charge",
+                    "avg_qty", "avg_price", "avg_disc", "count_order"))
