@@ -192,3 +192,53 @@ def test_chi2_matches_scipy_free_recompute(spark):
     assert row.n_cells == len(types) * len(buckets)
     assert row.dof == (len(types) - 1) * (len(buckets) - 1)
     assert row.chi2 == pytest.approx(chi2, abs=1e-8)
+
+
+def test_tpch_q1_matches_pure_decimal(spark):
+    """Q1's aggregates re-derived with python Decimal (exact base-10
+    arithmetic — the ground truth both engines' decimal-accumulator
+    plans claim to implement): group keys, counts, quantity/price
+    sums, the 4-dp-exact disc_price sum, the ROUND-half-up scale-6
+    charge sum, and the avg columns."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    t = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax",
+                 "l_shipdate"]).to_pandas()
+    t = t[t.l_shipdate <= pd.Timestamp("1998-09-02")]
+
+    def d2(x):
+        return Decimal(str(round(float(x), 2))).quantize(Decimal("0.01"))
+
+    agg: dict = {}
+    for r in t.itertuples():
+        k = (r.l_returnflag, r.l_linestatus)
+        a = agg.setdefault(k, {"n": 0, "qty": Decimal(0),
+                               "base": Decimal(0), "disc": Decimal(0),
+                               "charge": Decimal(0),
+                               "dsum": Decimal(0)})
+        a["n"] += 1
+        a["qty"] += d2(r.l_quantity)
+        a["base"] += d2(r.l_extendedprice)
+        dp = d2(r.l_extendedprice) * (1 - d2(r.l_discount))
+        a["disc"] += dp
+        a["charge"] += dp * (1 + d2(r.l_tax))
+        a["dsum"] += d2(r.l_discount)
+    rows = {(r.l_returnflag, r.l_linestatus): r for r in
+            REGISTRY["sql_tpch_q1"].fn(spark, SF).collect()}
+    assert rows.keys() == agg.keys()
+    for k, a in agg.items():
+        r = rows[k]
+        assert r.count_order == a["n"]
+        assert r.sum_qty == float(a["qty"])
+        assert r.sum_base_price == float(a["base"])
+        assert r.sum_disc_price == float(a["disc"])  # 4-dp exact
+        want_charge = float(a["charge"].quantize(
+            Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        assert r.sum_charge == want_charge, (k, r.sum_charge, want_charge)
+        assert r.avg_qty == pytest.approx(
+            float(a["qty"]) / a["n"], rel=1e-12)
+        assert r.avg_disc == pytest.approx(
+            float(a["dsum"]) / a["n"], rel=1e-12)
