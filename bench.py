@@ -145,6 +145,16 @@ OPTIONAL = [
     "multimodal_decode_jpeg",
     "multimodal_decode_avi",
     "pack_sequences",
+    # round 10: PCA gram stage, compression-retrieval/curation
+    # closers, the faithful Q1
+    "vector_pca_gram",
+    "embedding_binarize_hamming",
+    "text_gopher_quality_rules",
+    "curation_cluster_representative",
+    "graph_degree_topk",
+    "vector_matryoshka_truncate",
+    "stats_chi2_independence",
+    "sql_tpch_q1",
 ]
 
 
