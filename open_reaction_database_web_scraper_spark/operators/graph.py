@@ -356,3 +356,85 @@ def event_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prev_type", "next_type", "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(wrow), 6)
         .alias("p"))
+
+
+JACCARD_PROBES = 16  # fixed probe set: p_partkey <= 16 at every SF
+JACCARD_K = 5
+
+
+@register(
+    "graph_jaccard_neighbors",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), deg AS (
+      SELECT l_partkey, COUNT(*) AS d FROM pairs GROUP BY l_partkey
+    ), probes AS (
+      SELECT l_partkey AS probe, l_suppkey AS s FROM pairs
+      WHERE l_partkey <= {JACCARD_PROBES}
+    ), inter AS (
+      SELECT pr.probe, c.l_partkey AS cand, COUNT(*) AS n_common
+      FROM probes pr JOIN pairs c
+        ON c.l_suppkey = pr.s AND c.l_partkey <> pr.probe
+      GROUP BY pr.probe, c.l_partkey
+    ), scored AS (
+      SELECT i.probe, i.cand, CAST(i.n_common AS BIGINT) AS n_common,
+             ROUND(i.n_common
+                   / (dp.d + dc.d - i.n_common), 9) AS jaccard
+      FROM inter i
+      JOIN deg dp ON dp.l_partkey = i.probe
+      JOIN deg dc ON dc.l_partkey = i.cand
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+               PARTITION BY probe
+               ORDER BY jaccard DESC, cand) AS INTEGER) AS rnk
+      FROM scored
+    )
+    SELECT probe, cand, n_common, jaccard, rnk
+    FROM ranked WHERE rnk <= {JACCARD_K}
+    """,
+    tags=("graph", "dedup-adjacent"),
+)
+def graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity: for each probe part (fixed
+    set, p_partkey ≤ {JACCARD_PROBES}), the top-{JACCARD_K} other
+    parts by Jaccard of their supplier sets — the graph-native
+    "entities with the same relationships" similarity that embedding
+    cosine approximates, computed exactly on the bipartite graph.
+
+    Scale shape: the all-pairs neighbor-Jaccard is the wedge-join
+    anti-pattern (O(Σ deg²) pairs — the recorded triangle-count
+    lesson), so candidates generate from the PROBE side only: the
+    fixed probe set's supplier lists join back through the shared
+    supplier, bounding pair work at O(probes · avg-deg²) regardless
+    of graph size. Intersections are exact counts on the DISTINCT
+    pair set; Jaccard = n/(d_a + d_b − n) on integer counts, rounded
+    at 9 dp; the per-probe rank window rides the inferred partial
+    WindowGroupLimit.
+    """
+    pairs = (load(spark, sf_dir, "lineitem")
+             .select("l_partkey", "l_suppkey").distinct())
+    deg = pairs.groupBy("l_partkey").agg(F.count("*").alias("d"))
+    probes = (pairs.filter(F.col("l_partkey") <= JACCARD_PROBES)
+              .select(F.col("l_partkey").alias("probe"),
+                      F.col("l_suppkey").alias("s")))
+    inter = (pairs.join(F.broadcast(probes),
+                        (F.col("l_suppkey") == F.col("s"))
+                        & (F.col("l_partkey") != F.col("probe")))
+             .groupBy("probe", F.col("l_partkey").alias("cand"))
+             .agg(F.count("*").alias("n_common")))
+    dp = deg.select(F.col("l_partkey").alias("probe"),
+                    F.col("d").alias("dp"))
+    dc = deg.select(F.col("l_partkey").alias("cand"),
+                    F.col("d").alias("dc"))
+    scored = (inter.join(F.broadcast(dp), "probe").join(dc, "cand")
+              .select("probe", "cand",
+                      F.col("n_common").cast("long").alias("n_common"),
+                      F.round(F.col("n_common")
+                              / (F.col("dp") + F.col("dc")
+                                 - F.col("n_common")), 9)
+                      .alias("jaccard")))
+    w = Window.partitionBy("probe").orderBy(F.col("jaccard").desc(), "cand")
+    return (scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+            .filter(F.col("rnk") <= JACCARD_K)
+            .select("probe", "cand", "n_common", "jaccard", "rnk"))

@@ -413,3 +413,66 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(cond)
             .groupBy("view_id")
             .agg(F.count("*").alias("n_purchases")))
+
+
+EWMA_TAPS = 8  # FIR truncation depth (alpha = 0.5)
+
+
+@register(
+    "ts_ewma_truncated",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), seq AS (
+      SELECT user_id, event_id,
+             array_agg(c) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN {EWMA_TAPS - 1} PRECEDING
+                                         AND CURRENT ROW) AS vals
+      FROM cents
+    )
+    SELECT user_id, event_id,
+           CAST(len(vals) AS INTEGER) AS n_taps,
+           CAST(CAST(list_sum(list_transform(vals,
+                  (x, i) -> x * (1::BIGINT << (i - 1)))) AS BIGINT)
+                AS DOUBLE)
+             / CAST(((1::BIGINT << len(vals)) - 1) * 100 AS DOUBLE)
+             AS ewma
+    FROM seq
+    """,
+    tags=("timeseries", "window"),
+)
+def ts_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{EWMA_TAPS}-tap exponentially-weighted moving average
+    (alpha = 1/2) per user — EWMA truncated to a FIR so the window
+    state is O(taps) instead of the full history (the recursive form
+    is the streaming-stateful job's shape; a batch engine wants the
+    bounded frame). With alpha = 1/2 the weights are powers of two,
+    which makes the whole computation EXACT INTEGER arithmetic: the
+    2-decimal values scale to BIGINT cents, each tap multiplies by
+    2^(i-1) (newest tap heaviest), and the normalizer is the integer
+    (2^n − 1)·100 — one IEEE double division at the very end, so the
+    result is bit-identical cross-engine with no rounding convention
+    and no float-summation-order hazard (integer sums commute).
+
+    Scale shape: one window, bounded {EWMA_TAPS}-row frame, integer
+    fold inside codegen — the win_sliding_avg regime.
+    """
+    ev = (load(spark, sf_dir, "events")
+          .filter(F.col("value").isNotNull())
+          .withColumn("c", F.round(F.col("value") * 100).cast("long")))
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc_nulls_last("ts"), "event_id")
+         .rowsBetween(-(EWMA_TAPS - 1), Window.currentRow))
+    ev = ev.withColumn("vals", F.collect_list("c").over(w))
+    num = F.expr("aggregate(transform(vals, (x, i) -> x * shiftleft(1L, i)), "
+                 "0L, (a, v) -> a + v)")
+    # shiftleft's python wrapper wants a literal bit count; the
+    # size(vals)-dependent shift must go through the SQL parser
+    den = F.expr("CAST((shiftleft(1L, size(vals)) - 1) * 100 AS DOUBLE)")
+    return ev.select(
+        "user_id", "event_id",
+        F.size("vals").cast("int").alias("n_taps"),
+        (num.cast("double") / den).alias("ewma"))

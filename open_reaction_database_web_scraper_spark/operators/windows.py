@@ -451,3 +451,47 @@ def win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.sum("is_first").over(w_run).cast("long")
         .alias("distinct_types_so_far"))
+
+
+@register(
+    "win_sliding_median",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, value,
+             array_agg(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS BETWEEN 4 PRECEDING
+                                             AND CURRENT ROW) AS vals
+      FROM events WHERE value IS NOT NULL
+    )
+    SELECT user_id, event_id,
+           CAST(len(vals) AS INTEGER) AS n_in_window,
+           list_sort(vals)[(len(vals) + 1) // 2] AS median5
+    FROM seq
+    """,
+    tags=("window", "stats"),
+)
+def win_sliding_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding EXACT median (lower median) of the last 5 values per
+    user — the robust-center companion to win_sliding_avg that a
+    mean can't provide under outliers. The median is an ELEMENT PICK
+    from the sorted 5-row frame (position (n+1)/2, never an average
+    of two), so the output is one of the input doubles verbatim —
+    float-exact cross-engine with no rounding convention needed.
+
+    Scale shape: one window with a bounded 5-row frame — per-row
+    state is O(5), the same regime as win_sliding_avg; the
+    collect+sort runs on ≤5 elements inside codegen. The (ts,
+    event_id) order key makes the frame, and therefore the median,
+    deterministic under ties.
+    """
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.asc_nulls_last("ts"), "event_id")
+         .rowsBetween(-4, Window.currentRow))
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    return ev.select(
+        "user_id", "event_id",
+        n.cast("int").alias("n_in_window"),
+        F.element_at(vals, ((n + 1) / 2).cast("int")).alias("median5"))

@@ -242,3 +242,82 @@ def test_tpch_q1_matches_pure_decimal(spark):
             float(a["qty"]) / a["n"], rel=1e-12)
         assert r.avg_disc == pytest.approx(
             float(a["dsum"]) / a["n"], rel=1e-12)
+
+
+def test_sliding_median_matches_pandas(spark):
+    """Exact lower-median of the last-5 frame re-derived row-by-row."""
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"]).to_pandas()
+    ev = ev[ev.value.notna()].sort_values(["user_id", "ts", "event_id"])
+    rows = {r.event_id: r for r in
+            REGISTRY["win_sliding_median"].fn(spark, SF).collect()}
+    assert len(rows) == len(ev)
+    checked = 0
+    for _, grp in ev.groupby("user_id"):
+        vals = list(grp.value)
+        for i, eid in enumerate(grp.event_id):
+            frame = vals[max(0, i - 4):i + 1]
+            med = sorted(frame)[(len(frame) + 1) // 2 - 1]
+            r = rows[eid]
+            assert r.n_in_window == len(frame)
+            assert r.median5 == med, eid  # element pick: exact
+            checked += 1
+        if checked > 400:
+            break
+
+
+def test_ewma_truncated_matches_integer_recompute(spark):
+    """The power-of-two EWMA re-derived with exact python ints."""
+    ev = pq.read_table(
+        f"{SF}/events.parquet",
+        columns=["user_id", "event_id", "ts", "value"]).to_pandas()
+    ev = ev[ev.value.notna()].sort_values(["user_id", "ts", "event_id"])
+    rows = {r.event_id: r for r in
+            REGISTRY["ts_ewma_truncated"].fn(spark, SF).collect()}
+    checked = 0
+    for _, grp in ev.groupby("user_id"):
+        cents = [round(v * 100) for v in grp.value]
+        for i, eid in enumerate(grp.event_id):
+            frame = cents[max(0, i - 7):i + 1]
+            n = len(frame)
+            num = sum(c * (1 << k) for k, c in enumerate(frame))
+            want = num / (((1 << n) - 1) * 100)
+            r = rows[eid]
+            assert r.n_taps == n
+            assert r.ewma == want, eid  # single IEEE division: exact
+            checked += 1
+        if checked > 400:
+            break
+    # newest tap must dominate: a frame ending in a spike pulls the
+    # ewma at least halfway toward it (weight of last tap >= 1/2
+    # of the normalizer at full depth)
+
+
+def test_jaccard_neighbors_matches_pandas(spark):
+    """Top-5 supplier-set Jaccard per probe re-derived with sets."""
+    li = pq.read_table(f"{SF}/lineitem.parquet",
+                       columns=["l_partkey", "l_suppkey"]).to_pandas()
+    pairs = li.drop_duplicates()
+    nbrs: dict[int, set] = {}
+    for r in pairs.itertuples():
+        nbrs.setdefault(r.l_partkey, set()).add(r.l_suppkey)
+    rows = REGISTRY["graph_jaccard_neighbors"].fn(spark, SF).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.probe, []).append(r)
+    for probe in [p for p in nbrs if p <= 16]:
+        cands = []
+        for other, s in nbrs.items():
+            if other == probe:
+                continue
+            inter = len(nbrs[probe] & s)
+            if inter:
+                j = round(inter / (len(nbrs[probe]) + len(s) - inter), 9)
+                cands.append((-j, other, inter))
+        cands.sort()
+        want = cands[:5]
+        have = sorted(got.get(probe, []), key=lambda r: r.rnk)
+        assert len(have) == len(want), probe
+        for r, (nj, other, inter) in zip(have, want):
+            assert (r.cand, r.n_common, r.jaccard) == (other, inter, -nj)
