@@ -155,6 +155,9 @@ OPTIONAL = [
     "vector_matryoshka_truncate",
     "stats_chi2_independence",
     "sql_tpch_q1",
+    "win_sliding_median",
+    "ts_ewma_truncated",
+    "graph_jaccard_neighbors",
 ]
 
 
