@@ -42,6 +42,13 @@ ALLOW = {
                                 # query exists to demonstrate
                                 # (8-byte XOR/popcount per pair)
                                 "embedding_binarize_hamming",
+                                # same fixed-16-probe != broadcast,
+                                # two dot folds per pair
+                                "vector_matryoshka_truncate",
+                                # |types|x2 marginal cross-domain:
+                                # two 1-to-few broadcast crossJoins
+                                # over tiny aggregate tables
+                                "stats_chi2_independence",
                                 "text_tfidf",
                                 "text_lm_perplexity",
                                 "join_salted_skew",
