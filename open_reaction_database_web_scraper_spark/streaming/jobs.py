@@ -694,3 +694,87 @@ def stream_ord_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce(F.sum(F.when(F.col("success"), 1)), F.lit(0))
                 .alias("n_success")))
     return _run_to_memory(agg, "complete")
+
+
+EWMA_TAPS = 8  # mirror of operators/timeseries.py ts_ewma_truncated
+
+
+@register(
+    "stream_ewma_stateful",
+    oracle=f"""
+    WITH cents AS (
+      SELECT user_id, event_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS c
+      FROM events WHERE value IS NOT NULL
+    ), seq AS (
+      SELECT user_id, event_id,
+             array_agg(c) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN {EWMA_TAPS - 1} PRECEDING
+                                         AND CURRENT ROW) AS vals
+      FROM cents
+    )
+    SELECT user_id, event_id,
+           CAST(len(vals) AS INTEGER) AS n_taps,
+           CAST(CAST(list_sum(list_transform(vals,
+                  (x, i) -> x * (1::BIGINT << (i - 1)))) AS BIGINT)
+                AS DOUBLE)
+             / CAST(((1::BIGINT << len(vals)) - 1) * 100 AS DOUBLE)
+             AS ewma
+    FROM seq
+    """,
+    tags=("streaming", "stateful", "timeseries"),
+)
+def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The truncated EWMA's STREAMING twin: per-user explicit group
+    state (the last ≤{EWMA_TAPS} integer-cents values) carried across
+    micro-batches via ``applyInPandasWithState``, emitting one EWMA
+    row per event in append mode — the recursive/stateful form of
+    ``ts_ewma_truncated`` (operators/timeseries.py), which a
+    long-running ingest pipeline would run instead of re-windowing
+    the batch table.
+
+    Exactness contract mirrors the batch twin exactly: state and
+    arithmetic are pure integers (cents × power-of-two weights,
+    integer normalizer) with ONE closing IEEE division per emitted
+    row, so the stream's rows are bit-identical to the batch window
+    — the oracle is the SAME SQL. In-order chunk replay + per-batch
+    (ts, event_id) sort gives each user a deterministic event order;
+    state is O(taps) per user, the bounded-state regime every
+    stateful job here targets.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = _chunked_events_dir(spark, sf_dir)
+    stream = _events_stream(spark, src).filter(F.col("value").isNotNull())
+
+    def update(key, pdfs, state: GroupState):
+        (tail,) = state.get if state.exists else ([],)
+        tail = list(tail)
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts", "event_id"])
+        out_eid, out_n, out_ewma = [], [], []
+        for eid, val in zip(batch["event_id"], batch["value"]):
+            tail.append(int(round(val * 100)))
+            if len(tail) > EWMA_TAPS:
+                tail = tail[-EWMA_TAPS:]
+            n = len(tail)
+            num = sum(c << i for i, c in enumerate(tail))
+            out_eid.append(int(eid))
+            out_n.append(n)
+            out_ewma.append(num / (((1 << n) - 1) * 100))
+        state.update((tail,))
+        yield pd.DataFrame({"user_id": [key[0]] * len(out_eid),
+                            "event_id": out_eid,
+                            "n_taps": pd.array(out_n, dtype="int32"),
+                            "ewma": out_ewma})
+
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, event_id bigint, "
+                         "n_taps int, ewma double",
+        stateStructType="vals array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+    return _run_to_memory(updates, "append")

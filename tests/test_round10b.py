@@ -321,3 +321,14 @@ def test_jaccard_neighbors_matches_pandas(spark):
         assert len(have) == len(want), probe
         for r, (nj, other, inter) in zip(have, want):
             assert (r.cand, r.n_common, r.jaccard) == (other, inter, -nj)
+
+
+def test_stream_ewma_equals_batch_window(spark):
+    """The streaming stateful EWMA must reproduce the batch window
+    twin ROW FOR ROW (same integers, same one-division floats) —
+    batch/stream equivalence through explicit group state."""
+    batch = {(r.user_id, r.event_id): (r.n_taps, r.ewma) for r in
+             REGISTRY["ts_ewma_truncated"].fn(spark, SF).collect()}
+    stream = {(r.user_id, r.event_id): (r.n_taps, r.ewma) for r in
+              REGISTRY["stream_ewma_stateful"].fn(spark, SF).collect()}
+    assert stream == batch and batch
