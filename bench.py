@@ -158,6 +158,7 @@ OPTIONAL = [
     "win_sliding_median",
     "ts_ewma_truncated",
     "graph_jaccard_neighbors",
+    "stream_ewma_stateful",
 ]
 
 
