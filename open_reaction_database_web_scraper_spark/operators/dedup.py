@@ -15,7 +15,7 @@ and the LSH band join only shuffles (band, hash) pairs, never text.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
@@ -308,28 +308,146 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the DuckDB oracle recomputes the identical pairs (rows-only
     through round 6, fully value-hashed from round 7).
 
-    Cache ownership: :func:`minhash_pairs` caches the signature frame
-    (read twice: banding + verify). This registered entry point
+    Round 11: identical-signature collapse before banding (see
+    :func:`signature_groups`) — output unchanged (same oracle), but
+    a k-identical duplicate cluster now lands ONE row per band
+    bucket instead of k, so the within-bucket k²/2 candidate blow-up
+    cannot happen for duplicate clusters.
+
+    Cache ownership: :func:`minhash_pairs` caches the members frame
+    (read thrice: banding + within-group + expansion). This entry point
     materializes the pairs eagerly (localCheckpoint — lineage
     truncated, blocks owned by the ContextCleaner, released on GC)
     and unpersists the signature cache before returning, so running
     the query standalone leaves no orphaned cached RDDs behind.
     """
-    pairs, sig = minhash_pairs(spark, sf_dir)
+    pairs, members = minhash_pairs(spark, sf_dir)
     out = pairs.localCheckpoint(eager=True)
-    sig.unpersist()
+    members.unpersist()
     return out
 
 
-def minhash_pairs(spark: SparkSession,
-                  sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """(pairs, cached signature handle). The sig frame is consumed
-    twice inside the pair plan (banding + est-Jaccard verify), so it
-    is cached here; the CALLER owns the unpersist — a query that
-    materializes the pairs (e.g. the CC clustering loop) should
+# Residual hot buckets excluded by the most recent minhash_pairs call
+# with a hot_cap set (count of (band_idx, band_hash) buckets dropped).
+# 0 whenever hot_cap is None (the registered-query default, which is
+# LOSSLESS). Read by the scale probes and the planted hot-bucket test.
+LAST_LSH_HOT_BUCKETS = 0
+
+
+def signature_groups(sig: DataFrame, sig_col: str = "sig",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Identical-signature collapse (round 11, the LSH hot-bucket
+    guard): annotate each row with its signature group's
+    representative (min id) and size — ONE window exchange keyed on
+    the signature value itself.
+
+    This is exact-dedup-first made STRUCTURAL: only one row per
+    distinct signature enters the band self-join downstream, so a
+    k-identical duplicate cluster (million-fold boilerplate is
+    routine in web corpora) contributes exactly one row per band
+    bucket instead of k — the within-bucket k²/2 candidate blow-up
+    (8·5×10⁷ join rows for k=10⁴) becomes structurally impossible
+    for identical docs, while the OUTPUT stays bit-identical: pairs
+    inside a group are emitted directly (all signature-derived
+    scores are reflexive — est_jaccard 1.0, Hamming 0) and
+    cross-group pairs expand from the representative-level verdict
+    (candidate-ness and every score are pure functions of the
+    signature, so each member pair inherits its reps' result
+    exactly). Returns (id, <sig_col>, rep, gsize)."""
+    w = Window.partitionBy(sig_col)
+    return sig.select(
+        id_col, sig_col,
+        F.min(id_col).over(w).alias("rep"),
+        F.count(F.lit(1)).over(w).alias("gsize"))
+
+
+def expand_rep_pairs(rep_pairs: DataFrame, members: DataFrame,
+                     score_col: str, reflexive_score: F.Column,
+                     id_a: str = "doc_a",
+                     id_b: str = "doc_b") -> DataFrame:
+    """Expand representative-level verdicts back to member pairs —
+    the inverse of :func:`signature_groups`, shared by the minhash /
+    simhash / phash band joins.
+
+    ``rep_pairs`` is (rep_a, rep_b, <score_col>) over DISTINCT
+    representatives; ``members`` is signature_groups' output.
+    Cross-group member pairs inherit the rep pair's score verbatim
+    (score is a function of the signature); within-group pairs are
+    emitted directly with ``reflexive_score`` (identical signatures
+    ⇒ est_jaccard 1.0 / Hamming 0, always past every gate, and they
+    share ALL bands so they were candidates in the uncollapsed
+    plan). The two sets are disjoint (same group vs different
+    groups), so no distinct() is needed. Expansion joins exchange
+    only narrow (id, rep) rows — the price of the guard is three
+    id-width shuffles; what it removes is the quadratic
+    within-bucket candidate tail."""
+    idc = members.columns[0]  # signature_groups puts the id first
+    ma = members.select(F.col("rep").alias("rep_a"),
+                        F.col(idc).alias("_ida"))
+    mb = members.select(F.col("rep").alias("rep_b"),
+                        F.col(idc).alias("_idb"))
+    cross = (rep_pairs.join(ma, "rep_a").join(mb, "rep_b")
+             .select(F.least("_ida", "_idb").alias(id_a),
+                     F.greatest("_ida", "_idb").alias(id_b),
+                     score_col))
+    grp = members.filter(F.col("gsize") >= 2)
+    x, y = grp.alias("x"), grp.alias("y")
+    within = (x.join(y, (F.col("x.rep") == F.col("y.rep"))
+                     & (F.col(f"x.{idc}") < F.col(f"y.{idc}")))
+              .select(F.col(f"x.{idc}").alias(id_a),
+                      F.col(f"y.{idc}").alias(id_b),
+                      reflexive_score.alias(score_col)))
+    return cross.unionByName(within)
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str,
+                  hot_cap: int | None = None
+                  ) -> tuple[DataFrame, DataFrame]:
+    """(pairs, cached members handle): the full member-level near-dup
+    pair set — :func:`minhash_rep_pairs`' representative verdicts
+    expanded back through the signature groups. The CALLER owns the
+    members unpersist — a query that materializes the pairs should
     release it, a caller returning the lazy pairs frame must not."""
-    sig = minhash_signatures(spark, sf_dir).cache()
-    bands = sig.select(
+    rep_pairs, members = minhash_rep_pairs(spark, sf_dir, hot_cap)
+    pairs = expand_rep_pairs(rep_pairs, members, "est_jaccard",
+                             F.lit(1.0))
+    return pairs, members
+
+
+def minhash_rep_pairs(spark: SparkSession, sf_dir: str,
+                      hot_cap: int | None = None
+                      ) -> tuple[DataFrame, DataFrame]:
+    """(rep_pairs, cached members handle) — near-dup verdicts at the
+    REPRESENTATIVE level (one row per distinct signature), plus the
+    signature-group membership needed to expand or star them out.
+    The members frame is consumed by several operators downstream,
+    so it is cached here; the CALLER owns the unpersist.
+
+    Round 11: identical signatures are collapsed to one
+    representative BEFORE banding (see :func:`signature_groups` —
+    output unchanged, quadratic hot-bucket candidates structurally
+    impossible for duplicate clusters). ``hot_cap``, if set, is the
+    second line of defense for ADVERSARIAL residual density (many
+    DISTINCT signatures colliding in one band bucket): buckets whose
+    representative occupancy exceeds the cap are excluded from
+    candidate generation — a loud, recall-losing cut (excluded
+    bucket count recorded in ``LAST_LSH_HOT_BUCKETS``; a pair
+    sharing another, non-hot band is still found). The registered
+    queries run with hot_cap=None: lossless."""
+    global LAST_LSH_HOT_BUCKETS
+    sig = minhash_signatures(spark, sf_dir)
+    # Eager fill: the pair plan scans this cache from SEVEN operators
+    # (banding, both verify sides, both expansion sides, both
+    # within-group sides), and Spark's cache does not deduplicate
+    # IN-FLIGHT computation — concurrent first-scans each recompute
+    # the expensive upstream (explode + 32-min agg; measured 4.8× on
+    # the whole query at sf0.1). One count() materializes it once;
+    # every consumer then reads blocks.
+    members = signature_groups(sig).cache()
+    members.count()
+    reps = (members.filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "sig"))
+    bands = reps.select(
         "doc_id",
         F.posexplode(F.transform(
             F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
@@ -346,26 +464,55 @@ def minhash_pairs(spark: SparkSession,
     # the exchange is planned once and reused.
     bands = bands.repartition(_auto_width(sf_dir),
                               "band_idx", "band_hash")
+    if hot_cap is not None:
+        # The per-bucket count pre-aggregate: a window count over the
+        # ALREADY-REPARTITIONED bucket key adds no exchange. The loud
+        # part (how many buckets were cut) is one extra count action,
+        # paid only in probe/guard mode, recomputed from the cached
+        # members frame.
+        occ = Window.partitionBy("band_idx", "band_hash")
+        guarded = bands.withColumn("_occ", F.count(F.lit(1)).over(occ))
+        LAST_LSH_HOT_BUCKETS = (
+            guarded.filter(F.col("_occ") > hot_cap)
+            .select("band_idx", "band_hash").distinct().count())
+        bands = guarded.filter(F.col("_occ") <= hot_cap).drop("_occ")
+    else:
+        LAST_LSH_HOT_BUCKETS = 0
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+            .select(F.col("a.doc_id").alias("rep_a"),
+                    F.col("b.doc_id").alias("rep_b"))
             .distinct())
-    sa = sig.select(F.col("doc_id").alias("doc_a"),
-                    F.col("sig").alias("sig_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"),
-                    F.col("sig").alias("sig_b"))
+    sa = reps.select(F.col("doc_id").alias("rep_a"),
+                     F.col("sig").alias("sig_a"))
+    sb = reps.select(F.col("doc_id").alias("rep_b"),
+                     F.col("sig").alias("sig_b"))
     est = (F.size(F.filter(F.zip_with("sig_a", "sig_b",
                                       lambda x, y: x == y),
                            lambda eq: eq))
            .cast("double") / F.lit(float(N_HASHES)))
-    pairs = (cand.join(sa, "doc_a").join(sb, "doc_b")
-             .withColumn("est_jaccard", est)
-             .filter(F.col("est_jaccard") >= 0.5)
-             .select("doc_a", "doc_b", "est_jaccard"))
-    return pairs, sig
+    rep_pairs = (cand.join(sa, "rep_a").join(sb, "rep_b")
+                 .withColumn("est_jaccard", est)
+                 .filter(F.col("est_jaccard") >= 0.5)
+                 .select("rep_a", "rep_b", "est_jaccard"))
+    return rep_pairs, members
+
+
+def member_star_edges(members: DataFrame) -> DataFrame:
+    """(src=rep, dst=member) star edges for every multi-doc signature
+    group — CONNECTIVITY-equivalent to the group's k²/2 within pairs
+    (every member reaches every other through the rep), with k-1
+    edges instead: the same linearization exact_dup_star_edges does
+    for sha groups, applied to identical minhash signatures. Min-label
+    CC over stars + rep-level pairs yields the same components and
+    the same min labels as CC over the full expanded pair graph, so
+    the cluster queries never materialize a quadratic edge set."""
+    return (members.filter((F.col("gsize") >= 2)
+                           & (F.col(members.columns[0]) != F.col("rep")))
+            .select(F.col("rep").alias("src"),
+                    F.col(members.columns[0]).alias("dst")))
 
 
 SIMHASH_BITS = 60      # 15 md5 hex chars — the portable width
@@ -472,7 +619,21 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sim = votes.select("doc_id", F.expr(
         " + ".join(f"(CAST(CASE WHEN v{i} > 0 THEN 1 ELSE 0 END AS BIGINT)"
                    f" << {i})" for i in range(nb))).alias("simhash"))
-    keys = sim.select(
+    # Round 11 hot-bucket guard: collapse identical simhash values to
+    # one representative before the block-combo join (see
+    # signature_groups — candidate-ness and Hamming are pure
+    # functions of the simhash, so expansion preserves the output
+    # exactly; within-group pairs are Hamming 0 by identity). The
+    # members frame feeds three consumers, and its upstream (token
+    # explode + 60-column vote) is the expensive stage — one eager
+    # localCheckpoint materializes it once (lineage truncated,
+    # blocks owned by the ContextCleaner, released on GC — no
+    # caller-owned cache to leak from a registered entry point).
+    members = signature_groups(sim, sig_col="simhash") \
+        .localCheckpoint(eager=True)
+    reps = (members.filter(F.col("doc_id") == F.col("rep"))
+            .select("doc_id", "simhash"))
+    keys = reps.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
             F.expr(f"(((simhash >> {w * c0}) & {mask}) << {2 * w}) | "
@@ -484,18 +645,20 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (a.join(b, (F.col("a.combo_idx") == F.col("b.combo_idx"))
                    & (F.col("a.combo_key") == F.col("b.combo_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
+            .select(F.col("a.doc_id").alias("rep_a"),
                     F.col("a.simhash").alias("sim_a"),
-                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("b.doc_id").alias("rep_b"),
                     F.col("b.simhash").alias("sim_b"))
             .distinct())
     # cast both sides to int32 explicitly: Spark bit_count returns
     # INT but DuckDB's returns TINYINT — exact schema parity is one
     # cast away (round-7 judge note), so take it on both sides
-    return (cand.withColumn(
+    rep_pairs = (cand.withColumn(
         "hamming", F.expr("bit_count(sim_a ^ sim_b)").cast("int"))
         .filter(F.col("hamming") <= 3)
-        .select("doc_a", "doc_b", "hamming"))
+        .select("rep_a", "rep_b", "hamming"))
+    return expand_rep_pairs(rep_pairs, members, "hamming",
+                            F.lit(0).cast("int"))
 
 
 @register(
@@ -649,19 +812,25 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearity included) stays pinned in tests.
     """
     docs = load(spark, sf_dir, "documents")
-    pairs, sig = minhash_pairs(spark, sf_dir)
-    near = pairs.select(F.col("doc_a").alias("src"),
-                        F.col("doc_b").alias("dst"))
+    # Round 11: CC consumes the LINEAR rep-level graph — rep pairs +
+    # signature-group stars (see member_star_edges) — instead of the
+    # expanded member pairs. Same components, same min labels; a
+    # 10k-identical boilerplate cluster contributes 10⁴ star edges
+    # where the expanded pair graph holds 5×10⁷.
+    rep_pairs, members = minhash_rep_pairs(spark, sf_dir)
+    near = (rep_pairs.select(F.col("rep_a").alias("src"),
+                             F.col("rep_b").alias("dst"))
+            .unionByName(member_star_edges(members)))
     edges = exact_dup_star_edges(docs).unionByName(near).distinct()
     try:
         labels = connected_components(edges)
     finally:
         # CC materialized the edge graph (eager localCheckpoints), so
-        # the signature cache has no further reader — release it
+        # the members cache has no further reader — release it
         # rather than pinning executor storage for the session's
         # lifetime (finally: a CC convergence failure must not leak
         # the cache either, or every retry pins another copy)
-        sig.unpersist()
+        members.unpersist()
     return _cluster_output(labels)
 
 
@@ -694,13 +863,17 @@ def dedup_clusters_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 8 via the same recursive-CTE closure as dedup_clusters,
     minus the exact-dup star edges.
     """
-    pairs, sig = minhash_pairs(spark, sf_dir)
-    edges = pairs.select(F.col("doc_a").alias("src"),
-                         F.col("doc_b").alias("dst"))
+    # Rep-level graph (round 11): rep pairs + group stars — same
+    # components and labels as the expanded pair graph, linear edges
+    # (see dedup_clusters / member_star_edges).
+    rep_pairs, members = minhash_rep_pairs(spark, sf_dir)
+    edges = (rep_pairs.select(F.col("rep_a").alias("src"),
+                              F.col("rep_b").alias("dst"))
+             .unionByName(member_star_edges(members)))
     try:
         labels = connected_components(edges)
     finally:
-        sig.unpersist()  # CC materialized the graph; no further reader
+        members.unpersist()  # CC materialized the graph; no further reader
     return _cluster_output(labels)
 
 

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load
 from ..registry import register
+from .dedup import expand_rep_pairs, signature_groups
 from .scans import _sink_dir
 
 ASSET_SCHEMA = ("asset_id bigint, payload binary, "
@@ -944,7 +945,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     sigs = assets.select("asset_id", "payload").mapInPandas(
         sig_batches, "asset_id bigint, sig bigint")
-    banded = sigs.select(
+    # Round 11 hot-bucket guard (shared with the minhash/simhash
+    # families): identical signatures collapse to one representative
+    # before the band self-join — a k-copy asset cluster lands ONE
+    # row per band bucket instead of k, and the output is rebuilt
+    # exactly (within-group Hamming is 0 by identity; cross-group
+    # pairs inherit the rep verdict — Hamming is a pure function of
+    # the two signatures). members is eagerly localCheckpoint-ed:
+    # its upstream is the Python signature pass, which three
+    # consumers must not recompute.
+    members = signature_groups(sigs, sig_col="sig", id_col="asset_id") \
+        .localCheckpoint(eager=True)
+    reps = (members.filter(F.col("asset_id") == F.col("rep"))
+            .select("asset_id", "sig"))
+    banded = reps.select(
         "asset_id", "sig",
         F.explode(F.array(*[
             F.struct(
@@ -952,20 +966,23 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.shiftrightunsigned(F.col("sig"), 16 * c)
                 .bitwiseAND(F.lit(0xFFFF)).alias("band"))
             for c in range(PHASH_CHUNKS)])).alias("b"))
-    a = banded.select(F.col("asset_id").alias("asset_a"),
+    a = banded.select(F.col("asset_id").alias("rep_a"),
                       F.col("sig").alias("sig_a"),
                       F.col("b.band_no").alias("band_no"),
                       F.col("b.band").alias("band"))
-    b = banded.select(F.col("asset_id").alias("asset_b"),
+    b = banded.select(F.col("asset_id").alias("rep_b"),
                       F.col("sig").alias("sig_b"),
                       F.col("b.band_no").alias("band_no"),
                       F.col("b.band").alias("band"))
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (a.join(b, ["band_no", "band"])
-            .filter(F.col("asset_a") < F.col("asset_b"))
-            .filter(hamming <= PHASH_MAX_HAMMING)
-            .select("asset_a", "asset_b", hamming.alias("hamming"))
-            .distinct())
+    rep_pairs = (a.join(b, ["band_no", "band"])
+                 .filter(F.col("rep_a") < F.col("rep_b"))
+                 .filter(hamming <= PHASH_MAX_HAMMING)
+                 .select("rep_a", "rep_b", hamming.alias("hamming"))
+                 .distinct())
+    return expand_rep_pairs(rep_pairs, members, "hamming",
+                            F.lit(0).cast("int"),
+                            id_a="asset_a", id_b="asset_b")
 
 
 PPM_W, PPM_H = 4, 2  # 24 raster bytes = the first 24 sha-256 hex chars

@@ -16,6 +16,7 @@ seen-set dedup (:422), politeness rate limit (:459).
 from __future__ import annotations
 
 import atexit
+import math
 import os
 import shutil
 import tempfile
@@ -84,7 +85,14 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
         for _ in range(copies - 1):
             dup = dup.unionByName(ev)
         ev = dup
-    chunk = F.ntile(n_chunks).over(Window.orderBy("ts", "event_id"))
+    # asc_nulls_last pins the NULL-ts convention to the batch twins'
+    # and oracles' ORDER BY ts NULLS LAST (DuckDB default): the ntile
+    # default is NULLS FIRST, which would replay null-ts events in a
+    # DIFFERENT chunk than the batch window visits them — moot on
+    # generated data (events.ts is never null at any SF) but a silent
+    # stream/batch divergence on hostile input (round-10 advice).
+    chunk = F.ntile(n_chunks).over(
+        Window.orderBy(F.asc_nulls_last("ts"), "event_id"))
     out = _tmpdir("ordspark_stream_src_")
     chunked = ev.withColumn("chunk", chunk)
     # Parquet part files get UUID names, so chunk order can't be
@@ -756,7 +764,17 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch = batch.sort_values(["ts", "event_id"])
         out_eid, out_n, out_ewma = [], [], []
         for eid, val in zip(batch["event_id"], batch["value"]):
-            tail.append(int(round(val * 100)))
+            # HALF-UP (away from zero), matching the batch twin's
+            # F.round and the oracle's ROUND exactly. Python's
+            # built-in round() is banker's: on a representable half
+            # (value=0.125 → 12.5 cents) it yields 12 where both
+            # engines yield 13 — a silent one-cent divergence the
+            # driver data never hits (2-decimal values) but hostile
+            # input would (round-10 verdict note; boundary test in
+            # tests/test_round11.py).
+            cents_f = val * 100
+            tail.append(int(math.floor(cents_f + 0.5)) if cents_f >= 0
+                        else int(math.ceil(cents_f - 0.5)))
             if len(tail) > EWMA_TAPS:
                 tail = tail[-EWMA_TAPS:]
             n = len(tail)
