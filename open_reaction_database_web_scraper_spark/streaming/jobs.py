@@ -514,11 +514,18 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     tombstone — exactly the batch twin's filter, which is why the
     converged stream equals `cdc_apply_changelog`'s oracle.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     src = _chunked_events_dir(spark, sf_dir)
     stream = _events_stream(spark, src)
+    drained = _run_to_memory(cdc_stateful_updates(stream), "update")
+    return cdc_converged_projection(drained)
+
+
+def cdc_stateful_updates(stream: DataFrame) -> DataFrame:
+    """stream_cdc_apply's stateful transform, factored for the
+    checkpoint kill/restart test (same rationale as
+    ewma_stateful_updates)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         best = state.get if state.exists else None  # (us, id, type, val)
@@ -537,7 +544,7 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_us": [best[0]], "last_event_id": [best[1]],
             "last_event_type": [best[2]], "last_value": [best[3]]})
 
-    updates = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, t_us bigint, "
                          "last_event_id bigint, last_event_type string, "
@@ -546,9 +553,12 @@ def stream_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "last_event_type string, last_value double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout)
-    drained = _run_to_memory(updates, "update")
-    # converged record per user = max (t_us, event_id) update row;
-    # tombstoned keys drop at read time.
+
+
+def cdc_converged_projection(drained: DataFrame) -> DataFrame:
+    """Read-time projection of the drained CDC update rows.
+    Converged record per user = max (t_us, event_id) update row;
+    tombstoned keys drop at read time."""
     latest = (drained.groupBy("user_id")
               .agg(F.max_by(
                   F.struct("t_us", "last_event_id", "last_event_type",
@@ -751,11 +761,18 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     state is O(taps) per user, the bounded-state regime every
     stateful job here targets.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
     src = _chunked_events_dir(spark, sf_dir)
     stream = _events_stream(spark, src).filter(F.col("value").isNotNull())
+    return _run_to_memory(ewma_stateful_updates(stream), "append")
+
+
+def ewma_stateful_updates(stream: DataFrame) -> DataFrame:
+    """stream_ewma_stateful's stateful transform, factored so the
+    checkpoint kill/restart test (tests/test_round11.py) drives the
+    PRODUCTION update function through a real stop + state-store
+    recovery instead of a copy."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         (tail,) = state.get if state.exists else ([],)
@@ -788,11 +805,10 @@ def stream_ewma_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
                             "n_taps": pd.array(out_n, dtype="int32"),
                             "ewma": out_ewma})
 
-    updates = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="user_id bigint, event_id bigint, "
                          "n_taps int, ewma double",
         stateStructType="vals array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)
-    return _run_to_memory(updates, "append")
