@@ -216,13 +216,28 @@ class OrdStreamReader(SimpleDataSourceStreamReader):
         # when it reappears. Names whose directory can't be derived
         # (glob magic above the basename) are retained — unbounded
         # growth is the safe failure, double-delivery is not.
+        # Round-10 advice: confirm deletion with os.stat, evicting
+        # ONLY on a clean FileNotFoundError — os.path.exists also
+        # returns False on transient stat failures (EACCES, an NFS
+        # flap), the very hiccup class this guard exists for, and
+        # evicting on one would double-deliver the file's rows when
+        # it reappears. Any other OSError keeps the name (unbounded
+        # growth is the stated safe failure).
         live_names = {os.path.basename(p) for p in live}
         base = os.path.dirname(self.path)
         has_magic = any(c in base for c in "*?[")
         kept = set()
         for name in seen - live_names:
-            if has_magic or os.path.exists(os.path.join(base, name)):
-                kept.add(name)  # still present (or unverifiable): keep
+            if has_magic:
+                kept.add(name)  # unverifiable: keep
+                continue
+            try:
+                os.stat(os.path.join(base, name))
+                kept.add(name)  # still present: keep
+            except FileNotFoundError:
+                pass            # confirmed deleted: evict
+            except OSError:
+                kept.add(name)  # transient stat failure: keep
         return (list(self._rows_for(paths)),
                 {"seen": sorted(live_names | kept)})
 
@@ -391,13 +406,19 @@ class OrdSinkWriter(DataSourceWriter):
         except FileExistsError:
             # a third committer acquired while the victim's lock was
             # renamed away: mutual exclusion is compromised — fail
-            # loudly instead of proceeding.
-            os.remove(grab)
+            # loudly instead of proceeding. The grab file is LEFT ON
+            # DISK deliberately (round-10 advice): it is the
+            # displaced live owner's lock record — deleting it would
+            # erase the victim's identity, and the victim's eventual
+            # release would then remove the THIRD party's lock file,
+            # extending the violation past this raise. Its path in
+            # the error keeps the displacement inspectable.
             raise RuntimeError(
                 f"ord_sink: lock takeover raced a live acquisition on "
                 f"{lock}; a concurrently-acquired lock was displaced "
-                "and could not be restored — manual inspection "
-                "required") from None
+                f"and could not be restored — the displaced owner's "
+                f"lock record is preserved at {grab} for manual "
+                "inspection") from None
 
     def commit(self, messages) -> None:
         import os
@@ -427,6 +448,13 @@ class OrdSinkWriter(DataSourceWriter):
                 # owner identity for the staleness probe: PID + wall
                 # time (the breaker also has the file's mtime)
                 os.write(fd, f"{os.getpid()} {time.time()}".encode())
+                # inode of OUR lock file, for release-time identity
+                # verification (round-10 advice): if a breaker ever
+                # displaces this lock and a third party re-creates
+                # the path, a blind os.remove at release would
+                # delete the THIRD PARTY's lock — verify before
+                # removing.
+                lock_ino = os.fstat(fd).st_ino
                 os.close(fd)
                 break
             except FileExistsError:
@@ -469,7 +497,17 @@ class OrdSinkWriter(DataSourceWriter):
                         except OSError:
                             pass
         finally:
-            os.remove(lock)
+            # release ONLY the lock we own: if the path's inode is no
+            # longer ours, our lock was displaced and someone else's
+            # lock now lives there — removing it would extend the
+            # mutual-exclusion violation past the breaker's loud
+            # raise (round-10 advice). Leave the foreign file for
+            # the displacement inspection instead.
+            try:
+                if os.stat(lock).st_ino == lock_ino:
+                    os.remove(lock)
+            except FileNotFoundError:
+                pass  # already broken/removed: nothing we own remains
 
     def abort(self, messages) -> None:
         import os

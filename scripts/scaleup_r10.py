@@ -83,6 +83,11 @@ def time_op_budgeted(spark, name: str, sf_dir: str):
             # the fixpoint's loud-failure contract firing IS a probe
             # result (diameter exceeded the round budget) — record it
             return None, "non_converged (>20 rounds, raised loudly)"
+        if fired.is_set():
+            # a budget cancellation can surface as RuntimeError too
+            # (round-10 advice): the DNF branch must catch it here,
+            # not crash the probe
+            return None, f"DNF (budget {BUDGET_S:.0f}s)"
         raise
     except Exception as exc:  # noqa: BLE001 — cancelled jobs surface here
         if fired.is_set():
@@ -133,12 +138,15 @@ def main() -> None:
 
     def record(name, cells, extra=None):
         rec = dict(cells)
-        ts = [v for v in (rec.get("1x"), rec.get("10x"), rec.get("100x"))
-              if isinstance(v, (int, float))]
-        if len(ts) >= 2:
-            rec["ratio_1_to_10"] = round(ts[1] / ts[0], 1)
-        if len(ts) >= 3:
-            rec["ratio_10_to_100"] = round(ts[2] / ts[1], 1)
+        # ratios from NAMED cells, not a compacted list (round-10
+        # advice): if an earlier decade DNFs, compaction would
+        # mislabel e.g. 100x/1x as ratio_10_to_100
+        t1, t10, t100 = (rec.get(k) for k in ("1x", "10x", "100x"))
+        num = lambda v: isinstance(v, (int, float))  # noqa: E731
+        if num(t1) and num(t10):
+            rec["ratio_1_to_10"] = round(t10 / t1, 1)
+        if num(t10) and num(t100):
+            rec["ratio_10_to_100"] = round(t100 / t10, 1)
         if extra:
             rec.update(extra)
         summary[name] = rec
