@@ -215,12 +215,34 @@ def main() -> None:
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
 
+    # Structural metrics pass (round 11): one extra UNTIMED run per
+    # query, recording shuffle rows/bytes from the AppStatusStore.
+    # Wall time drifts with ambient load (the dominant noise term in
+    # two rounds of cross-round comparisons); shuffle volume is a
+    # pure function of plan + data, so regressions stay visible in
+    # this map even on a noisy box. Kept OUT of the timed loop: the
+    # listener-bus drain it needs would pollute the medians.
+    from open_reaction_database_web_scraper_spark.shuffle_metrics import (
+        measure_shuffle)
+    shuffle: dict[str, dict[str, int]] = {}
+    for name in names:
+        spec = REGISTRY[name]
+        try:
+            shuffle[name] = measure_shuffle(
+                spark,
+                lambda: spec.fn(spark, sf_dir)
+                .write.format("noop").mode("overwrite").save())
+        except Exception:
+            shuffle[name] = {"rows": -1, "bytes": -1}  # loud sentinel
+        spark.catalog.clearCache()
+
     total = round(sum(timings.values()), 3)
     full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shuffle": shuffle,
         "sf": sf_of(sf_dir),
         "loadavg_1m": {"start": load_start,
                        "end": round(os.getloadavg()[0], 2)},
@@ -238,6 +260,10 @@ def main() -> None:
     print(json.dumps(full), flush=True)
     compact = dict(full)
     compact["queries"] = {k: timings[k] for k in HEADLINE if k in timings}
+    # full shuffle map lives in BENCH_LOCAL.json; the compact tail
+    # line only keeps the ten headline entries' row counts
+    compact["shuffle"] = {k: shuffle[k]["rows"]
+                          for k in HEADLINE if k in shuffle}
     compact["n_queries"] = len(timings)
     compact["full_map"] = "BENCH_LOCAL.json"
     sys.stderr.flush()

@@ -591,3 +591,42 @@ def test_pair_stage_is_single_dot_fold(spark, sf_dir):
         assert pair_segs, (name, "no pair projection found")
         for seg in pair_segs:
             assert "SQRT" not in seg, (name, seg)
+
+
+# ----------------------- structural shuffle pins (round 11, item 4)
+
+# Exact shuffle ROWS each headline query writes at sf0.001 under the
+# test session's fixed layout (local[32], shuffle.partitions=8, the
+# driver-generated parquet). Rows — unlike wall seconds — are a pure
+# function of plan + data + layout, so a silent plan regression (a
+# lost broadcast, a dropped partial agg, an un-pruned scan feeding a
+# wider exchange) moves these numbers even when the box is noisy.
+# Bytes deliberately NOT pinned (shuffle compression is not
+# deterministic). Values regenerate with
+# open_reaction_database_web_scraper_spark.shuffle_metrics.
+HEADLINE_SHUFFLE_ROWS = {
+    "agg_multi": 6,             # partial agg: one row per group per side
+    "join_shuffle_equi": 5,     # AQE broadcasts at this SF: agg rows only
+    "join_multiway_star": 25,
+    "win_topk_per_group": 449,
+    "join_asof": 622,
+    "join_range_theta": 94,
+    "agg_cube": 12,
+    "sort_order_by": 6000,      # range partitioning carries every row once
+    "set_distinct": 6,
+    "json_get_extract": 0,      # pure map: NO shuffle is the pin
+}
+
+
+def test_headline_shuffle_rows_pinned(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.shuffle_metrics import (
+        measure_shuffle)
+    got = {}
+    for name in HEADLINE_SHUFFLE_ROWS:
+        spark.catalog.clearCache()
+        m = measure_shuffle(
+            spark,
+            lambda: REGISTRY[name].fn(spark, sf_dir)
+            .write.format("noop").mode("overwrite").save())
+        got[name] = m["rows"]
+    assert got == HEADLINE_SHUFFLE_ROWS
