@@ -159,6 +159,8 @@ OPTIONAL = [
     "ts_ewma_truncated",
     "graph_jaccard_neighbors",
     "stream_ewma_stateful",
+    # round 11: the hot-bucket guard's occupancy diagnostic
+    "dedup_lsh_occupancy",
 ]
 
 

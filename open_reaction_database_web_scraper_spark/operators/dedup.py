@@ -434,8 +434,28 @@ def minhash_rep_pairs(spark: SparkSession, sf_dir: str,
     bucket count recorded in ``LAST_LSH_HOT_BUCKETS``; a pair
     sharing another, non-hot band is still found). The registered
     queries run with hot_cap=None: lossless."""
-    global LAST_LSH_HOT_BUCKETS
     sig = minhash_signatures(spark, sf_dir)
+    return _rep_pairs_from(sig, sf_dir, hot_cap)
+
+
+def _rep_bands(reps: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) — the LSH banding projection,
+    one home (minhash_rep_pairs + dedup_lsh_occupancy)."""
+    return reps.select(
+        "doc_id",
+        F.posexplode(F.transform(
+            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
+            lambda b: portable_hash32(F.concat_ws(",", F.transform(
+                F.slice("sig", b * _R + 1, _R),
+                lambda v: v.cast("string"))))
+        )).alias("band_idx", "band_hash"))
+
+
+def _rep_pairs_from(sig: DataFrame,
+                    sf_dir: str,
+                    hot_cap: int | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    global LAST_LSH_HOT_BUCKETS
     # Eager fill: the pair plan scans this cache from SEVEN operators
     # (banding, both verify sides, both expansion sides, both
     # within-group sides), and Spark's cache does not deduplicate
@@ -447,14 +467,7 @@ def minhash_rep_pairs(spark: SparkSession, sf_dir: str,
     members.count()
     reps = (members.filter(F.col("doc_id") == F.col("rep"))
             .select("doc_id", "sig"))
-    bands = reps.select(
-        "doc_id",
-        F.posexplode(F.transform(
-            F.sequence(F.lit(0), F.lit(N_BANDS - 1)),
-            lambda b: portable_hash32(F.concat_ws(",", F.transform(
-                F.slice("sig", b * _R + 1, _R),
-                lambda v: v.cast("string"))))
-        )).alias("band_idx", "band_hash"))
+    bands = _rep_bands(reps)
     # Banding self-join width scales with the corpus, not the session
     # default: at 100× sf0.1 the 32-partition default kneed
     # superlinear (~15×/decade) and SPARK_GRAFT_SHUFFLE=128 restored
@@ -513,6 +526,49 @@ def member_star_edges(members: DataFrame) -> DataFrame:
                            & (F.col(members.columns[0]) != F.col("rep")))
             .select(F.col("rep").alias("src"),
                     F.col(members.columns[0]).alias("dst")))
+
+
+def _lsh_occupancy_oracle_sql() -> str:
+    """DuckDB replay of the occupancy histogram: same signature
+    CTEs, reps = one doc per distinct signature, same banding, then
+    the two-level count."""
+    return f"""
+    WITH {_minhash_pair_ctes()},
+    repids AS (
+      SELECT MIN(doc_id) AS doc_id FROM sigarr GROUP BY sig
+    ), rb AS (
+      SELECT b.band_idx, b.band_hash
+      FROM bands b JOIN repids r USING (doc_id)
+    ), occ AS (
+      SELECT band_idx, band_hash, COUNT(*) AS occupancy
+      FROM rb GROUP BY 1, 2
+    )
+    SELECT occupancy, COUNT(*) AS n_buckets
+    FROM occ GROUP BY occupancy
+    """
+
+
+@register("dedup_lsh_occupancy", oracle=_lsh_occupancy_oracle_sql(),
+          tags=("dedup", "diagnostics"))
+def dedup_lsh_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy HISTOGRAM at the representative
+    level — the per-bucket count pre-aggregate behind the round-11
+    hot-bucket guard, exposed as a first-class diagnostic: a corpus
+    whose histogram grows a heavy tail is densifying (many DISTINCT
+    signatures colliding per bucket — the regime where `hot_cap`
+    becomes the lever), while a duplicate-heavy corpus stays
+    invisible here BECAUSE the collapse already folded it (identical
+    signatures are one rep). What a 100 TB operator runs before
+    choosing dedup knobs; candidate volume ≈ Σ occupancy·(occupancy
+    −1)/2 per band. Returns (occupancy, n_buckets)."""
+    sig = minhash_signatures(spark, sf_dir)
+    reps = (sig.groupBy("sig").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", "sig"))
+    occ = (_rep_bands(reps)
+           .groupBy("band_idx", "band_hash")
+           .agg(F.count(F.lit(1)).alias("occupancy")))
+    return (occ.groupBy("occupancy")
+            .agg(F.count(F.lit(1)).alias("n_buckets")))
 
 
 SIMHASH_BITS = 60      # 15 md5 hex chars — the portable width

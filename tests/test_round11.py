@@ -346,3 +346,125 @@ def test_stream_cdc_checkpoint_restart_converges(spark, sf_dir, tmp_path):
     ok, msg = compare(final, REGISTRY["stream_cdc_apply"].oracle,
                       sf_dir, "stream_cdc_apply_restart")
     assert ok, msg
+
+
+# ----------------------------------- AQE skew-join demonstration (#7)
+
+def test_aqe_skew_join_split_fires_and_matches(spark):
+    """SURVEY §4 names AQE's OptimizeSkewedJoin as the adaptive
+    answer to residual skew (join_salted_skew pins the MANUAL
+    salting path). This pins the claim itself: a planted hot key
+    drives one shuffle partition far past the (lowered) skew
+    threshold, the final adaptive plan must show the skew split
+    (SortMergeJoin(skew=true) reading skewed AQEShuffleRead
+    partitions), and the result must equal the exact
+    construction-derived aggregate — the split may never change the
+    answer."""
+    from pyspark.sql import functions as SF
+
+    keep = {k: spark.conf.get(k) for k in [
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold"]}
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+                   "2.0")
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                   "32KB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        n_hot, n_tail, n_keys = 60_000, 1_000, 50
+        fact = (spark.range(n_hot)
+                .select(SF.lit(0).cast("long").alias("k"),
+                        SF.col("id").alias("v"))
+                .unionAll(
+                    spark.range(n_tail)
+                    .select((SF.col("id") % n_keys + 1).alias("k"),
+                            SF.col("id").alias("v")))
+                .withColumn("pad", SF.lit("x" * 100)))
+        dim = spark.range(n_keys + 1).select(
+            SF.col("id").alias("k"), (SF.col("id") * 10).alias("w"))
+        agg = (fact.join(dim, "k")
+               .agg(SF.count("*").alias("n"),
+                    SF.sum(SF.col("v") + SF.col("w")).alias("s")))
+        row = agg.collect()[0]
+
+        exp_n = n_hot + n_tail
+        exp_s = (n_hot * (n_hot - 1) // 2            # hot v; hot w=0
+                 + n_tail * (n_tail - 1) // 2        # tail v
+                 + sum((i % n_keys + 1) * 10 for i in range(n_tail)))
+        assert (row.n, row.s) == (exp_n, exp_s)
+
+        final = agg._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in keep.items():
+            spark.conf.set(k, v)
+
+
+# ------------------- enum decode: inline vs broadcast join (#9, opt)
+
+def test_enum_decode_inline_equals_broadcast_join_no_join_node(spark):
+    """SURVEY §4 claims no custom Catalyst work is needed; this
+    makes the claim a DEMONSTRATED choice for the enum-decode case
+    the reference hits constantly (web_scrpaer_2.py:64-79 role/type
+    dicts). The rewrite a SparkSessionExtensions optimizer rule
+    would perform —
+
+        join(fact, enum_dim, code) → project(CASE WHEN ... literal)
+
+    — is already expressible at plan-construction time with
+    functions.enums.decode_enum, and Catalyst constant-folds the map
+    literal into whole-stage codegen. Pins: (a) both forms return
+    identical results including the UNKNOWN default path, (b) the
+    inline form plans NO join at all (zero shuffle, zero broadcast),
+    (c) the join form plans the BroadcastHashJoin the rule would
+    remove. A JVM deployment wanting it transparent injects the same
+    rewrite in ~20 lines of Scala:
+
+        class InlineEnumJoins extends Rule[LogicalPlan] {
+          def apply(p: LogicalPlan) = p transform {
+            case Join(fact, LocalRelation(enumRows), _, cond, _)
+                if isEnumShape(enumRows, cond) =>
+              Project(caseWhenLiteral(enumRows, cond), fact)
+          }
+        }
+        // SparkSessionExtensions.injectOptimizerRule(_ => ...)
+
+    No scalac exists in this container, so the injection itself is
+    out of reach; the rewrite, its equivalence, and its plan effect
+    are what this test pins."""
+    from pyspark.sql import functions as SF
+
+    from open_reaction_database_web_scraper_spark.functions.enums import (
+        REACTION_ROLES, decode_enum, enum_dim)
+
+    fact = spark.range(200_000).select(
+        F.col("id"), (F.col("id") % 13).cast("int").alias("code"))
+
+    inline = fact.select("id", decode_enum(SF.col("code"),
+                                           REACTION_ROLES).alias("role"))
+    dim = enum_dim(spark, REACTION_ROLES, "code", "role")
+    joined = (fact.join(SF.broadcast(dim), "code", "left")
+              .select("id", SF.coalesce("role", SF.lit("UNKNOWN"))
+                      .alias("role")))
+
+    agg_i = inline.groupBy("role").count().orderBy("role").collect()
+    agg_j = joined.groupBy("role").count().orderBy("role").collect()
+    assert agg_i == agg_j
+    # codes 11 and 12 fall outside the 0-10 role map → UNKNOWN path
+    assert any(r.role == "UNKNOWN" for r in agg_i)
+
+    def plan(df):
+        return df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted")
+
+    assert "Join" not in plan(inline)          # the rule's end state
+    assert "BroadcastHashJoin" in plan(joined)  # what it would remove
