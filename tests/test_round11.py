@@ -468,3 +468,35 @@ def test_enum_decode_inline_equals_broadcast_join_no_join_node(spark):
 
     assert "Join" not in plan(inline)          # the rule's end state
     assert "BroadcastHashJoin" in plan(joined)  # what it would remove
+
+
+def test_stream_ewma_null_ts_events_match_batch(spark, tmp_path):
+    """NULL-ts pin (round-10 advice): the chunker's ntile now orders
+    asc_nulls_last, matching the batch twin's window and the
+    oracle's DuckDB default — a null-ts event must land in the LAST
+    chunk and be folded last on both paths. Generated data never has
+    null ts; this plants it."""
+    import datetime as dt
+    base = dt.datetime(2024, 3, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 7, "t", float(i), "{}")
+            for i in range(6)]
+    rows.append((99, None, 7, "t", 42.0, "{}"))       # null-ts event
+    rows.append((100, base, 8, "t", 1.0, "{}"))
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    stream = run("stream_ewma_stateful", spark, str(tmp_path))
+    ok, msg = compare(stream, REGISTRY["stream_ewma_stateful"].oracle,
+                      str(tmp_path), "stream_ewma_null_ts")
+    assert ok, msg
+    batch = run("ts_ewma_truncated", spark, str(tmp_path))
+    s = sorted((r.user_id, r.event_id, r.n_taps, r.ewma)
+               for r in stream.collect())
+    b = sorted((r.user_id, r.event_id, r.n_taps, r.ewma)
+               for r in batch.collect())
+    assert s == b
+    # the null-ts event was folded LAST: its tail holds all 7 taps
+    null_row = [r for r in s if r[1] == 99][0]
+    assert null_row[2] == 7
