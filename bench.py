@@ -171,6 +171,11 @@ def sf_of(sf_dir: str) -> float:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # ambient load at process start, BEFORE any Spark work: the
+    # idle-box capture gate (BASELINE.md round-11 policy) reads this —
+    # the timed-section start/end values below include the bench's
+    # own warm-up load and cannot distinguish self from ambient.
+    load_launch = round(os.getloadavg()[0], 2)
     load_all_operators()
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -246,7 +251,7 @@ def main() -> None:
         "queries": timings,
         "shuffle": shuffle,
         "sf": sf_of(sf_dir),
-        "loadavg_1m": {"start": load_start,
+        "loadavg_1m": {"launch": load_launch, "start": load_start,
                        "end": round(os.getloadavg()[0], 2)},
     }
     # The full per-query map (~90 entries) exceeds the 2,000-char
