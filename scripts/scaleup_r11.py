@@ -88,16 +88,18 @@ def build_hot_cluster_docs(spark, sf_dir: str, k: int, out: str) -> None:
 
 
 def guarded_neardup_clusters(spark, sf_dir: str,
-                             hot_cap: int | None) -> None:
-    """dedup_clusters_neardup's exact shape with the hot_cap knob
-    exposed (the registered query runs hot_cap=None/lossless)."""
+                             hot_cap: int | None,
+                             max_iter: int = 20) -> None:
+    """dedup_clusters_neardup's exact shape with the hot_cap and CC
+    round-budget knobs exposed (the registered query runs
+    hot_cap=None/lossless, max_iter=20)."""
     rep_pairs, members = dedup.minhash_rep_pairs(spark, sf_dir,
                                                  hot_cap=hot_cap)
     edges = (rep_pairs.select(F.col("rep_a").alias("src"),
                               F.col("rep_b").alias("dst"))
              .unionByName(dedup.member_star_edges(members)))
     try:
-        labels = dedup.connected_components(edges)
+        labels = dedup.connected_components(edges, max_iter=max_iter)
         labels.write.format("noop").mode("overwrite").save()
     finally:
         members.unpersist()
@@ -131,29 +133,31 @@ def main() -> None:
     d100 = tempfile.mkdtemp(prefix="ordspark_r11_d100_")
     build_salted_docs(spark, sf_dir, 10, d10)
     build_salted_docs(spark, sf_dir, 100, d100)
-    for cap in (None, 64):
-        cells, rounds, excl = {}, {}, {}
-        for key, d in (("10x", d10), ("100x", d100)):
-            if cap is None and key == "100x":
-                # round 10 measured this cell: >20 CC rounds, loud
-                # raise. Re-burning 15 budget minutes re-proves a
-                # recorded result; the capped run below is the new
-                # data. Recorded as carried-forward, not skipped
-                # silently.
-                cells[key] = "non_converged (round-10 record)"
-                continue
-            t, dnf = time_call_budgeted(
-                spark,
-                lambda d=d, cap=cap: guarded_neardup_clusters(
-                    spark, d, cap))
-            cells[key] = t if t is not None else dnf
-            rounds[key] = dedup.LAST_CC_ROUNDS
-            excl[key] = dedup.LAST_LSH_HOT_BUCKETS
-        summary[f"salt_interleave_cap_{cap}"] = {
-            **cells, "cc_rounds": rounds, "hot_buckets_excluded": excl,
+    # cells actually informative (first execution of this probe also
+    # ran cap=64/mi=20 at 100x: 20 rounds, loud raise — the cap
+    # bounds CANDIDATE VOLUME, not graph diameter, so the densified
+    # diameter needs either a raised round budget (26 rounds at
+    # cap=64) or a tighter cap that prunes the chain-forming hot
+    # buckets themselves (cap=8 converges in 8 rounds under the
+    # DEFAULT budget)):
+    cases = (
+        ("cap=None 10x", d10, None, 20),
+        ("cap=64 10x", d10, 64, 20),
+        ("cap=64 mi=64 100x", d100, 64, 64),
+        ("cap=8 100x", d100, 8, 20),
+    )
+    for label, d, cap, mi in cases:
+        t, dnf = time_call_budgeted(
+            spark,
+            lambda d=d, cap=cap, mi=mi: guarded_neardup_clusters(
+                spark, d, cap, mi))
+        summary[f"salt_interleave {label}"] = {
+            "sec": t if t is not None else dnf,
+            "cc_rounds": dedup.LAST_CC_ROUNDS,
+            "hot_buckets_excluded": dedup.LAST_LSH_HOT_BUCKETS,
             "corpus_model": "salt-interleave (densifying)"}
-        print(f"salt_interleave cap={cap}:",
-              json.dumps(summary[f"salt_interleave_cap_{cap}"]),
+        print(f"salt_interleave {label}:",
+              json.dumps(summary[f"salt_interleave {label}"]),
               flush=True)
 
     print(json.dumps({"r11_probe": summary}), flush=True)
