@@ -630,3 +630,31 @@ def test_headline_shuffle_rows_pinned(spark, sf_dir):
             .write.format("noop").mode("overwrite").save())
         got[name] = m["rows"]
     assert got == HEADLINE_SHUFFLE_ROWS
+
+
+# Round-11 guard tripwire: the rewritten LSH family's shuffle rows.
+# The hot-bucket guard's value is a SHAPE property (one band row per
+# distinct signature, linear rep+star CC graph); these exact counts
+# move if the collapse, the star linearization, or the banding
+# exchange regress. Same layout caveats as HEADLINE_SHUFFLE_ROWS.
+DEDUP_SHUFFLE_ROWS = {
+    "dedup_minhash_lsh": 8914,
+    "dedup_clusters_neardup": 17073,
+    "dedup_simhash": 1019,
+    "multimodal_phash_dedup": 501,
+    "dedup_lsh_occupancy": 4830,
+}
+
+
+def test_dedup_family_shuffle_rows_pinned(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.shuffle_metrics import (
+        measure_shuffle)
+    got = {}
+    for name in DEDUP_SHUFFLE_ROWS:
+        spark.catalog.clearCache()
+        m = measure_shuffle(
+            spark,
+            lambda: REGISTRY[name].fn(spark, sf_dir)
+            .write.format("noop").mode("overwrite").save())
+        got[name] = m["rows"]
+    assert got == DEDUP_SHUFFLE_ROWS
