@@ -159,8 +159,10 @@ OPTIONAL = [
     "ts_ewma_truncated",
     "graph_jaccard_neighbors",
     "stream_ewma_stateful",
-    # round 11: the hot-bucket guard's occupancy diagnostic
+    # round 11: the hot-bucket guard's occupancy diagnostic + the
+    # TTL-evicting stateful dedup
     "dedup_lsh_occupancy",
+    "stream_dedup_ttl",
 ]
 
 

@@ -170,6 +170,109 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(deduped, "complete")
 
 
+# Evicted state entries in the most recent stream_dedup_ttl run
+# (from a Spark accumulator the timeout branch feeds). The eviction
+# count is TIMING-dependent (which users go quiet long enough for
+# the watermark to pass their TTL between batches) so it is exposed
+# as diagnostics and pinned > 0 by a planted test — never part of
+# the query's oracled OUTPUT, which stays exactly the distinct rows.
+LAST_TTL_EVICTIONS = 0
+
+
+@register(
+    "stream_dedup_ttl",
+    oracle="""
+    SELECT DISTINCT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS t_us, value
+    FROM events
+    """,
+    tags=("streaming", "stateful", "ttl"),
+)
+def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seen-set dedup whose state is EVICTED by event-time TTL — the
+    property that lets a stateful dedup run FOREVER at 100 TB: state
+    holds only ids within the watermark horizon (here 1 h past each
+    user's last event), not the all-time id universe the NoTimeout
+    jobs accumulate. The eviction trade is stated, not hidden: an id
+    REPLAYED after its TTL would pass as new. The replay source
+    makes that impossible by construction — duplicates are same-ts
+    copies (copies=2 through the same ntile chunking), so a
+    duplicate either shares its twin's micro-batch or lands at the
+    next chunk's head, where the watermark (lagging one batch minus
+    the delay) cannot yet have passed twin_ts + 1 h. Output is
+    therefore exactly the distinct event rows — the oracle — while
+    evictions run hot between chunks (chunk boundaries jump weeks of
+    event time; counted via accumulator into LAST_TTL_EVICTIONS,
+    planted-test pinned > 0).
+
+    Mechanics under test (missing from every other stateful job,
+    which run NoTimeout): ``GroupStateTimeout.EventTimeTimeout`` +
+    ``setTimeoutTimestamp`` (clamped a tick above the current
+    watermark — Spark rejects timeouts at/below it) + the
+    ``state.hasTimedOut`` branch calling ``state.remove()``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    global LAST_TTL_EVICTIONS
+    src = _chunked_events_dir(spark, sf_dir, copies=2)
+    stream = (_events_stream(spark, src, cast_ltz=True)
+              .withWatermark("ts", "10 minutes"))
+    evictions = spark.sparkContext.accumulator(0)
+    ttl_ms = 3_600_000  # 1 h past the user's last event
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            evictions.add(1)
+            state.remove()
+            yield pd.DataFrame({"event_id": pd.array([], dtype="int64"),
+                                "user_id": pd.array([], dtype="int64"),
+                                "t_us": pd.array([], dtype="int64"),
+                                "value": pd.array([], dtype="float64")})
+            return
+        (seen,) = state.get if state.exists else ([],)
+        seen = set(seen)
+        out_eid, out_us, out_val = [], [], []
+        last_us = 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            ts = pdf["ts"]
+            if getattr(ts.dtype, "tz", None) is not None:
+                ts = ts.dt.tz_convert("UTC").dt.tz_localize(None)
+            us = ts.astype("datetime64[us]").astype("int64")
+            for eid, t_us, val in zip(pdf["event_id"], us, pdf["value"]):
+                last_us = max(last_us, int(t_us))
+                if int(eid) in seen:
+                    continue
+                seen.add(int(eid))
+                out_eid.append(int(eid))
+                out_us.append(int(t_us))
+                out_val.append(val)
+        state.update((sorted(seen),))
+        # TTL: 1 h past this user's newest event, clamped one tick
+        # above the current watermark (Spark requires strictly-later)
+        state.setTimeoutTimestamp(
+            max(last_us // 1000 + ttl_ms,
+                state.getCurrentWatermarkMs() + 1))
+        yield pd.DataFrame({
+            "event_id": pd.array(out_eid, dtype="int64"),
+            "user_id": pd.array([key[0]] * len(out_eid), dtype="int64"),
+            "t_us": pd.array(out_us, dtype="int64"),
+            "value": pd.array(out_val, dtype="float64")})
+
+    deduped = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="event_id bigint, user_id bigint, "
+                         "t_us bigint, value double",
+        stateStructType="seen array<bigint>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout)
+    out = _run_to_memory(deduped, "append")
+    LAST_TTL_EVICTIONS = evictions.value
+    return out
+
+
 @register(
     "stream_rate_limit",
     oracle="""

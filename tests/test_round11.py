@@ -500,3 +500,34 @@ def test_stream_ewma_null_ts_events_match_batch(spark, tmp_path):
     # the null-ts event was folded LAST: its tail holds all 7 taps
     null_row = [r for r in s if r[1] == 99][0]
     assert null_row[2] == 7
+
+
+# ------------------------------------ TTL state eviction (round 11)
+
+def test_stream_dedup_ttl_evicts_quiet_users_exactly(spark, tmp_path):
+    """stream_dedup_ttl: output is exactly the distinct rows (every
+    duplicate is same-ts, so its twin is always inside the TTL
+    horizon) while users quiet for >TTL+delay get their seen-set
+    EVICTED between micro-batches — the bounded-state property. User
+    7 goes silent after the first quartile; the later chunks advance
+    the watermark hours past their TTL."""
+    import datetime as dt
+
+    from open_reaction_database_web_scraper_spark.streaming import jobs
+
+    base = dt.datetime(2024, 5, 1)
+    rows = [(i, base + dt.timedelta(minutes=i), 7, "early", 1.0, "{}")
+            for i in range(4)]                       # user 7: early only
+    rows += [(100 + i, base + dt.timedelta(hours=3 + i), 8, "late",
+              2.0, "{}") for i in range(12)]         # user 8: spans on
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = run("stream_dedup_ttl", spark, str(tmp_path))
+    ok, msg = compare(out, REGISTRY["stream_dedup_ttl"].oracle,
+                      str(tmp_path), "stream_dedup_ttl_planted")
+    assert ok, msg
+    assert out.count() == len(rows)   # every duplicate absorbed
+    assert jobs.LAST_TTL_EVICTIONS >= 1   # user 7's seen-set evicted
