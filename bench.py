@@ -3,11 +3,13 @@
 
 Prints the result as JSON on stdout twice: first the FULL record
 (per-query map for all ~90 queries, also persisted to
-BENCH_LOCAL.json), then — as the sole FINAL stdout line — a compact
-version of the same record whose "queries" map holds only the ten
-HEADLINE entries, so it always fits a 2,000-char stdout tail:
+BENCH_LAST.json — and promoted to the committed idle-box artifact
+BENCH_LOCAL.json only when the launch loadavg gate passes), then —
+as the sole FINAL stdout line — a compact version of the same record
+whose "queries" map holds only the ten HEADLINE entries, so it
+always fits a 2,000-char stdout tail:
   {"metric": "...", "value": N, "unit": "sec", "queries": {...},
-   "sf": ..., "n_queries": N, "full_map": "BENCH_LOCAL.json"}
+   "sf": ..., "n_queries": N, "full_map": "BENCH_LAST.json"}
 
 Each query is executed with a noop-sink action that materializes
 the full result (no driver collect of big payloads). Every query is
@@ -259,12 +261,27 @@ def main() -> None:
     # The full per-query map (~90 entries) exceeds the 2,000-char
     # stdout tail some harnesses keep, which made two rounds of
     # headline numbers recoverable only by forensics. Emit it as an
-    # EARLIER stdout line and persist it to BENCH_LOCAL.json; the
+    # EARLIER stdout line and persist it to BENCH_LAST.json; the
     # FINAL stdout line is a compact record (same schema, "queries"
     # trimmed to the ten HEADLINE entries) guaranteed to fit the tail.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as fh:
+    #
+    # Promotion gate (round-11 verdict "what's wrong" #1): every run
+    # writes BENCH_LAST.json, but the COMMITTED policy artifact
+    # BENCH_LOCAL.json — the idle-box map cross-round comparisons
+    # read (BASELINE.md round-11 policy: launch loadavg < ~4 and
+    # flat) — is only overwritten when this run actually satisfies
+    # the gate. A loaded driver run can no longer clobber the idle
+    # capture via a careless `git add -A`.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
         json.dump(full, fh)
+    # ... and only at the policy scale factor: an idle-box sf0.001
+    # iteration run must not replace the committed sf0.1 map either.
+    promoted = load_launch < 4.0 and sf_of(sf_dir) == 0.1
+    if promoted:
+        with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+            json.dump(full, fh)
+    full["promoted_to_bench_local"] = promoted
     sys.stderr.flush()
     print(json.dumps(full), flush=True)
     compact = dict(full)
@@ -274,7 +291,7 @@ def main() -> None:
     compact["shuffle"] = {k: shuffle[k]["rows"]
                           for k in HEADLINE if k in shuffle}
     compact["n_queries"] = len(timings)
-    compact["full_map"] = "BENCH_LOCAL.json"
+    compact["full_map"] = "BENCH_LAST.json"
     sys.stderr.flush()
     sys.stdout.flush()
     print(json.dumps(compact), flush=True)

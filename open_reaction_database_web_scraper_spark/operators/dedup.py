@@ -15,6 +15,8 @@ and the LSH band join only shuffles (band, hash) pairs, never text.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -327,11 +329,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-# Residual hot buckets excluded by the most recent minhash_pairs call
-# with a hot_cap set (count of (band_idx, band_hash) buckets dropped).
-# 0 whenever hot_cap is None (the registered-query default, which is
-# LOSSLESS). Read by the scale probes and the planted hot-bucket test.
-LAST_LSH_HOT_BUCKETS = 0
+# Per-call diagnostics, THREAD-LOCAL (round-11 advice: module-level
+# mutable globals are racy under concurrent query execution in one
+# process). Readers keep the legacy spelling — ``dedup.
+# LAST_LSH_HOT_BUCKETS`` / ``dedup.LAST_CC_ROUNDS`` resolve through
+# the PEP-562 module __getattr__ below to the CALLING thread's most
+# recent value, so a probe interleaving queries on two threads reads
+# its own thread's diagnostic, never the other's.
+#   LAST_LSH_HOT_BUCKETS — residual hot buckets excluded by the most
+#     recent minhash_pairs call with a hot_cap set (count of
+#     (band_idx, band_hash) buckets dropped). 0 whenever hot_cap is
+#     None (the registered-query default, which is LOSSLESS).
+#   LAST_CC_ROUNDS — rounds taken by the most recent
+#     connected_components call (≈ graph diameter; grows with chain
+#     length, not corpus size). Read by scripts/scaleup_r6.py etc.
+_DIAG = threading.local()
+
+
+def __getattr__(name: str):
+    if name == "LAST_LSH_HOT_BUCKETS":
+        return getattr(_DIAG, "lsh_hot_buckets", 0)
+    if name == "LAST_CC_ROUNDS":
+        return getattr(_DIAG, "cc_rounds", 0)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 def signature_groups(sig: DataFrame, sig_col: str = "sig",
@@ -455,7 +475,6 @@ def _rep_pairs_from(sig: DataFrame,
                     sf_dir: str,
                     hot_cap: int | None = None
                     ) -> tuple[DataFrame, DataFrame]:
-    global LAST_LSH_HOT_BUCKETS
     # Eager fill: the pair plan scans this cache from SEVEN operators
     # (banding, both verify sides, both expansion sides, both
     # within-group sides), and Spark's cache does not deduplicate
@@ -485,12 +504,12 @@ def _rep_pairs_from(sig: DataFrame,
         # members frame.
         occ = Window.partitionBy("band_idx", "band_hash")
         guarded = bands.withColumn("_occ", F.count(F.lit(1)).over(occ))
-        LAST_LSH_HOT_BUCKETS = (
+        _DIAG.lsh_hot_buckets = (
             guarded.filter(F.col("_occ") > hot_cap)
             .select("band_idx", "band_hash").distinct().count())
         bands = guarded.filter(F.col("_occ") <= hot_cap).drop("_occ")
     else:
-        LAST_LSH_HOT_BUCKETS = 0
+        _DIAG.lsh_hot_buckets = 0
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
@@ -764,12 +783,6 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_a", "doc_b", "jaccard"))
 
 
-# Rounds taken by the most recent connected_components call (scale
-# diagnostics — ≈ graph diameter, grows with chain length not corpus
-# size). Read by scripts/scaleup_r6.py.
-LAST_CC_ROUNDS = 0
-
-
 def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """Connected components by iterative min-label propagation with a
     CONVERGENCE CHECK — the general CC building block for dedup
@@ -793,7 +806,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     the number of rounds ≈ graph diameter is the quantity that grows
     with cluster CHAIN length, not with corpus size).
     """
-    global LAST_CC_ROUNDS
     sym = edges.select(F.col("src").cast("long").alias("src"),
                        F.col("dst").cast("long").alias("dst"))
     sym = sym.unionByName(sym.select(F.col("dst").alias("src"),
@@ -803,7 +815,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
               .localCheckpoint(eager=True))
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
-    for LAST_CC_ROUNDS in range(1, max_iter + 1):
+    for rounds in range(1, max_iter + 1):
+        _DIAG.cc_rounds = rounds
         neigh = (sym.join(labels, sym.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
                  .agg(F.min("label").alias("neigh_label")))

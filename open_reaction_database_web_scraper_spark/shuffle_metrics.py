@@ -56,13 +56,29 @@ def max_stage_id(spark: SparkSession) -> int:
 
 
 def shuffle_since(spark: SparkSession, mark: int) -> dict[str, int]:
-    """Total shuffle rows/bytes written by stages with id > mark."""
+    """Total shuffle rows/bytes written by stages with id > mark.
+
+    stageList returns one entry per stage ATTEMPT; a task-failure
+    retry re-runs the stage under the same stageId with a higher
+    attemptId and would double-count here. Keep only the
+    highest-numbered attempt per stageId — that attempt's write
+    counters describe the data the downstream stage actually read,
+    so the exact-equality pins in tests/test_plans.py stay stable
+    across a retry. (Eviction note: ids above the mark can only be
+    evicted once MORE new stages than spark.ui.retainedStages
+    accumulate AFTER the mark; a single measured action here creates
+    far fewer than the 1000-stage default, so the sum is complete.)
+    """
     _drain_listener_bus(spark)
-    rows = by = 0
+    best = {}
     for s in _stage_list(spark):
-        if s.stageId() > mark:
-            rows += s.shuffleWriteRecords()
-            by += s.shuffleWriteBytes()
+        sid = s.stageId()
+        if sid > mark:
+            cur = best.get(sid)
+            if cur is None or s.attemptId() > cur.attemptId():
+                best[sid] = s
+    rows = sum(s.shuffleWriteRecords() for s in best.values())
+    by = sum(s.shuffleWriteBytes() for s in best.values())
     return {"rows": int(rows), "bytes": int(by)}
 
 

@@ -508,6 +508,21 @@ class OrdSinkWriter(DataSourceWriter):
                     os.remove(lock)
             except FileNotFoundError:
                 pass  # already broken/removed: nothing we own remains
+            except OSError:
+                # A transient stat/remove failure (EACCES, NFS flap —
+                # the same class OrdStreamReader's offset path guards)
+                # must not raise from this finally: it would mask the
+                # commit's real exception and skip release outright.
+                # Retry once after a beat; if the lock still can't be
+                # released, leave it for the staleness breaker (the
+                # next committer breaks locks older than the TTL)
+                # rather than raising.
+                try:
+                    time.sleep(0.05)
+                    if os.stat(lock).st_ino == lock_ino:
+                        os.remove(lock)
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         import os

@@ -16,10 +16,11 @@ seen-set dedup (:422), politeness rate limit (:459).
 from __future__ import annotations
 
 import atexit
-import math
+import decimal
 import os
 import shutil
 import tempfile
+import threading
 import time
 import uuid
 
@@ -176,7 +177,16 @@ def stream_dedup_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the watermark to pass their TTL between batches) so it is exposed
 # as diagnostics and pinned > 0 by a planted test — never part of
 # the query's oracled OUTPUT, which stays exactly the distinct rows.
-LAST_TTL_EVICTIONS = 0
+# THREAD-LOCAL like dedup.py's diagnostics (round-11 advice): the
+# legacy read spelling ``jobs.LAST_TTL_EVICTIONS`` resolves through
+# the PEP-562 __getattr__ below to the calling thread's last value.
+_DIAG = threading.local()
+
+
+def __getattr__(name: str):
+    if name == "LAST_TTL_EVICTIONS":
+        return getattr(_DIAG, "ttl_evictions", 0)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
 @register(
@@ -211,19 +221,31 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark — Spark rejects timeouts at/below it) + the
     ``state.hasTimedOut`` branch calling ``state.remove()``.
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
-
-    global LAST_TTL_EVICTIONS
     src = _chunked_events_dir(spark, sf_dir, copies=2)
     stream = (_events_stream(spark, src, cast_ltz=True)
               .withWatermark("ts", "10 minutes"))
     evictions = spark.sparkContext.accumulator(0)
-    ttl_ms = 3_600_000  # 1 h past the user's last event
+    out = _run_to_memory(dedup_ttl_updates(stream, evictions), "append")
+    _DIAG.ttl_evictions = evictions.value
+    return out
+
+
+def dedup_ttl_updates(stream: DataFrame, evictions=None,
+                      ttl_ms: int = 3_600_000) -> DataFrame:
+    """stream_dedup_ttl's stateful transform, factored (like
+    ewma_stateful_updates / cdc_stateful_updates) so the checkpoint
+    kill/restart and post-TTL-replay tests (tests/test_round12.py)
+    drive the PRODUCTION update function — EventTimeTimeout timers,
+    seen-set state, eviction branch — through a real stop +
+    state-store recovery instead of a copy. ``evictions`` is an
+    optional Spark accumulator fed by the timeout branch."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            evictions.add(1)
+            if evictions is not None:
+                evictions.add(1)
             state.remove()
             yield pd.DataFrame({"event_id": pd.array([], dtype="int64"),
                                 "user_id": pd.array([], dtype="int64"),
@@ -261,16 +283,13 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_us": pd.array(out_us, dtype="int64"),
             "value": pd.array(out_val, dtype="float64")})
 
-    deduped = stream.groupBy("user_id").applyInPandasWithState(
+    return stream.groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType="event_id bigint, user_id bigint, "
                          "t_us bigint, value double",
         stateStructType="seen array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout)
-    out = _run_to_memory(deduped, "append")
-    LAST_TTL_EVICTIONS = evictions.value
-    return out
 
 
 @register(
@@ -820,6 +839,21 @@ def stream_ord_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 EWMA_TAPS = 8  # mirror of operators/timeseries.py ts_ewma_truncated
 
 
+def round_half_up_cents(val: float) -> int:
+    """HALF-UP (away from zero) of ``val * 100`` on the DECIMAL IMAGE
+    of the double, matching Spark ``F.round`` (BigDecimal.valueOf →
+    shortest decimal string → setScale HALF_UP) and DuckDB ``ROUND``
+    bit-for-bit. ``floor(x + 0.5)`` is NOT that function: on
+    cents 0.49999999999999994 (val 0.004999999999999999) the fp add
+    rounds to 1.0 and floor emits 1 where both engines emit 0.
+    Python's repr() is the same shortest-round-trip decimal string
+    Double.toString produces, so quantizing it reproduces BigDecimal
+    semantics exactly (pinned in tests/test_round12.py)."""
+    cents = decimal.Decimal(repr(float(val) * 100))
+    return int(cents.quantize(decimal.Decimal(1),
+                              rounding=decimal.ROUND_HALF_UP))
+
+
 @register(
     "stream_ewma_stateful",
     oracle=f"""
@@ -884,17 +918,12 @@ def ewma_stateful_updates(stream: DataFrame) -> DataFrame:
         batch = batch.sort_values(["ts", "event_id"])
         out_eid, out_n, out_ewma = [], [], []
         for eid, val in zip(batch["event_id"], batch["value"]):
-            # HALF-UP (away from zero), matching the batch twin's
-            # F.round and the oracle's ROUND exactly. Python's
-            # built-in round() is banker's: on a representable half
-            # (value=0.125 → 12.5 cents) it yields 12 where both
-            # engines yield 13 — a silent one-cent divergence the
-            # driver data never hits (2-decimal values) but hostile
-            # input would (round-10 verdict note; boundary test in
-            # tests/test_round11.py).
-            cents_f = val * 100
-            tail.append(int(math.floor(cents_f + 0.5)) if cents_f >= 0
-                        else int(math.ceil(cents_f - 0.5)))
+            # HALF-UP on the decimal string image — the exact
+            # function F.round and DuckDB ROUND compute; neither
+            # banker's round() nor floor(x+0.5) is (see
+            # round_half_up_cents; boundary tests in
+            # tests/test_round11.py and tests/test_round12.py).
+            tail.append(round_half_up_cents(val))
             if len(tail) > EWMA_TAPS:
                 tail = tail[-EWMA_TAPS:]
             n = len(tail)
