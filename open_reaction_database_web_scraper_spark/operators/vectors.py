@@ -983,6 +983,7 @@ def vector_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PCA_GRAM_SCALE = 1e9  # FLOOR(x_i * x_j * 1e9) quantization (see doc)
+PCA_GRAM_SCALE_INT = 10 ** 9  # exact-integer image for the iterate
 
 
 @register(
@@ -1013,6 +1014,13 @@ PCA_GRAM_SCALE = 1e9  # FLOOR(x_i * x_j * 1e9) quantization (see doc)
     tags=("vector", "pca"),
 )
 def vector_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantized Gram table as a first-class oracled query —
+    see :func:`_quantized_gram` (shared with vector_pca_power, whose
+    iterate consumes the same distributed stage)."""
+    return _quantized_gram(spark, sf_dir)
+
+
+def _quantized_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distributed Gram/mean/count accumulation under
     vector_pca_power, emitted as a value-checkable table — the
     round-9 verdict's missing #4: the ONLY data-sized pass of the
@@ -1048,8 +1056,14 @@ def vector_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             x = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
-            assert np.abs(x).max() < 1.99, \
-                "quantized-gram int64 headroom assumes |x| < 2"
+            # Loud headroom guard, not silent overflow: |term| ≤
+            # 32²·1e9 ≈ 1e12, so the int64 TOTAL holds to ~9e6 rows
+            # at this worst case (driver embeddings are |x| ≤ 0.58 →
+            # ~2.7e10 rows); beyond that the same layout sums into
+            # decimal(38,0) (docstring). 32 admits planted test
+            # corpora with O(10)-magnitude components.
+            assert np.abs(x).max() < 32, \
+                "quantized-gram int64 headroom assumes |x| < 32"
             n, d = x.shape
             acc = np.zeros((d, d), dtype="int64")
             sacc = np.zeros(d, dtype="int64")
@@ -1073,7 +1087,131 @@ def vector_pca_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parts.groupBy("i", "j").agg(F.sum("q").alias("q"))
 
 
-@register("vector_pca_power", oracle=None,
+PCA_POWER_ITERS = 50
+_PCA_SHRINK_DIGITS = 12
+
+
+def _pca_power_oracle(iters: int = PCA_POWER_ITERS) -> str:
+    """DuckDB replay of the ENTIRE vector_pca_power computation —
+    the round-11 verdict's last non-sketch rows-only row flipped to
+    a full value-hash oracle. The trick making an iterative
+    eigensolver SQL-oracle-able: every step is EXACT INTEGER
+    arithmetic on the quantized Gram (the same FLOOR(x·1e9)
+    convention vector_pca_gram seals), with a shrink-to-12-
+    significant-digits rescale between matvecs (divide by a power of
+    ten derived from the max element's DECIMAL DIGIT COUNT —
+    sign·(abs // 10^shift), identical in Python and DuckDB), so the
+    iterate is order-independent and bit-replayable; the only IEEE
+    ops are the CLOSING divisions/sqrt per output value, written in
+    the same order on both sides. CTEs are MATERIALIZED: without it
+    DuckDB inlines the per-iteration CTE chain and the plan expands
+    exponentially in the iteration count.
+
+    Integer headroom (HUGEINT = int128, |x| < 1.7e38): |qs_i·qs_j| ≤
+    (N·5.8e8)² ≈ 1.2e29 at the sf10 decade (N = 6e5); |M2| ≈ |qG| ≤
+    N·3.4e8 ≈ 2e14; matvec |u| ≤ d·|M2|·1e12 ≈ 1.3e28. Python ints
+    are arbitrary-precision, so the Spark side can't overflow first.
+    """
+    parts = ["""
+    WITH emb AS MATERIALIZED (
+      SELECT embedding::DOUBLE[] AS e FROM embeddings
+    ), gq AS MATERIALIZED (
+      SELECT CAST(t.k // len(e.e) AS INTEGER) AS i,
+             CAST(t.k % len(e.e) AS INTEGER) AS j,
+             CAST(SUM(CAST(FLOOR(e.e[(t.k // len(e.e)) + 1]
+                                 * e.e[(t.k % len(e.e)) + 1] * 1e9)
+                           AS BIGINT)) AS HUGEINT) AS q
+      FROM emb e,
+           UNNEST(generate_series(0, len(e.e) * len(e.e) - 1)) AS t(k)
+      GROUP BY 1, 2
+    ), qs AS MATERIALIZED (
+      SELECT CAST(t.i AS INTEGER) AS i,
+             CAST(SUM(CAST(FLOOR(e.e[t.i + 1] * 1e9) AS BIGINT))
+                  AS HUGEINT) AS s
+      FROM emb e, UNNEST(generate_series(0, len(e.e) - 1)) AS t(i)
+      GROUP BY 1
+    ), nn AS MATERIALIZED (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM emb
+    ), m2 AS MATERIALIZED (
+      SELECT g.i, g.j,
+             g.q - CASE WHEN a.s * b.s >= 0
+                        THEN ABS(a.s * b.s) // (n.n * 1000000000)
+                        ELSE -(ABS(a.s * b.s) // (n.n * 1000000000))
+                   END AS m
+      FROM gq g JOIN qs a ON a.i = g.i JOIN qs b ON b.i = g.j
+      CROSS JOIN nn n
+    ), v0 AS MATERIALIZED (SELECT i, CAST(1 AS HUGEINT) AS val FROM qs)"""]
+    for k in range(1, iters + 1):
+        parts.append(f""",
+    u{k} AS MATERIALIZED (
+      SELECT m.i AS i, SUM(m.m * v.val) AS u
+      FROM m2 m JOIN v{k - 1} v ON v.i = m.j GROUP BY m.i
+    ), p{k} AS MATERIALIZED (
+      SELECT CAST('1' || REPEAT('0',
+               GREATEST(LENGTH(CAST(MAX(ABS(u)) AS VARCHAR))
+                        - {_PCA_SHRINK_DIGITS}, 0)) AS HUGEINT) AS p
+      FROM u{k}
+    ), v{k} AS MATERIALIZED (
+      SELECT u.i, CASE WHEN u.u >= 0 THEN ABS(u.u) // p.p
+                       ELSE -(ABS(u.u) // p.p) END AS val
+      FROM u{k} u CROSS JOIN p{k} p)""")
+    last = f"v{iters}"
+    parts.append(f""",
+    uf AS MATERIALIZED (
+      SELECT m.i AS i, SUM(m.m * v.val) AS u
+      FROM m2 m JOIN {last} v ON v.i = m.j GROUP BY m.i
+    ), pf AS MATERIALIZED (
+      SELECT CAST('1' || REPEAT('0',
+               GREATEST(LENGTH(CAST(MAX(ABS(u)) AS VARCHAR))
+                        - {_PCA_SHRINK_DIGITS}, 0)) AS HUGEINT) AS p
+      FROM uf
+    ), uq AS MATERIALIZED (
+      SELECT u.i, CASE WHEN u.u >= 0 THEN ABS(u.u) // p.p
+                       ELSE -(ABS(u.u) // p.p) END AS val
+      FROM uf u CROSS JOIN pf p
+    ), ray AS MATERIALIZED (
+      SELECT SUM(v.val * u.val) AS num, SUM(v.val * v.val) AS den
+      FROM {last} v JOIN uq u ON u.i = v.i
+    ), tr AS MATERIALIZED (SELECT SUM(m) AS t FROM m2 WHERE i = j),
+    sgn AS MATERIALIZED (
+      SELECT COALESCE((SELECT CASE WHEN val < 0 THEN -1 ELSE 1 END
+                       FROM {last} WHERE val <> 0 ORDER BY i LIMIT 1),
+                      1) AS s
+    ), nrm AS MATERIALIZED (SELECT SUM(val * val) AS s2 FROM {last})
+    SELECT CAST(v.i + 1 AS INTEGER) AS dim,
+           CASE WHEN nrm.s2 = 0 THEN 0.0
+                ELSE CAST(v.val * sgn.s AS DOUBLE)
+                     / SQRT(CAST(nrm.s2 AS DOUBLE)) END AS loading,
+           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+             * CAST(pf.p AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e9
+             AS eigenvalue,
+           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+             * CAST(pf.p AS DOUBLE) / CAST(tr.t AS DOUBLE)
+             AS explained_var
+    FROM {last} v CROSS JOIN sgn CROSS JOIN nrm CROSS JOIN ray
+         CROSS JOIN tr CROSS JOIN pf CROSS JOIN nn""")
+    return "".join(parts)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero division, spelled the same way the
+    oracle spells it (sign · (abs // divisor)) so negative operands
+    can never diverge between Python's floor // and SQL division."""
+    return (abs(a) // b) * (1 if a >= 0 else -1)
+
+
+def _shrink(u: list[int]) -> tuple[list[int], int]:
+    """Rescale an integer vector to ≤ _PCA_SHRINK_DIGITS significant
+    digits of its max element — the exactly-replayable stand-in for
+    the float power iteration's norm division (scale-invariant, so
+    only the direction matters)."""
+    mx = max(abs(x) for x in u)
+    shift = max(0, len(str(mx)) - _PCA_SHRINK_DIGITS)
+    p = 10 ** shift
+    return [_tdiv(x, p) for x in u], p
+
+
+@register("vector_pca_power", oracle=_pca_power_oracle(),
           tags=("vector", "iterative", "pca"))
 def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding corpus by
@@ -1082,87 +1220,67 @@ def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     the engine) applied to the corpus covariance.
 
     Scale decomposition:
-    - the ONLY data-sized pass is a `mapInPandas` over Arrow batches
-      computing per-batch Gram partials X_bᵀX_b and mean partials
-      (numpy BLAS inside each batch — d² + d doubles out per batch,
-      never the vectors themselves);
+    - the ONLY data-sized pass is the shared `mapInPandas` quantized
+      Gram stage (:func:`_quantized_gram` — Arrow batches → int64
+      per-batch partials; d² + d + 1 rows out per batch, never the
+      vectors themselves);
     - partials reduce through one hash aggregate keyed on (i, j) —
-      shuffle volume is d² x partitions, independent of corpus size;
-    - the d x d covariance (64 x 64 here — KB-sized, the same
+      shuffle volume is d² × partitions, independent of corpus size;
+    - the d × d quantized Gram (64 × 64 here — KB-sized, the same
       bounded-state posture as the IVF centroid collect) comes to
-      the driver, where 50 power-iteration steps on a d x d matrix
-      are microseconds; for d beyond driver comfort the matvec
-      distributes over the same (i, j) layout.
-    Sign is canonicalized (first nonzero loading positive) and
-    loadings are unit-norm; deterministic up to float reduce order,
-    so the op registers rows-only with a planted-direction recall
-    test (cos > 0.99) rather than a value-hash oracle. The
-    distributed stage itself IS value-checked: vector_pca_gram
-    (above) runs the same mapInPandas Gram accumulation with an
-    exactly-replayable int64 quantization and a full DuckDB oracle,
-    and tests/test_round10.py::test_pca_gram_agrees_with_power_cov
-    pins that the quantized Gram reproduces this query's principal
-    component — only the driver-side power iterate remains
-    rows-only.
+      the driver, where PCA_POWER_ITERS power-iteration steps on a
+      d × d matrix are microseconds; for d beyond driver comfort the
+      matvec distributes over the same (i, j) layout.
+
+    FULLY ORACLED since round 12 (closing the last non-sketch
+    rows-only row): the iterate runs in EXACT integer arithmetic —
+    Python big ints on the collected quantized Gram, matvec +
+    shrink-to-12-digits rescale per step (:func:`_shrink`), Rayleigh
+    quotient and trace as exact integers — and the oracle replays
+    the identical sequence in DuckDB HUGEINT CTEs
+    (:func:`_pca_power_oracle`). The only IEEE ops are the CLOSING
+    per-value divisions/sqrt, written in the same order on both
+    sides, so the output hash-matches bit-for-bit. Convergence
+    behavior is unchanged from the float form (cos = 1.0 against
+    the 50-step float iterate at sf0.01/sf0.1; the planted-direction
+    and sign-canonicalization tests in tests/test_round3.py and the
+    Gram-agreement pin in tests/test_round10.py all hold).
 
     Returns one row per dimension: (dim, loading, eigenvalue,
     explained_var) — eigenvalue/explained_var repeated per row to
     keep the output flat (driver hashes cannot take arrays).
     """
-    import numpy as np
-    import pandas as pd
+    import math
 
-    emb = load(spark, sf_dir, "embeddings").select("embedding")
+    reduced = _quantized_gram(spark, sf_dir).collect()
+    q = {(r.i, r.j): int(r.q) for r in reduced}
+    n = q[(-1, -1)]
+    d = 1 + max(i for i, j in q if j >= 0)
+    ns = n * PCA_GRAM_SCALE_INT
+    # M2 ∝ covariance: qG - qs·qsᵀ/(N·S), exact integers throughout
+    m2 = [[q[(i, j)] - _tdiv(q[(i, -1)] * q[(j, -1)], ns)
+           for j in range(d)] for i in range(d)]
 
-    def gram_partials(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
-            g = x.T @ x
-            s = x.sum(axis=0)
-            d = g.shape[0]
-            i, j = np.unravel_index(np.arange(d * d), (d, d))
-            yield pd.DataFrame({
-                "i": np.concatenate([i, np.arange(d)]),
-                "j": np.concatenate([j, np.full(d, -1)]),
-                "v": np.concatenate([g.ravel(), s]),
-                "n": np.concatenate([np.zeros(d * d, dtype="int64"),
-                                     np.full(d, len(pdf),
-                                             dtype="int64")])})
+    def matvec(v: list[int]) -> list[int]:
+        return [sum(m2[i][j] * v[j] for j in range(d)) for i in range(d)]
 
-    parts = emb.mapInPandas(
-        gram_partials, "i int, j int, v double, n bigint")
-    reduced = (parts.groupBy("i", "j")
-               .agg(F.sum("v").alias("v"), F.sum("n").alias("n"))
-               .collect())
-    d = 1 + max(r.i for r in reduced)
-    gram = np.zeros((d, d))
-    mean = np.zeros(d)
-    n_rows = 0
-    for r in reduced:
-        if r.j == -1:
-            mean[r.i] = r.v
-            n_rows = max(n_rows, r.n)
-        else:
-            gram[r.i, r.j] = r.v
-    mean /= n_rows
-    cov = gram / n_rows - np.outer(mean, mean)
-
-    v = np.ones(d) / np.sqrt(d)
-    for _ in range(50):
-        w = cov @ v
-        nrm = np.linalg.norm(w)
-        if nrm == 0:
-            break
-        v = w / nrm
-    eigval = float(v @ cov @ v)
-    nz = np.nonzero(np.abs(v) > 1e-12)[0]
-    if len(nz) and v[nz[0]] < 0:
-        v = -v
-    explained = eigval / float(np.trace(cov))
-    rows = [(int(k + 1), float(round(v[k], 6)), float(round(eigval, 6)),
-             float(round(explained, 6))) for k in range(d)]
+    v = [1] * d
+    for _ in range(PCA_POWER_ITERS):
+        v, _p = _shrink(matvec(v))
+    u_final = matvec(v)
+    uq, p_u = _shrink(u_final)
+    num = sum(a * b for a, b in zip(v, uq))
+    den = sum(a * a for a in v)
+    trace_raw = sum(m2[i][i] for i in range(d))
+    s2 = sum(x * x for x in v)
+    first_nz = next((x for x in v if x != 0), None)
+    sgn = -1 if (first_nz is not None and first_nz < 0) else 1
+    eigval = float(num) / float(den) * float(p_u) / float(n) / 1e9
+    explained = float(num) / float(den) * float(p_u) / float(trace_raw)
+    rows = [(int(k + 1),
+             0.0 if s2 == 0
+             else float(v[k] * sgn) / math.sqrt(float(s2)),
+             eigval, explained) for k in range(d)]
     return spark.createDataFrame(
         rows, "dim int, loading double, eigenvalue double, "
               "explained_var double")
