@@ -165,6 +165,8 @@ OPTIONAL = [
     # TTL-evicting stateful dedup
     "dedup_lsh_occupancy",
     "stream_dedup_ttl",
+    # round 12: the TTL dedup's hot-key-salted form
+    "stream_dedup_salted",
 ]
 
 

@@ -231,14 +231,27 @@ def stream_dedup_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_ttl_updates(stream: DataFrame, evictions=None,
-                      ttl_ms: int = 3_600_000) -> DataFrame:
+                      ttl_ms: int = 3_600_000,
+                      salt_shards: int | None = None) -> DataFrame:
     """stream_dedup_ttl's stateful transform, factored (like
     ewma_stateful_updates / cdc_stateful_updates) so the checkpoint
     kill/restart and post-TTL-replay tests (tests/test_round12.py)
     drive the PRODUCTION update function — EventTimeTimeout timers,
     seen-set state, eviction branch — through a real stop +
     state-store recovery instead of a copy. ``evictions`` is an
-    optional Spark accumulator fed by the timeout branch."""
+    optional Spark accumulator fed by the timeout branch.
+
+    ``salt_shards`` (round 12, the hot-key mitigation the skew probe
+    priced — SCALING.md "stateful-stream hot-key skew"): state keyed
+    by (user_id, event_id % K) instead of user_id alone. The seen-
+    set predicate partitions EXACTLY by id hash — an id is a
+    duplicate iff it was seen in its own shard — so the output is
+    identical while one hot user's state and per-batch work spread
+    across K tasks. TTL semantics shift per shard (a shard quiet
+    > TTL evicts even while sibling shards stay hot), which only
+    tightens the bounded-state property. The same decomposition does
+    NOT exist for order-dependent state (EWMA), whose posture is the
+    stated O(taps) bound instead."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -283,13 +296,61 @@ def dedup_ttl_updates(stream: DataFrame, evictions=None,
             "t_us": pd.array(out_us, dtype="int64"),
             "value": pd.array(out_val, dtype="float64")})
 
-    return stream.groupBy("user_id").applyInPandasWithState(
+    if salt_shards:
+        grouped = (stream.withColumn(
+            "_salt", F.pmod(F.col("event_id"),
+                            F.lit(salt_shards)).cast("int"))
+            .groupBy("user_id", "_salt"))
+    else:
+        grouped = stream.groupBy("user_id")
+    return grouped.applyInPandasWithState(
         update,
         outputStructType="event_id bigint, user_id bigint, "
                          "t_us bigint, value double",
         stateStructType="seen array<bigint>",
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout)
+
+
+DEDUP_SALT_SHARDS = 8
+
+
+@register(
+    "stream_dedup_salted",
+    oracle="""
+    SELECT DISTINCT event_id, user_id,
+           CAST(epoch_us(ts) AS BIGINT) AS t_us, value
+    FROM events
+    """,
+    tags=("streaming", "stateful", "ttl", "skew"),
+)
+def stream_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_dedup_ttl's HOT-KEY-HARDENED form: state keyed by
+    (user_id, event_id % 8) so one pathological hot user — the
+    90%-one-key regime the round-12 skew probe measured going
+    superlinear on the unsalted job (SCALING.md: 118 s at 16×,
+    5.8× wall for the last 4× of data, because every micro-batch
+    rewrites the hot user's whole seen-list in ONE task) — spreads
+    its state and per-batch work across 8 (DEDUP_SALT_SHARDS) tasks. The salt is
+    CORRECTNESS-FREE for dedup: the seen-set predicate partitions
+    exactly by id (an id is a duplicate iff its own shard saw it,
+    and same-id duplicates land in the same shard by construction),
+    so the output is identical to the unsalted job and the oracle is
+    the SAME DISTINCT statement. Per-shard TTL eviction only
+    tightens the bounded-state property (a quiet shard evicts even
+    while sibling shards stay hot). The planted hot-key equivalence
+    test (tests/test_round12.py) pins salted == unsalted == oracle
+    on a 90%-one-user corpus.
+    """
+    src = _chunked_events_dir(spark, sf_dir, copies=2)
+    stream = (_events_stream(spark, src, cast_ltz=True)
+              .withWatermark("ts", "10 minutes"))
+    evictions = spark.sparkContext.accumulator(0)
+    out = _run_to_memory(
+        dedup_ttl_updates(stream, evictions,
+                          salt_shards=DEDUP_SALT_SHARDS), "append")
+    _DIAG.ttl_evictions = evictions.value
+    return out
 
 
 @register(

@@ -99,7 +99,7 @@ ALLOW = {
 # the job's dataflow; skip those BY NAME. The streaming_batch module's
 # window/join queries are ordinary batch plans and ARE audited.
 SKIP_NAMES = {"stream_watermark_late", "stream_dedup_stateful",
-              "stream_dedup_ttl",
+              "stream_dedup_ttl", "stream_dedup_salted",
               "stream_rate_limit", "stream_foreachbatch_retry",
               "stream_custom_stateful", "stream_session_stateful",
               # runs its observed pass eagerly inside fn() and

@@ -16,8 +16,10 @@ Statuses: "pass" (oracle match), "rows_only" (no oracle; executed,
 row count recorded), "vacuous" (both engines empty — a FAIL),
 "fail" (mismatch), "error" (exception; message recorded),
 "rows_only_at_scale" (oracle unaffordable at this SF, Spark side
-executed), "budget_capped" (quadratic-by-spec query excluded above
-driver SFs, justification recorded). A
+executed), "sampled_hash_at_scale" (engine ran the FULL corpus; its
+output restricted to a deterministic key sample hash-matched the
+identically-restricted oracle), "budget_capped" (quadratic-by-spec
+query excluded above driver SFs, justification recorded). A
 rows-only query returning 0 rows is ALSO flagged vacuous unless
 allow-listed in RO_EMPTY_OK with a justification — a rows-only
 check that counts nothing verified nothing.
@@ -47,13 +49,36 @@ DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
 # (rows + seconds recorded, status "rows_only_at_scale") instead of
 # waiting out an O(N²) single-threaded DuckDB join. Keyed by
 # (query, sf-dir basename); each entry needs a justification.
-ORACLE_SKIP_AT_SCALE = {
-    # oracle = all same-length customer pairs × levenshtein —
-    # O(N²·L²), ~1.1e9 edit-distance calls at sf1, measured >20 min
-    # single-threaded in DuckDB; the docstring's contract says the
-    # brute force is affordable only at oracle SF. Value-checked at
-    # all three driver SFs in the same artifact.
-    ("dedup_fuzzy_levenshtein", "ordspark_sf1"),
+ORACLE_SKIP_AT_SCALE: set = set()
+
+# Round 12 (verdict r11 #7): queries whose FULL oracle is unaffordable
+# at a decade SF get a SAMPLED value check instead of a rows-only
+# pass: the ENGINE side still runs the FULL corpus; its output is then
+# restricted to pairs whose BOTH endpoints fall in a deterministic
+# custkey sample, and hash-compared against the identically-restricted
+# oracle. status "sampled_hash_at_scale"; a mismatch counts as bad.
+SAMPLED_ORACLE_AT_SCALE = {
+    # Full oracle = all same-length customer pairs × levenshtein —
+    # O(N²·L²), ~1.1e9 edit calls at sf1, measured >20 min
+    # single-threaded in DuckDB. custkey % 7 == 0 keeps 1/7 of
+    # customers → 1/49 of the pair space (~25 s) while the engine
+    # executes its production plan over ALL 2.6 M pairs' worth of
+    # input; names are unique per custkey in every generated corpus
+    # (TPC-H-style name := f(custkey); make_sf1 adds length-distinct
+    # per-copy suffixes), so filtering the engine OUTPUT by sampled
+    # NAME equals the oracle's custkey restriction.
+    ("dedup_fuzzy_levenshtein", "ordspark_sf1"): {
+        "mod": 7,
+        "oracle": """
+        SELECT a.c_name AS name_a, b.c_name AS name_b,
+               levenshtein(a.c_name, b.c_name) AS edit_dist
+        FROM customer a JOIN customer b
+          ON a.c_custkey < b.c_custkey
+         AND length(a.c_name) = length(b.c_name)
+         AND a.c_custkey % 7 = 0 AND b.c_custkey % 7 = 0
+        WHERE levenshtein(a.c_name, b.c_name) <= 1
+        """,
+    },
 }
 
 # Queries whose SPARK side is quadratic BY SPEC (kept only as the
@@ -130,6 +155,41 @@ def main() -> int:
                         "sec": round(time.time() - t0, 2)}
                     print(f"ok   {name} @ {key}: rows_only_at_scale "
                           f"({n} rows) [{time.time() - t0:.2f}s]",
+                          flush=True)
+                    continue
+                if (name, key) in SAMPLED_ORACLE_AT_SCALE:
+                    from pyspark.sql import functions as SF
+
+                    from open_reaction_database_web_scraper_spark.catalog \
+                        import load as _load
+                    cfg = SAMPLED_ORACLE_AT_SCALE[(name, key)]
+                    n_full = df.count()   # engine runs the FULL corpus
+                    samp = (_load(spark, sf, "customer")
+                            .filter(SF.col("c_custkey") % cfg["mod"] == 0)
+                            .select("c_name"))
+                    filt = (df.join(samp.withColumnRenamed(
+                                        "c_name", "name_a"),
+                                    "name_a", "semi")
+                            .join(samp.withColumnRenamed(
+                                      "c_name", "name_b"),
+                                  "name_b", "semi")
+                            .select("name_a", "name_b", "edit_dist"))
+                    r = compare_full(filt, cfg["oracle"], sf, name,
+                                     fail_on_empty=True)
+                    cell = ({"status": "sampled_hash_at_scale",
+                             "rows_full": n_full,
+                             "rows_sampled": r.rows,
+                             "sample": f"c_custkey % {cfg['mod']} == 0"}
+                            if r.ok else
+                            {"status": "fail",
+                             "detail": r.message.split("\n")[0]})
+                    cell["sec"] = round(time.time() - t0, 2)
+                    bad = cell["status"] == "fail"
+                    n_bad += bad
+                    result["queries"][name][key] = cell
+                    spark.catalog.clearCache()
+                    print(f"{'FAIL' if bad else 'ok  '} {name} @ {key}: "
+                          f"{cell['status']} [{cell['sec']}s]",
                           flush=True)
                     continue
                 if spec.oracle is None:

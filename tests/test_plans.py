@@ -658,3 +658,101 @@ def test_dedup_family_shuffle_rows_pinned(spark, sf_dir):
             .write.format("noop").mode("overwrite").save())
         got[name] = m["rows"]
     assert got == DEDUP_SHUFFLE_ROWS
+
+
+# Round-12 (verdict r11 #5): the same pins one decade up. A plan
+# regression that only manifests past a size threshold (a broadcast
+# that flips, an AQE coalesce that stops firing) is invisible to a
+# single-SF pin; two decades make the SCALING SHAPE itself the
+# assertion — e.g. sort_order_by 6 000 → 60 000 (linear, range
+# partitioning carries every row once) while agg_multi/agg_cube/
+# set_distinct stay CONSTANT (partial-agg rows are group-count-sized,
+# the map-side-combine property that matters at 100 TB).
+SHUFFLE_ROWS_SF001 = {
+    "agg_multi": 6,
+    "join_shuffle_equi": 5,      # AQE still broadcasts at sf0.01
+    "join_multiway_star": 25,
+    "win_topk_per_group": 4492,
+    "join_asof": 5993,
+    "join_range_theta": 853,
+    "agg_cube": 12,
+    "sort_order_by": 60000,
+    "set_distinct": 6,
+    "json_get_extract": 0,
+    "dedup_minhash_lsh": 8912,
+    "dedup_clusters_neardup": 17077,
+    "dedup_simhash": 1012,
+    "multimodal_phash_dedup": 501,
+    "dedup_lsh_occupancy": 4829,
+}
+
+
+def test_shuffle_rows_pinned_sf001(spark):
+    import os
+
+    import pytest as _pytest
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        _pytest.skip("sf0.01 testdata not present")
+    from open_reaction_database_web_scraper_spark.shuffle_metrics import (
+        measure_shuffle)
+    got = {}
+    for name in SHUFFLE_ROWS_SF001:
+        spark.catalog.clearCache()
+        m = measure_shuffle(
+            spark,
+            lambda: REGISTRY[name].fn(spark, sf)
+            .write.format("noop").mode("overwrite").save())
+        got[name] = m["rows"]
+    assert got == SHUFFLE_ROWS_SF001
+
+
+# Round-12: the post-broadcast-threshold plan, pinned DIRECTLY. At
+# every driver SF the dimension sides fit under the broadcast
+# threshold, so the sf0.001/sf0.01 pins above only ever see the
+# broadcast plan (join_shuffle_equi = 5 agg rows). Disabling the
+# threshold forces the sort-merge path a 100 TB fact-fact join takes,
+# and pins ITS shuffle volume: both join sides exchange once — the
+# count is (filtered fact rows + dim rows + agg rows), linear across
+# the decade — so a regression that only exists past the broadcast
+# cliff (e.g. a lost pre-join filter inflating the exchanged side) is
+# caught here at test scale.
+NOBROADCAST_SHUFFLE_ROWS = {
+    ("/root/testdata/sf0.001", "join_shuffle_equi"): 7505,
+    ("/root/testdata/sf0.001", "join_multiway_star"): 1675,
+    ("/root/testdata/sf0.01", "join_shuffle_equi"): 75005,
+    ("/root/testdata/sf0.01", "join_multiway_star"): 16525,
+}
+
+
+def test_shuffle_rows_pinned_past_broadcast_threshold(spark):
+    import os
+
+    from open_reaction_database_web_scraper_spark.shuffle_metrics import (
+        measure_shuffle)
+    saved = {k: spark.conf.get(k, None) for k in
+             ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "-1")
+        got = {}
+        for (sf, name) in NOBROADCAST_SHUFFLE_ROWS:
+            if not os.path.isdir(sf):
+                continue
+            spark.catalog.clearCache()
+            m = measure_shuffle(
+                spark,
+                lambda: REGISTRY[name].fn(spark, sf)
+                .write.format("noop").mode("overwrite").save())
+            got[(sf, name)] = m["rows"]
+        want = {k: v for k, v in NOBROADCAST_SHUFFLE_ROWS.items()
+                if k in got}
+        assert got == want and got
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)   # was unset: restore the default
+            else:
+                spark.conf.set(k, v)
