@@ -93,8 +93,10 @@ SAMPLED_ORACLE_AT_SCALE = {
 BUDGET_CAP_AT_SCALE = {
     ("sample_hard_negative_mine", "ordspark_sf1"):
         "quadratic by spec (exhaustive ground-truth twin of "
-        "sample_hard_negative_mine_ann); 300s at sf1 in SWEEP_r9_sf1, "
-        "value-checked at all three driver SFs + probed in SCALING.md",
+        "sample_hard_negative_mine_ann); measured 103.9s at sf1 vs "
+        "the ANN form's 10.7s (SCALING.md round 12; 300s under "
+        "ambient load in SWEEP_r9_sf1), value-checked at all three "
+        "driver SFs + probed in SCALING.md",
 }
 
 
