@@ -909,8 +909,27 @@ def round_half_up_cents(val: float) -> int:
     rounds to 1.0 and floor emits 1 where both engines emit 0.
     Python's repr() is the same shortest-round-trip decimal string
     Double.toString produces, so quantizing it reproduces BigDecimal
-    semantics exactly (pinned in tests/test_round12.py)."""
-    cents = decimal.Decimal(repr(float(val) * 100))
+    semantics exactly (pinned in tests/test_round12.py).
+
+    Fast path (the first idle-vs-idle bench pair priced the naive
+    always-Decimal form at +22% on the 100k-event stream): the two
+    functions can only disagree when the fp ADDITION x + 0.5 rounds
+    across an integer boundary, which requires x within ~1 ulp of a
+    half — so take floor(x + 0.5) outright unless the fractional
+    part is within 1e-9 of 0.5 (orders wider than any double ulp at
+    cents magnitude), and arbitrate only that sliver through the
+    exact decimal image. Equality with Spark/DuckDB on both paths is
+    pinned by the 300-value battery in tests/test_round12.py,
+    including values planted just inside and outside the window."""
+    x = float(val) * 100
+    ax = abs(x)
+    # (2nd condition: above 2^52 the addition can tie-round UP on
+    # integer-valued doubles — e.g. 2^52+1 + 0.5 → 2^52+2 — so huge
+    # magnitudes always take the exact path.)
+    if abs((ax % 1.0) - 0.5) > 1e-9 and ax < 4_503_599_627_370_496.0:
+        fl = int(ax + 0.5)  # trunc of nonneg = floor; off-half: safe
+        return fl if x >= 0 else -fl
+    cents = decimal.Decimal(repr(x))
     return int(cents.quantize(decimal.Decimal(1),
                               rounding=decimal.ROUND_HALF_UP))
 

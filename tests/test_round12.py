@@ -237,6 +237,17 @@ def test_round_half_up_cents_matches_spark_and_duckdb(spark):
     vals += [(k + 0.5) / 100 for k in range(-20, 20)]
     vals += [(k + 0.5 - 5e-16) / 100 for k in range(-20, 20)]
 
+    # straddle the fast-path arbitration window (|frac-0.5| vs 1e-9):
+    # inside it (ulp-scale, Decimal arbitrates) and just outside it
+    # (fast floor path), both signs, plus >2^52-cents magnitudes
+    # where the fast path is skipped entirely
+    vals += [(k + 0.5 + eps) / 100
+             for k in (0, 3, 17) for eps in
+             (-5e-10, 5e-10, -2e-9, 2e-9, -1e-12, 1e-12)]
+    vals += [-(k + 0.5 + eps) / 100
+             for k in (0, 3, 17) for eps in (-5e-10, 5e-10, -2e-9, 2e-9)]
+    vals += [45035996273704.96, -45035996273704.97, 90071992547409.94]
+
     ours = [jobs.round_half_up_cents(v) for v in vals]
     sp = (spark.createDataFrame([(v,) for v in vals], "v double")
           .select(F.round(F.col("v") * 100).cast("long").alias("c"))
