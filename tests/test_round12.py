@@ -209,6 +209,74 @@ def test_stream_dedup_salted_equals_unsalted_on_hot_key(spark, tmp_path):
     assert s == u
 
 
+def test_stream_dedup_salted_checkpoint_restart(spark, tmp_path):
+    """Recovery parity for the salted form: same harness as the
+    unsalted restart test — a within-TTL replay of an id first seen
+    PRE-stop stays suppressed post-restart (the duplicate lands in
+    the same (user, salt) shard by construction, so the recovered
+    shard state must catch it)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    prefix = [
+        [_ev(8, _m(0), 7)]                       # 8 % 8 == shard 0
+        + [_ev(100 + i, _m(1 + i), 8) for i in range(4)],
+        [_ev(16, _m(10), 7)]                     # keeps u7 alive
+        + [_ev(110 + i, _m(11 + i), 8) for i in range(4)],
+    ]
+    suffix = [
+        [_ev(8, _m(20), 7)]                      # replay, same shard
+        + [_ev(120 + i, _m(21 + i), 8) for i in range(4)],
+        [_ev(24, _m(30), 7)]
+        + [_ev(130 + i, _m(31 + i), 8) for i in range(4)],
+    ]
+
+    def start():
+        stream = (jobs._events_stream(spark, src, cast_ltz=True)
+                  .withWatermark("ts", "10 minutes"))
+        q = (jobs.dedup_ttl_updates(stream, salt_shards=8)
+             .writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    _write_chunks(spark, src, prefix)
+    start()
+    n1 = spark.read.parquet(out).count()
+    assert n1 == 10
+    _write_chunks(spark, src, suffix)
+    start()
+    both = spark.read.parquet(out)
+    assert both.filter(F.col("event_id") == 8).count() == 1  # recovered
+    assert both.count() == both.select("event_id").distinct().count() == 19
+
+
+def test_stream_dedup_salted_per_shard_ttl_eviction(spark, tmp_path):
+    """The salted docstring's per-shard TTL claim, pinned: a SHARD
+    that goes quiet for > TTL is evicted even while the SAME USER
+    stays hot in other shards — the property that tightens the
+    bounded-state contract (state tracks active (user, shard) pairs,
+    not active users). User 7's shard 0 (ids ≡ 0 mod 8) appears only
+    early; their other shards keep firing across an event-time jump
+    past the TTL, so shard 0's timer fires while user 7 is active.
+    Output stays exactly the distinct rows."""
+    rows = [_ev(8, _m(0), 7), _ev(16, _m(1), 7)]   # shard 0, early only
+    # u7 stays ACTIVE on other shards across the whole span
+    rows += [_ev(1 + 8 * i, _m(2 + i), 7) for i in range(6)]
+    rows += [_ev(2 + 8 * i, _m(i, hours=2), 7) for i in range(6)]
+    rows += [_ev(3 + 8 * i, _m(i, hours=4), 7) for i in range(6)]
+    rows += [_ev(5 + 8 * i, _m(i, hours=6), 7) for i in range(6)]
+    spark.createDataFrame(rows, jobs._EVENTS_SCHEMA) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    out = run("stream_dedup_salted", spark, str(tmp_path))
+    ok, msg = compare(out, REGISTRY["stream_dedup_salted"].oracle,
+                      str(tmp_path), "stream_dedup_salted_shard_ttl")
+    assert ok, msg
+    assert jobs.LAST_TTL_EVICTIONS >= 1    # shard 0 evicted mid-stream
+
+
 # ------------------- EWMA rounding: decimal-image HALF_UP -----------
 
 HOSTILE_VALUES = [
