@@ -257,8 +257,7 @@ def main() -> None:
         "queries": timings,
         "shuffle": shuffle,
         "sf": sf_of(sf_dir),
-        "loadavg_1m": {"launch": load_launch, "start": load_start,
-                       "end": round(os.getloadavg()[0], 2)},
+        "loadavg_1m": {"launch": load_launch, "start": load_start},
     }
     # The full per-query map (~90 entries) exceeds the 2,000-char
     # stdout tail some harnesses keep, which made two rounds of
@@ -275,15 +274,26 @@ def main() -> None:
     # the gate. A loaded driver run can no longer clobber the idle
     # capture via a careless `git add -A`.
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
-        json.dump(full, fh)
     # ... and only at the policy scale factor: an idle-box sf0.001
     # iteration run must not replace the committed sf0.1 map either.
-    promoted = load_launch < 4.0 and sf_of(sf_dir) == 0.1
+    # FLAT (ADVICE r12): the BASELINE policy is "launch loadavg < ~4
+    # AND flat" — a run launched quiet but spiking mid-run is
+    # rejected too. Baseline for "flat" is load_start (post-warm-up,
+    # so it already carries the bench's own steady contribution);
+    # margin 6 covers the bench's measured own end-vs-start creep
+    # (+4.1 idle r12, +4.8 loaded r12) while an external mid-run job
+    # on a 32-core box adds well past it. The flag is set BEFORE
+    # either artifact is dumped so both persisted JSONs record it.
+    load_end = round(os.getloadavg()[0], 2)
+    flat = load_end < load_start + 6.0
+    promoted = load_launch < 4.0 and flat and sf_of(sf_dir) == 0.1
+    full["loadavg_1m"]["end"] = load_end
+    full["promoted_to_bench_local"] = promoted
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
+        json.dump(full, fh)
     if promoted:
         with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
             json.dump(full, fh)
-    full["promoted_to_bench_local"] = promoted
     sys.stderr.flush()
     print(json.dumps(full), flush=True)
     compact = dict(full)

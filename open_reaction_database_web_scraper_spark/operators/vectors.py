@@ -1182,12 +1182,14 @@ def _pca_power_oracle(iters: int = PCA_POWER_ITERS) -> str:
            CASE WHEN nrm.s2 = 0 THEN 0.0
                 ELSE CAST(v.val * sgn.s AS DOUBLE)
                      / SQRT(CAST(nrm.s2 AS DOUBLE)) END AS loading,
-           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
-             * CAST(pf.p AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1e9
-             AS eigenvalue,
-           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
-             * CAST(pf.p AS DOUBLE) / CAST(tr.t AS DOUBLE)
-             AS explained_var
+           CASE WHEN ray.den = 0 THEN 0.0
+                ELSE CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+                     * CAST(pf.p AS DOUBLE) / CAST(nn.n AS DOUBLE)
+                     / 1e9 END AS eigenvalue,
+           CASE WHEN ray.den = 0 OR tr.t = 0 THEN 0.0
+                ELSE CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+                     * CAST(pf.p AS DOUBLE) / CAST(tr.t AS DOUBLE)
+                END AS explained_var
     FROM {last} v CROSS JOIN sgn CROSS JOIN nrm CROSS JOIN ray
          CROSS JOIN tr CROSS JOIN pf CROSS JOIN nn""")
     return "".join(parts)
@@ -1275,8 +1277,15 @@ def vector_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = sum(x * x for x in v)
     first_nz = next((x for x in v if x != 0), None)
     sgn = -1 if (first_nz is not None and first_nz < 0) else 1
-    eigval = float(num) / float(den) * float(p_u) / float(n) / 1e9
-    explained = float(num) / float(den) * float(p_u) / float(trace_raw)
+    # Degenerate (zero-covariance) corpus: the shrunk iterate can be
+    # all-zero (den = 0) and the trace can be 0 — emit 0.0 like the
+    # s2 == 0 loading branch instead of dividing by zero. The oracle
+    # carries the same CASE so the two sides stay bit-identical.
+    eigval = (0.0 if den == 0
+              else float(num) / float(den) * float(p_u) / float(n) / 1e9)
+    explained = (0.0 if den == 0 or trace_raw == 0
+                 else float(num) / float(den) * float(p_u)
+                 / float(trace_raw))
     rows = [(int(k + 1),
              0.0 if s2 == 0
              else float(v[k] * sgn) / math.sqrt(float(s2)),

@@ -61,10 +61,15 @@ def shuffle_since(spark: SparkSession, mark: int) -> dict[str, int]:
     stageList returns one entry per stage ATTEMPT; a task-failure
     retry re-runs the stage under the same stageId with a higher
     attemptId and would double-count here. Keep only the
-    highest-numbered attempt per stageId — that attempt's write
-    counters describe the data the downstream stage actually read,
-    so the exact-equality pins in tests/test_plans.py stay stable
-    across a retry. (Eviction note: ids above the mark can only be
+    highest-numbered attempt per stageId. This is an APPROXIMATION:
+    it avoids double-counting in the common full-rerun case, but a
+    PARTIAL retry (fetch-failure re-running only the lost
+    partitions) reports only the re-run partitions' writes in the
+    latest attempt, so a pin could read low after one. Stage-level
+    counters can't recover max-per-partition-across-attempts (that
+    needs task-level data); in local[...] test runs stage retries
+    don't occur, so the exact-equality pins in tests/test_plans.py
+    are stable in practice. (Eviction note: ids above the mark can only be
     evicted once MORE new stages than spark.ui.retainedStages
     accumulate AFTER the mark; a single measured action here creates
     far fewer than the 1000-stage default, so the sum is complete.)

@@ -332,15 +332,21 @@ def stream_dedup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     5.8× wall for the last 4× of data, because every micro-batch
     rewrites the hot user's whole seen-list in ONE task) — spreads
     its state and per-batch work across 8 (DEDUP_SALT_SHARDS) tasks. The salt is
-    CORRECTNESS-FREE for dedup: the seen-set predicate partitions
-    exactly by id (an id is a duplicate iff its own shard saw it,
-    and same-id duplicates land in the same shard by construction),
-    so the output is identical to the unsalted job and the oracle is
-    the SAME DISTINCT statement. Per-shard TTL eviction only
-    tightens the bounded-state property (a quiet shard evicts even
-    while sibling shards stay hot). The planted hot-key equivalence
-    test (tests/test_round12.py) pins salted == unsalted == oracle
-    on a 90%-one-user corpus.
+    CORRECTNESS-FREE for in-TTL dedup: the seen-set predicate
+    partitions exactly by id (an id is a duplicate iff its own shard
+    saw it, and same-id duplicates land in the same shard by
+    construction), so within a shard's TTL the output is identical
+    to the unsalted job and the oracle is the SAME DISTINCT
+    statement. The TTL boundary itself narrows: eviction is
+    per-SHARD (a shard goes quiet > TTL and evicts even while
+    sibling shards of the same user stay hot), so a duplicate
+    replayed after its own shard expired but within the unsalted
+    user-level TTL is re-emitted by the salted form only — identical
+    outputs are guaranteed only for replays within the shard's TTL.
+    The planted hot-key equivalence test (tests/test_round12.py)
+    pins salted == unsalted == oracle on a 90%-one-user corpus that
+    carries in-TTL duplicates; the per-shard-eviction test pins the
+    divergent post-shard-TTL replay explicitly.
     """
     src = _chunked_events_dir(spark, sf_dir, copies=2)
     stream = (_events_stream(spark, src, cast_ltz=True)

@@ -209,6 +209,55 @@ def test_stream_dedup_salted_equals_unsalted_on_hot_key(spark, tmp_path):
     assert s == u
 
 
+def test_stream_dedup_salted_equals_unsalted_with_duplicates(
+        spark, tmp_path):
+    """ADVICE r12: the hot-key equivalence corpus had no explicit
+    duplicates, so it could not catch a salted/unsalted divergence
+    on the dedup path itself. This corpus plants different-ts
+    IN-TTL replays — each replayed id's (user, shard) state is still
+    live at replay time (the hot user and the cold user both keep
+    firing in every shard window) — so BOTH forms must suppress all
+    three replays and emit exactly the 120 original rows. No
+    DISTINCT-oracle compare here: a different-ts replay is a
+    distinct row to SELECT DISTINCT but a duplicate to the job; the
+    assertion is salted == unsalted == the originals."""
+    rows = []
+    for i in range(120):
+        uid = 777 if i % 10 < 9 else 50 + i % 10   # 90% one hot user
+        rows.append(_ev(i, _m(i), uid, float(i % 7)))
+    # In-TTL replays, later event time, landing in LATER chunks than
+    # their originals (chunks are ts-quantiles):
+    # id 5 / hot user shard 5 (ids ≡5 mod 8 fire all run)
+    # id 9 / cold user 59 shard 1 (fires at minutes 9, 49, 89)
+    # id 77 / hot user shard 5
+    replays = [_ev(5, _m(60), 777, 5.0),
+               _ev(9, _m(65), 59, 2.0),
+               _ev(77, _m(100), 777, 0.0)]
+    spark.createDataFrame(rows + replays, jobs._EVENTS_SCHEMA) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    salted = run("stream_dedup_salted", spark, str(tmp_path))
+    unsalted = run("stream_dedup_ttl", spark, str(tmp_path))
+    s = sorted((r.event_id, r.user_id, r.t_us, r.value)
+               for r in salted.collect())
+    u = sorted((r.event_id, r.user_id, r.t_us, r.value)
+               for r in unsalted.collect())
+    assert s == u
+    # replays suppressed, originals intact: expected = first (min-ts)
+    # row per id, read back through the same parquet the jobs saw
+    want = sorted(
+        (r.event_id, r.user_id, r.t_us, r.value)
+        for r in spark.read.parquet(f"{tmp_path}/events.parquet")
+        .groupBy("event_id").agg(
+            F.min(F.struct("ts", "user_id", "value")).alias("f"))
+        .select("event_id", F.col("f.user_id").alias("user_id"),
+                (F.col("f.ts").cast("timestamp_ltz").cast("bigint")
+                 * 1_000_000).alias("t_us"),
+                F.col("f.value").alias("value"))
+        .collect())
+    assert len(s) == 120 and s == want
+
+
 def test_stream_dedup_salted_checkpoint_restart(spark, tmp_path):
     """Recovery parity for the salted form: same harness as the
     unsalted restart test — a within-TTL replay of an id first seen
@@ -343,7 +392,11 @@ def test_hot_cap_pair_recall_floor(spark, tmp_path):
     subset-ness asserted, not assumed."""
     import sys
 
-    sys.path.insert(0, "scripts")
+    # repo_root/scripts resolved from this file, not the cwd —
+    # pytest launched from elsewhere must still import probe_common
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "scripts"))
     from probe_common import build_salted_docs
 
     from open_reaction_database_web_scraper_spark.operators import dedup
