@@ -167,6 +167,7 @@ OPTIONAL = [
     "stream_dedup_ttl",
     # round 12: the TTL dedup's hot-key-salted form
     "stream_dedup_salted",
+    "stream_dedup_adaptive",
 ]
 
 

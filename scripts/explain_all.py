@@ -100,6 +100,9 @@ ALLOW = {
 # window/join queries are ordinary batch plans and ARE audited.
 SKIP_NAMES = {"stream_watermark_late", "stream_dedup_stateful",
               "stream_dedup_ttl", "stream_dedup_salted",
+              # eager readStream like its fixed-form siblings, plus
+              # a plan-time detection scan before the stream starts
+              "stream_dedup_adaptive",
               "stream_rate_limit", "stream_foreachbatch_retry",
               "stream_custom_stateful", "stream_session_stateful",
               # runs its observed pass eagerly inside fn() and

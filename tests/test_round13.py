@@ -1,15 +1,27 @@
-"""Round-13 hardening tests (ADVICE r12 closures).
+"""Round-13 tests.
 
 1. vector_pca_power on a degenerate (zero-covariance) corpus: the
    shrunk iterate collapses to all-zero, den = Σv² = 0 and the trace
    is 0 — both previously divided by zero (and the oracle yielded
    NULL/inf, diverging). Now both sides emit 0.0 rows, hash-matched.
+2. stream_dedup_adaptive (VERDICT r12 "missing #1"): ONE dedup whose
+   salt engages only on detected key skew — pinned on BOTH regimes:
+   uniform keys stay unsalted (decision recorded, output == oracle ==
+   the unsalted job), a planted 90%-one-user corpus salts (decision
+   recorded, output == oracle == unsalted == always-salted), and
+   in-TTL different-ts replays are suppressed under the adaptive
+   partial salt exactly as under both fixed forms.
 """
 
 from __future__ import annotations
 
+import datetime as dt
+
+from pyspark.sql import functions as F
+
 from open_reaction_database_web_scraper_spark.registry import (
     REGISTRY, load_all_operators)
+from open_reaction_database_web_scraper_spark.streaming import jobs
 from open_reaction_database_web_scraper_spark.testing import compare
 
 load_all_operators()
@@ -17,6 +29,22 @@ load_all_operators()
 
 def run(name, spark, sf_dir):
     return REGISTRY[name].fn(spark, sf_dir)
+
+
+T0 = dt.datetime(2024, 6, 1)
+
+
+def _m(minutes=0, hours=0):
+    return T0 + dt.timedelta(minutes=minutes, hours=hours)
+
+
+def _ev(eid, ts, uid, val=1.0):
+    return (eid, ts, uid, "e", val, "{}")
+
+
+def _rows4(df):
+    return sorted((r.event_id, r.user_id, r.t_us, r.value)
+                  for r in df.collect())
 
 
 def test_pca_degenerate_zero_corpus(spark, tmp_path):
@@ -37,3 +65,89 @@ def test_pca_degenerate_zero_corpus(spark, tmp_path):
     ok, msg = compare(out, REGISTRY["vector_pca_power"].oracle,
                       str(tmp_path), "pca_degenerate")
     assert ok, msg
+
+
+# ------------------- adaptive TTL dedup: salt as a policy -----------
+
+def _write_events(spark, tmp_path, rows):
+    spark.createDataFrame(rows, jobs._EVENTS_SCHEMA) \
+        .write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def test_dedup_adaptive_uniform_stays_unsalted(spark, tmp_path):
+    """Uniform keys (12 users, 10 events each — nobody near 16× the
+    median) must NOT salt: the detector returns an empty hot set,
+    the recorded decision says so, and the output is exactly the
+    unsalted job's (same rows, same DISTINCT oracle)."""
+    rows = [_ev(i, _m(i), 100 + i % 12, float(i % 5))
+            for i in range(120)]
+    _write_events(spark, tmp_path, rows)
+    out = run("stream_dedup_adaptive", spark, str(tmp_path))
+    got = _rows4(out)
+    assert jobs.LAST_DEDUP_SALT_DECISION == {
+        "salted": False, "n_hot_users": 0}
+    ok, msg = compare(out, REGISTRY["stream_dedup_adaptive"].oracle,
+                      str(tmp_path), "dedup_adaptive_uniform")
+    assert ok, msg
+    assert got == _rows4(run("stream_dedup_ttl", spark, str(tmp_path)))
+
+
+def test_dedup_adaptive_salts_on_hot_key(spark, tmp_path):
+    """The planted 90%-one-user corpus (the regime the round-12 skew
+    probe measured going superlinear unsalted): the detector must
+    find exactly the hot user, the decision must record it, and the
+    output must equal the oracle, the unsalted job, AND the
+    always-salted job — partial salting is correctness-free.
+
+    Corpus: 90% one hot user, 30 cold users with one event each —
+    the median per-user count is the COLD regime (1), so 16× median
+    marks exactly the hot user. (A two-user corpus would not
+    trigger: with half the users hot, the median IS the hot count —
+    the distribution-relative threshold is an outlier detector, not
+    a top-1 finder.)"""
+    rows = []
+    for i in range(300):
+        uid = 777 if i % 10 < 9 else 200 + (i // 10) % 30
+        rows.append(_ev(i, _m(i), uid, float(i % 7)))
+    _write_events(spark, tmp_path, rows)
+    adaptive = run("stream_dedup_adaptive", spark, str(tmp_path))
+    got = _rows4(adaptive)
+    assert jobs.LAST_DEDUP_SALT_DECISION == {
+        "salted": True, "n_hot_users": 1}
+    ok, msg = compare(adaptive, REGISTRY["stream_dedup_adaptive"].oracle,
+                      str(tmp_path), "dedup_adaptive_hotkey")
+    assert ok, msg
+    assert got == _rows4(run("stream_dedup_ttl", spark, str(tmp_path)))
+    assert got == _rows4(run("stream_dedup_salted", spark, str(tmp_path)))
+
+
+def test_dedup_adaptive_suppresses_in_ttl_replays(spark, tmp_path):
+    """Duplicate-bearing hot-key corpus: three different-ts IN-TTL
+    replays (hot user 777 shard 5 twice; COLD user 200's id 9 within
+    its 1 h TTL — every replayed (user, shard) state is still live
+    at replay time) must be suppressed under the adaptive partial
+    salt; output = the 300 originals exactly, bit-identical to the
+    unsalted job."""
+    rows = []
+    for i in range(300):
+        uid = 777 if i % 10 < 9 else 200 + (i // 10) % 30
+        rows.append(_ev(i, _m(i), uid, float(i % 7)))
+    replays = [_ev(5, _m(60), 777, 5.0),
+               _ev(9, _m(65), 200, 2.0),
+               _ev(77, _m(100), 777, 0.0)]
+    _write_events(spark, tmp_path, rows + replays)
+    adaptive = run("stream_dedup_adaptive", spark, str(tmp_path))
+    got = _rows4(adaptive)
+    assert jobs.LAST_DEDUP_SALT_DECISION["salted"] is True
+    assert len(got) == 300
+    assert got == _rows4(run("stream_dedup_ttl", spark, str(tmp_path)))
+    # replays carry LATER ts: the emitted t_us per replayed id must
+    # be the original's (min over the parquet)
+    first = {r.event_id: r.t_us for r in
+             spark.read.parquet(f"{tmp_path}/events.parquet")
+             .groupBy("event_id")
+             .agg((F.min("ts").cast("timestamp_ltz").cast("bigint")
+                   * 1_000_000).alias("t_us")).collect()}
+    emitted = dict((eid, t) for eid, _u, t, _v in got)
+    for eid in (5, 9, 77):
+        assert emitted[eid] == first[eid]
