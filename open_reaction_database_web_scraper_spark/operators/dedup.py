@@ -351,6 +351,8 @@ def __getattr__(name: str):
         return getattr(_DIAG, "lsh_hot_buckets", 0)
     if name == "LAST_CC_ROUNDS":
         return getattr(_DIAG, "cc_rounds", 0)
+    if name == "LAST_CC_CHECKPOINT_MODE":
+        return getattr(_DIAG, "cc_checkpoint_mode", "local")
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
@@ -797,8 +799,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     aggregate per round instead of a label-diff join. Each round's
     labels are ``localCheckpoint``-ed: iterative self-joins otherwise
     double the lineage per round, and at 100 TB the un-truncated plan
-    re-reads the corpus every iteration (production on a real cluster
-    would use a reliable ``checkpoint()`` dir instead).
+    re-reads the corpus every iteration. Under
+    ``SPARK_GRAFT_PROFILE=cluster`` (profile.py, round 13) each round
+    uses a reliable ``checkpoint()`` to the configured directory
+    instead — on a real cluster a localCheckpoint dies with its
+    executor and every later round becomes unrecoverable. The mode
+    actually used is recorded in ``LAST_CC_CHECKPOINT_MODE``;
+    both variants are output-pinned identical in tests/test_round13.
 
     Returns (doc_id, label) for every vertex that appears in edges.
     The module-level ``LAST_CC_ROUNDS`` records how many propagation
@@ -806,13 +813,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     the number of rounds ≈ graph diameter is the quantity that grows
     with cluster CHAIN length, not with corpus size).
     """
+    from ..profile import ensure_checkpoint_dir, is_cluster
+
+    if is_cluster():
+        ensure_checkpoint_dir(edges.sparkSession)
+        _DIAG.cc_checkpoint_mode = "reliable"
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+    else:
+        _DIAG.cc_checkpoint_mode = "local"
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     sym = edges.select(F.col("src").cast("long").alias("src"),
                        F.col("dst").cast("long").alias("dst"))
     sym = sym.unionByName(sym.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))).cache()
-    labels = (sym.select(F.col("src").alias("doc_id")).distinct()
-              .withColumn("label", F.col("doc_id"))
-              .localCheckpoint(eager=True))
+    labels = _ckpt(sym.select(F.col("src").alias("doc_id")).distinct()
+                   .withColumn("label", F.col("doc_id")))
     prev_sum = labels.agg(
         F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
     for rounds in range(1, max_iter + 1):
@@ -820,11 +840,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         neigh = (sym.join(labels, sym.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
                  .agg(F.min("label").alias("neigh_label")))
-        labels = (labels.join(neigh, "doc_id", "left")
-                  .select("doc_id",
-                          F.least("label", F.coalesce("neigh_label", "label"))
-                          .alias("label"))
-                  .localCheckpoint(eager=True))
+        labels = _ckpt(labels.join(neigh, "doc_id", "left")
+                       .select("doc_id",
+                               F.least("label",
+                                       F.coalesce("neigh_label", "label"))
+                               .alias("label")))
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
         if cur_sum == prev_sum:

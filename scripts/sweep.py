@@ -38,7 +38,7 @@ from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
 from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
-    RO_EMPTY_OK, VACUOUS_ALLOWED, compare_full)
+    RO_EMPTY_OK, VACUOUS_ALLOWED, compare_full, run_oracle_df)
 
 DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                "/root/testdata/sf0.1")
@@ -97,6 +97,96 @@ BUDGET_CAP_AT_SCALE = {
         "the ANN form's 10.7s (SCALING.md round 12; 300s under "
         "ambient load in SWEEP_r9_sf1), value-checked at all three "
         "driver SFs + probed in SCALING.md",
+}
+
+
+# Round 13 (verdict r12 next-round #3): the four genuinely
+# approximate sketches were bare "rows_only" in the artifact even
+# though estimate-envelope tests exist in the suite — the sweep cell
+# itself now records an estimate-vs-DuckDB-EXACT envelope check
+# (status "envelope_pass", the bounds in the cell), so no cell is
+# unvalidated. Envelopes are the documented w.h.p. error models:
+# HLL rsd (x4 sigma), CMS one-sided eps*N overshoot, GK rank error
+# (checked via exact quantiles at p +/- 0.005).
+def _env_approx_count_distinct(spark, sf, df):
+    est = df.collect()[0]
+    ex = run_oracle_df(
+        "SELECT COUNT(DISTINCT l_partkey) AS p, "
+        "COUNT(DISTINCT l_orderkey) AS o FROM lineitem", sf).iloc[0]
+    tol = 4 * 0.02          # rsd=0.02 requested; 4 sigma envelope
+    detail = {"parts": [int(est.approx_parts), int(ex.p)],
+              "orders": [int(est.approx_orders), int(ex.o)],
+              "rel_tol": tol}
+    ok = (abs(est.approx_parts - int(ex.p)) <= tol * int(ex.p)
+          and abs(est.approx_orders - int(ex.o)) <= tol * int(ex.o))
+    return ok, detail
+
+
+def _env_hll_sketch_merge(spark, sf, df):
+    est = {r.lang: int(r.est_distinct) for r in df.collect()}
+    ex_pd = run_oracle_df("""
+        WITH words AS (
+          SELECT lang, UNNEST(string_split(text, ' ')) AS word
+          FROM documents)
+        SELECT lang, COUNT(DISTINCT word) AS n FROM words GROUP BY lang
+        UNION ALL
+        SELECT 'ALL' AS lang, COUNT(DISTINCT word) AS n FROM words
+        """, sf)
+    exact = {r.lang: int(r.n) for r in ex_pd.itertuples()}
+    # default lgConfigK=12 -> rsd ~1.04/sqrt(4096) ~1.6%; 4 sigma + a
+    # floor for tiny cardinalities
+    ok = set(est) == set(exact) and all(
+        abs(est[k] - exact[k]) <= max(5.0, 4 * 0.0163 * exact[k])
+        for k in exact)
+    worst = max(exact, key=lambda k: abs(est.get(k, 0) - exact[k])
+                / max(1, exact[k])) if exact else None
+    return ok, {"langs": len(exact), "rel_tol": round(4 * 0.0163, 4),
+                "worst": [worst, est.get(worst), exact.get(worst)]}
+
+
+def _env_count_min(spark, sf, df):
+    est = {r.event_type: int(r.est_count) for r in df.collect()}
+    ex_pd = run_oracle_df(
+        "SELECT event_type, COUNT(*) AS n FROM events "
+        "WHERE event_type IS NOT NULL GROUP BY event_type", sf)
+    exact = {r.event_type: int(r.n) for r in ex_pd.itertuples()}
+    n_total = sum(exact.values())
+    slack = max(10, 0.01 * n_total)
+    ok = set(est) == set(exact) and all(
+        exact[k] <= est[k] <= exact[k] + slack for k in exact)
+    return ok, {"types": len(exact), "one_sided_slack": int(slack),
+                "max_overshoot": max((est[k] - exact[k]
+                                      for k in exact), default=0)}
+
+
+def _env_approx_percentile(spark, sf, df):
+    rows = {r.l_returnflag: r for r in df.collect()}
+    ex_pd = run_oracle_df("""
+        SELECT l_returnflag,
+               quantile_disc(l_extendedprice, 0.245) AS p25_lo,
+               quantile_disc(l_extendedprice, 0.255) AS p25_hi,
+               quantile_disc(l_extendedprice, 0.495) AS p50_lo,
+               quantile_disc(l_extendedprice, 0.505) AS p50_hi,
+               quantile_disc(l_extendedprice, 0.745) AS p75_lo,
+               quantile_disc(l_extendedprice, 0.755) AS p75_hi
+        FROM lineitem GROUP BY l_returnflag
+        """, sf)
+    ok = set(rows) == set(ex_pd.l_returnflag)
+    for r in ex_pd.itertuples():
+        got = rows.get(r.l_returnflag)
+        ok = ok and got is not None and all(
+            float(lo) <= float(getattr(got, p)) <= float(hi)
+            for p, lo, hi in (("p25", r.p25_lo, r.p25_hi),
+                              ("p50", r.p50_lo, r.p50_hi),
+                              ("p75", r.p75_lo, r.p75_hi)))
+    return ok, {"groups": len(rows), "rank_window": 0.005}
+
+
+ENVELOPE_CHECKS = {
+    "agg_approx_count_distinct": _env_approx_count_distinct,
+    "agg_hll_sketch_merge": _env_hll_sketch_merge,
+    "agg_count_min_sketch": _env_count_min,
+    "agg_approx_percentile": _env_approx_percentile,
 }
 
 
@@ -196,7 +286,14 @@ def main() -> int:
                     continue
                 if spec.oracle is None:
                     n = df.count()
-                    if n == 0 and name in RO_EMPTY_OK:
+                    if name in ENVELOPE_CHECKS:
+                        ok, detail = ENVELOPE_CHECKS[name](spark, sf, df)
+                        cell = ({"status": "envelope_pass", "rows": n,
+                                 "envelope": detail} if ok else
+                                {"status": "fail", "rows": n,
+                                 "detail": f"envelope violated: "
+                                           f"{detail}"})
+                    elif n == 0 and name in RO_EMPTY_OK:
                         cell = {"status": "rows_only", "rows": 0,
                                 "empty_ok": RO_EMPTY_OK[name]}
                     elif n == 0:

@@ -151,3 +151,69 @@ def test_dedup_adaptive_suppresses_in_ttl_replays(spark, tmp_path):
     emitted = dict((eid, t) for eid, _u, t, _v in got)
     for eid in (5, 9, 77):
         assert emitted[eid] == first[eid]
+
+
+# ------------------- cluster execution profile ----------------------
+
+def test_cluster_profile_ivf_identical_and_fewer_shuffles(
+        spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_PROFILE=cluster flips IVF cell assignment to the
+    map-side literal-codebook argmin (the round-7 A/B's cluster
+    branch, BASELINE.md). Pins: (a) the output is BIT-identical to
+    the default path (same dot fold over the same 6-dp centroid
+    doubles, same tie order), and (b) the cluster plan genuinely
+    removes the assignment exchanges — strictly fewer shuffle rows
+    for the same query on the same data (machine-independent shape
+    assertion, the tests/test_plans.py idiom)."""
+    from open_reaction_database_web_scraper_spark.shuffle_metrics \
+        import measure_shuffle
+
+    monkeypatch.delenv("SPARK_GRAFT_PROFILE", raising=False)
+    default = sorted(map(tuple,
+                         run("vector_ann_ivf", spark, sf_dir).collect()))
+    sh_default = measure_shuffle(
+        spark, lambda: run("vector_ann_ivf", spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
+    monkeypatch.setenv("SPARK_GRAFT_PROFILE", "cluster")
+    clustered = sorted(map(tuple,
+                           run("vector_ann_ivf", spark, sf_dir)
+                           .collect()))
+    sh_cluster = measure_shuffle(
+        spark, lambda: run("vector_ann_ivf", spark, sf_dir)
+        .write.format("noop").mode("overwrite").save())
+    assert clustered == default
+    assert sh_cluster["rows"] < sh_default["rows"]
+
+
+def test_cluster_profile_cc_reliable_checkpoint(spark, tmp_path,
+                                                monkeypatch):
+    """SPARK_GRAFT_PROFILE=cluster flips connected_components to a
+    reliable checkpoint() (dedup.py: a localCheckpoint dies with its
+    executor; later CC rounds become unrecoverable on a real
+    cluster). Pins: mode recorded per profile, identical labels, and
+    actual rdd-* checkpoint data written under the configured
+    directory."""
+    import os as _os
+
+    from open_reaction_database_web_scraper_spark.operators import dedup
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 20)],
+        "src long, dst long")
+    monkeypatch.delenv("SPARK_GRAFT_PROFILE", raising=False)
+    local = sorted(map(tuple,
+                       dedup.connected_components(edges).collect()))
+    assert dedup.LAST_CC_CHECKPOINT_MODE == "local"
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR",
+                       str(tmp_path / "ckpt"))
+    monkeypatch.setenv("SPARK_GRAFT_PROFILE", "cluster")
+    clustered = sorted(map(tuple,
+                           dedup.connected_components(edges).collect()))
+    assert dedup.LAST_CC_CHECKPOINT_MODE == "reliable"
+    assert clustered == local
+    d = spark.sparkContext.getCheckpointDir()
+    assert d
+    local_d = d.removeprefix("file:")
+    rdd_dirs = [name for _, dirs, _ in _os.walk(local_d)
+                for name in dirs if name.startswith("rdd-")]
+    assert rdd_dirs, f"no reliable checkpoint data under {d}"
