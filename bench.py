@@ -216,6 +216,13 @@ def main() -> None:
     # the claim instead of assuming it.
     load_start = round(os.getloadavg()[0], 2)
     timings: dict[str, float] = {}
+    # Per-query spread (ADVICE/VERDICT r12 #6): round 12 measured
+    # ±40% cross-day drift on sub-10 s queries; the median alone
+    # hides it, so drift forensics needed worktree bisection. The
+    # spread map records {min, max} next to the median (kept a plain
+    # float in "queries" — the driver's schema) so a future mover
+    # can be read against its own within-run spread first.
+    spread: dict[str, dict[str, float]] = {}
     for name in names:
         spec = REGISTRY[name]
         samples: list[float] = []
@@ -228,6 +235,8 @@ def main() -> None:
             spark.catalog.clearCache()
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
+        spread[name] = {"min": round(samples[0], 3),
+                        "max": round(samples[-1], 3)}
 
     # Structural metrics pass (round 11): one extra UNTIMED run per
     # query, recording shuffle rows/bytes from the AppStatusStore.
@@ -256,6 +265,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
         "shuffle": shuffle,
         "sf": sf_of(sf_dir),
         "loadavg_1m": {"launch": load_launch, "start": load_start},
@@ -303,6 +313,8 @@ def main() -> None:
     # line only keeps the ten headline entries' row counts
     compact["shuffle"] = {k: shuffle[k]["rows"]
                           for k in HEADLINE if k in shuffle}
+    # the full per-query spread lives in BENCH_LAST/BENCH_LOCAL.json
+    compact.pop("spread", None)
     compact["n_queries"] = len(timings)
     compact["full_map"] = "BENCH_LAST.json"
     sys.stderr.flush()
