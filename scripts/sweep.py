@@ -76,14 +76,14 @@ def _restrict_fuzzy(spark, sf, df):
 
 def _miner_sampled_oracle() -> str:
     """The registered exhaustive-miner oracle with its probe set
-    restricted to the vec_id % 7 == 0 slice (7 is coprime
-    with the % 25 probe gate, so the slice keeps ~1/7 of probes —
-    % 5 would keep ALL of them: every multiple of 25 is one of 5) — derived from the
-    registry at call time (single-site replace) so the sampled form
-    can never drift from the production oracle. The corpus side
-    stays FULL: per-query top-k depends on every candidate, so the
-    slice must restrict only WHICH queries are checked, never what
-    they are checked against."""
+    restricted to the vec_id % 7 == 0 slice (7 is coprime with the
+    % 25 probe gate, so the slice keeps ~1/7 of probes — % 5 would
+    keep ALL of them: every multiple of 25 is one of 5). Derived
+    from the registry at call time (single-site replace) so the
+    sampled form can never drift from the production oracle. The
+    corpus side stays FULL: per-query top-k depends on every
+    candidate, so the slice must restrict only WHICH queries are
+    checked, never what they are checked against."""
     base = REGISTRY["sample_hard_negative_mine"].oracle
     marker = "WHERE vec_id % 25 = 0"
     assert base.count(marker) == 1, "miner oracle shape changed"
