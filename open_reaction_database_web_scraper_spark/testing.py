@@ -18,6 +18,7 @@ would flag, plus the unhashable-list failure mode for raw arrays.
 from __future__ import annotations
 
 import os
+import re
 from typing import NamedTuple
 
 import duckdb
@@ -210,3 +211,30 @@ def run_query(spark: SparkSession, name: str, sf_dir: str) -> DataFrame:
     from .registry import REGISTRY, load_all_operators
     load_all_operators()
     return REGISTRY[name].fn(spark, sf_dir)
+
+
+_SINK_NAME_RE = re.compile(r"^s[0-9a-f]{12}$")
+
+
+def drop_drained_memory_sinks(spark: SparkSession) -> int:
+    """Drop the temp views ``streaming.jobs._run_to_memory`` leaves
+    behind, releasing each drained memory sink's rows to GC.
+
+    A memory sink keeps its full drained output on the driver heap
+    for as long as its temp view is reachable — harmless for one
+    query, but a long-lived harness session (the 258-query sweep,
+    the twice-per-query determinism check) accumulates every
+    streaming job's output: at the sf10 decade three 10 M-row
+    stateful jobs in one 8 g JVM OOMed on the second (SCALING.md
+    round 13). Harnesses call this AFTER consuming a query's result;
+    it must never run between producing and collecting a streaming
+    DataFrame, which is why the cleanup lives here and not inside
+    ``_run_to_memory`` itself. Returns the number of views dropped
+    (matched by the sink namer's exact ``s<12 hex>`` shape).
+    """
+    n = 0
+    for t in spark.catalog.listTables():
+        if t.isTemporary and _SINK_NAME_RE.fullmatch(t.name):
+            spark.catalog.dropTempView(t.name)
+            n += 1
+    return n

@@ -49,6 +49,8 @@ import pandas as pd  # noqa: E402
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
+from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
+    drop_drained_memory_sinks)
 
 ALT_PARTITIONS = "7"
 
@@ -167,6 +169,12 @@ def main() -> int:
                     "detail": traceback.format_exc(limit=1).splitlines()[-1]}
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", base_parts)
+            # each streaming query leaves its drained memory sink's
+            # rows on the driver heap until the temp view is dropped;
+            # this check runs every stream TWICE per query, so the
+            # sf1 pass holds ~2x every streaming job's output without
+            # the cleanup (the sf10 OOM, SCALING.md round 13)
+            drop_drained_memory_sinks(spark)
         cell["sec"] = round(time.time() - t0, 2)
         bad = cell["status"] != "deterministic" \
             and name not in LAYOUT_DEPENDENT_OK

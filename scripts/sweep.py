@@ -38,7 +38,8 @@ from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
 from open_reaction_database_web_scraper_spark.testing import (  # noqa: E402
-    RO_EMPTY_OK, VACUOUS_ALLOWED, compare_full, run_oracle_df)
+    RO_EMPTY_OK, VACUOUS_ALLOWED, compare_full, drop_drained_memory_sinks,
+    run_oracle_df)
 
 DEFAULT_SFS = ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
                "/root/testdata/sf0.1")
@@ -317,6 +318,7 @@ def main() -> int:
                     n_bad += bad
                     result["queries"][name][key] = cell
                     spark.catalog.clearCache()
+                    drop_drained_memory_sinks(spark)
                     print(f"{'FAIL' if bad else 'ok  '} {name} @ {key}: "
                           f"{cell['status']} [{cell['sec']}s]",
                           flush=True)
@@ -354,8 +356,12 @@ def main() -> int:
                         .splitlines()[-1]}
             # release anything a query cached internally (e.g. the
             # minhash signature frame) so storage can't accumulate
-            # across the 200+-query x 3-SF sweep
+            # across the 200+-query x 3-SF sweep; same for drained
+            # memory-sink tables, whose rows live on the driver heap
+            # until their temp view is dropped (the sf10 OOM,
+            # SCALING.md round 13)
             spark.catalog.clearCache()
+            drop_drained_memory_sinks(spark)
             cell["sec"] = round(time.time() - t0, 2)
             bad = cell["status"] in ("fail", "vacuous", "error")
             n_bad += bad

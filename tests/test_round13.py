@@ -185,6 +185,34 @@ def test_cluster_profile_ivf_identical_and_fewer_shuffles(
     assert sh_cluster["rows"] < sh_default["rows"]
 
 
+def test_drop_drained_memory_sinks_frees_sink_tables(spark, sf_dir):
+    """Each _run_to_memory call registers an s<12-hex> temp view whose
+    memory sink keeps the drained rows on the driver heap for the
+    session's lifetime — three 10 M-row stateful jobs in one sweep
+    JVM OOMed the sf10 gate (SCALING.md round 13). Pins: the harness
+    cleanup drops EXACTLY the sink views (count matches, none left),
+    and an unrelated user temp view survives."""
+    from open_reaction_database_web_scraper_spark.testing import (
+        _SINK_NAME_RE, drop_drained_memory_sinks)
+
+    drop_drained_memory_sinks(spark)  # start clean of earlier tests'
+    spark.range(3).createOrReplaceTempView("keep_me_not_a_sink")
+    before = {t.name for t in spark.catalog.listTables()
+              if _SINK_NAME_RE.fullmatch(t.name)}
+    assert not before
+    run("stream_watermark_late", spark, sf_dir).count()
+    run("stream_dedup_stateful", spark, sf_dir).count()
+    sinks = {t.name for t in spark.catalog.listTables()
+             if _SINK_NAME_RE.fullmatch(t.name)}
+    assert sinks, "expected at least one drained memory-sink view"
+    n = drop_drained_memory_sinks(spark)
+    assert n == len(sinks)
+    left = {t.name for t in spark.catalog.listTables()}
+    assert not any(_SINK_NAME_RE.fullmatch(name) for name in left)
+    assert "keep_me_not_a_sink" in left
+    spark.catalog.dropTempView("keep_me_not_a_sink")
+
+
 def test_cluster_profile_cc_reliable_checkpoint(spark, tmp_path,
                                                 monkeypatch):
     """SPARK_GRAFT_PROFILE=cluster flips connected_components to a
