@@ -215,6 +215,12 @@ def main() -> None:
     # end of the timed section) so cross-round comparisons can check
     # the claim instead of assuming it.
     load_start = round(os.getloadavg()[0], 2)
+    # Peak 1-minute loadavg sampled after every query's reps: the
+    # end-only reading lets a mid-run spike that decays more than a
+    # minute before the last query finishes slip past the flat gate
+    # and clobber the idle artifact anyway. Per-query sampling is
+    # the finest granularity the 1-minute average can support.
+    load_peak = load_start
     timings: dict[str, float] = {}
     # Per-query spread (ADVICE/VERDICT r12 #6): round 12 measured
     # ±40% cross-day drift on sub-10 s queries; the median alone
@@ -237,6 +243,7 @@ def main() -> None:
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = {"min": round(samples[0], 3),
                         "max": round(samples[-1], 3)}
+        load_peak = max(load_peak, os.getloadavg()[0])
 
     # Structural metrics pass (round 11): one extra UNTIMED run per
     # query, recording shuffle rows/bytes from the AppStatusStore.
@@ -296,9 +303,14 @@ def main() -> None:
     # on a 32-core box adds well past it. The flag is set BEFORE
     # either artifact is dumped so both persisted JSONs record it.
     load_end = round(os.getloadavg()[0], 2)
-    flat = load_end < load_start + 6.0
+    load_peak = round(max(load_peak, load_end), 2)
+    # flat gates on the PEAK, not just the end: a 10-minute external
+    # spike finishing >1 min before the last query would leave the
+    # end reading quiet while the timings it perturbed promote
+    flat = load_peak < load_start + 6.0
     promoted = load_launch < 4.0 and flat and sf_of(sf_dir) == 0.1
     full["loadavg_1m"]["end"] = load_end
+    full["loadavg_1m"]["peak"] = load_peak
     full["promoted_to_bench_local"] = promoted
     with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
         json.dump(full, fh)

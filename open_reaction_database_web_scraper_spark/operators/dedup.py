@@ -15,6 +15,8 @@ and the LSH band join only shuffles (band, hash) pairs, never text.
 
 from __future__ import annotations
 
+import os
+import shutil
 import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -816,11 +818,46 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     from ..profile import ensure_checkpoint_dir, is_cluster
 
     if is_cluster():
-        ensure_checkpoint_dir(edges.sparkSession)
+        ckpt_root = ensure_checkpoint_dir(edges.sparkSession)
         _DIAG.cc_checkpoint_mode = "reliable"
+        # Reliable checkpoints are NOT reclaimed by the
+        # ContextCleaner (unlike localCheckpoint blocks) unless
+        # spark.cleaner.referenceTracking.cleanCheckpoints is set —
+        # and even then only on driver GC of the RDD. Left alone,
+        # every CC round leaks a labels-sized rdd-* directory, so a
+        # graph-family sweep fills the checkpoint storage. Each round
+        # therefore deletes the PREVIOUS round's directory as soon as
+        # the new checkpoint is materialized (eager=True returns only
+        # after the files exist; checkpoint data never references the
+        # prior round's files — lineage is truncated INTO the new
+        # directory). The final round's single directory is retained:
+        # the returned DataFrame reads it lazily, so it can only be
+        # reclaimed by the caller / storage lifecycle — O(1) dirs per
+        # call instead of O(rounds). Local-filesystem roots only (the
+        # local-mode stand-in); on shared storage (hdfs:/s3:) the
+        # walk is skipped and the deployment's lifecycle policy owns
+        # cleanup.
+        local_root = ckpt_root.split(":", 1)[-1] \
+            if ckpt_root.startswith("file:") else ckpt_root
+        cleanup = "://" not in ckpt_root and os.path.isdir(local_root)
+        prev_dirs: list[str] = []
+
+        def _rdd_dirs() -> set[str]:
+            return {os.path.join(base, name)
+                    for base, dirs, _ in os.walk(local_root)
+                    for name in dirs if name.startswith("rdd-")}
 
         def _ckpt(df: DataFrame) -> DataFrame:
-            return df.checkpoint(eager=True)
+            nonlocal prev_dirs
+            if not cleanup:
+                return df.checkpoint(eager=True)
+            before = _rdd_dirs()
+            out = df.checkpoint(eager=True)
+            fresh = _rdd_dirs() - before
+            for stale in prev_dirs:
+                shutil.rmtree(stale, ignore_errors=True)
+            prev_dirs = sorted(fresh)
+            return out
     else:
         _DIAG.cc_checkpoint_mode = "local"
 

@@ -77,3 +77,65 @@ def build_suffixed_docs(spark, sf_dir: str, copies: int, out: str) -> None:
      .write.mode("overwrite").parquet(f"{out}/documents.parquet"))
     n = spark.read.parquet(f"{out}/documents.parquet").count()
     print(f"  documents(suffix): {copies}x at {n} rows", flush=True)
+
+
+def time_call_budgeted(spark, fn, budget_s: float = 1200.0):
+    """Wall-time ``fn()`` under a kill budget: a timer cancels all
+    Spark jobs at ``budget_s`` so a superlinear cell records a DNF
+    string instead of hanging the whole probe session. Returns
+    ``(seconds | None, error | None, result | None)``. The finally
+    block drops caches AND drained memory-sink views — a probe
+    session runs many streaming jobs back-to-back, the exact regime
+    that OOMed the sf10 sweep (SCALING.md round 13)."""
+    import threading
+
+    from open_reaction_database_web_scraper_spark.testing import (
+        drop_drained_memory_sinks)
+
+    sc = spark.sparkContext
+    fired = threading.Event()
+
+    def _kill():
+        fired.set()
+        sc.cancelAllJobs()
+
+    timer = threading.Timer(budget_s, _kill)
+    timer.start()
+    try:
+        t0 = time.perf_counter()
+        out = fn()
+        return round(time.perf_counter() - t0, 2), None, out
+    except Exception as e:
+        if fired.is_set():
+            return None, f"DNF>{budget_s:.0f}s (budget kill)", None
+        return None, f"error: {type(e).__name__}: {e}", None
+    finally:
+        timer.cancel()
+        spark.catalog.clearCache()
+        drop_drained_memory_sinks(spark)
+
+
+def build_skewed_events(spark, sf_dir: str, mult: int, out: str) -> int:
+    """events × mult with 90% of rows reassigned to ONE user — the
+    hot-key regime that serializes a keyed-state stream into a
+    single task. Timestamps/event_ids are re-spread so the replay
+    chunks stay balanced in TIME (the skew is purely in the key).
+    Single home (round-13 review: scaleup_r12 and scaleup_r13 carried
+    byte-identical copies whose cells are required to be comparable)."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    grown = (ev.withColumn("copy", F.explode(
+                 F.sequence(F.lit(0), F.lit(mult - 1))))
+             .withColumn("event_id",
+                         F.col("event_id") + F.col("copy") * base)
+             .drop("copy"))
+    skewed = grown.withColumn(
+        "user_id",
+        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(777))
+        .otherwise(F.col("user_id")))
+    skewed.repartition(32).write.mode("overwrite") \
+        .parquet(f"{out}/events.parquet")
+    n = spark.read.parquet(f"{out}/events.parquet").count()
+    print(f"  skewed events: {mult}x at {n} rows (90% user 777)",
+          flush=True)
+    return n

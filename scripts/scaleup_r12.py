@@ -28,48 +28,28 @@ Usage: python scripts/scaleup_r12.py [sf_dir]   (default sf0.1)
 
 from __future__ import annotations
 
-import datetime as dt
 import json
 import sys
 import tempfile
-import threading
-import time
 
 sys.path.insert(0, ".")
 
-from pyspark.sql import functions as F  # noqa: E402
-
-from open_reaction_database_web_scraper_spark.catalog import load  # noqa: E402
 from open_reaction_database_web_scraper_spark.operators import dedup  # noqa: E402
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
-from probe_common import build_salted_docs  # noqa: E402
+from probe_common import (  # noqa: E402
+    build_salted_docs, build_skewed_events)
+from probe_common import (  # noqa: E402
+    time_call_budgeted as _time_call_budgeted)
 
 BUDGET_S = 900.0
 
 
 def time_call_budgeted(spark, fn):
-    sc = spark.sparkContext
-    fired = threading.Event()
-
-    def _kill():
-        fired.set()
-        sc.cancelAllJobs()
-
-    timer = threading.Timer(BUDGET_S, _kill)
-    timer.start()
-    try:
-        t0 = time.perf_counter()
-        out = fn()
-        return round(time.perf_counter() - t0, 2), None, out
-    except Exception as e:
-        if fired.is_set():
-            return None, f"DNF>{BUDGET_S:.0f}s (budget kill)", None
-        return None, f"error: {type(e).__name__}: {e}", None
-    finally:
-        timer.cancel()
-        spark.catalog.clearCache()
+    # shared harness (probe_common) at this script's budget; see the
+    # round-13 consolidation note there
+    return _time_call_budgeted(spark, fn, budget_s=BUDGET_S)
 
 
 def probe_hot_cap_recall(spark, sf_dir: str, summary: dict) -> None:
@@ -118,30 +98,6 @@ def probe_miners_sf1(spark, summary: dict) -> None:
         cells[name] = {"sec": t if t is not None else dnf}
         print(f"miner {name}@sf1: {json.dumps(cells[name])}", flush=True)
     summary["hard_negative_miners_sf1"] = cells
-
-
-def build_skewed_events(spark, sf_dir: str, mult: int, out: str) -> int:
-    """events x mult with 90% of rows reassigned to ONE user — the
-    hot-key regime that serializes a keyed-state stream into a
-    single task. Timestamps/event_ids are re-spread so the replay
-    chunks stay balanced in TIME (the skew is purely in the key)."""
-    ev = load(spark, sf_dir, "events")
-    base = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    grown = (ev.withColumn("copy", F.explode(
-                 F.sequence(F.lit(0), F.lit(mult - 1))))
-             .withColumn("event_id",
-                         F.col("event_id") + F.col("copy") * base)
-             .drop("copy"))
-    skewed = grown.withColumn(
-        "user_id",
-        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(777))
-        .otherwise(F.col("user_id")))
-    skewed.repartition(32).write.mode("overwrite") \
-        .parquet(f"{out}/events.parquet")
-    n = spark.read.parquet(f"{out}/events.parquet").count()
-    print(f"  skewed events: {mult}x at {n} rows (90% user 777)",
-          flush=True)
-    return n
 
 
 def probe_stream_skew(spark, sf_dir: str, summary: dict) -> None:

@@ -17,6 +17,10 @@
    (35.1 s at 16x): the 64x cell recorded in SCALING.md makes the
    "no superlinear knee" claim a number at the next decade.
 
+Timing harness and the skewed-corpus builder are shared with
+scaleup_r12.py via probe_common (the cells are required to be
+comparable, so the corpus model has exactly one home).
+
 Usage: python scripts/scaleup_r13.py [sf_dir]   (default sf0.1)
 """
 
@@ -25,69 +29,32 @@ from __future__ import annotations
 import json
 import sys
 import tempfile
-import threading
-import time
 
 sys.path.insert(0, ".")
+sys.path.insert(0, "scripts")
 
-from pyspark.sql import functions as F  # noqa: E402
+from probe_common import (  # noqa: E402
+    build_skewed_events, time_call_budgeted)
 
-from open_reaction_database_web_scraper_spark.catalog import load  # noqa: E402
 from open_reaction_database_web_scraper_spark.registry import (  # noqa: E402
     REGISTRY, load_all_operators)
 from open_reaction_database_web_scraper_spark.session import get_session  # noqa: E402
 from open_reaction_database_web_scraper_spark.streaming import jobs  # noqa: E402
 
-BUDGET_S = 1200.0
-
-
-def time_call_budgeted(spark, fn):
-    sc = spark.sparkContext
-    fired = threading.Event()
-
-    def _kill():
-        fired.set()
-        sc.cancelAllJobs()
-
-    timer = threading.Timer(BUDGET_S, _kill)
-    timer.start()
-    try:
-        t0 = time.perf_counter()
-        fn()
-        return round(time.perf_counter() - t0, 2), None
-    except Exception as e:
-        if fired.is_set():
-            return None, f"DNF>{BUDGET_S:.0f}s (budget kill)"
-        return None, f"error: {type(e).__name__}: {e}"
-    finally:
-        timer.cancel()
-
-
-def build_skewed_events(spark, sf_dir: str, mult: int, out: str) -> int:
-    """events x mult with 90% of rows reassigned to ONE user (same
-    corpus model as scripts/scaleup_r12.py so the cells compare)."""
-    ev = load(spark, sf_dir, "events")
-    base = ev.agg(F.max("event_id")).collect()[0][0] + 1
-    grown = (ev.withColumn("copy", F.explode(
-                 F.sequence(F.lit(0), F.lit(mult - 1))))
-             .withColumn("event_id",
-                         F.col("event_id") + F.col("copy") * base)
-             .drop("copy"))
-    skewed = grown.withColumn(
-        "user_id",
-        F.when(F.pmod(F.col("event_id"), F.lit(10)) < 9, F.lit(777))
-        .otherwise(F.col("user_id")))
-    skewed.repartition(32).write.mode("overwrite") \
-        .parquet(f"{out}/events.parquet")
-    n = spark.read.parquet(f"{out}/events.parquet").count()
-    print(f"  skewed events: {mult}x at {n} rows (90% user 777)",
-          flush=True)
-    return n
-
 
 def _run(spark, name, d):
     return (REGISTRY[name].fn(spark, d)
             .write.format("noop").mode("overwrite").save())
+
+
+def _ratio(cell: dict, num: str, den: str) -> object:
+    """num/den when both cells timed out clean; otherwise carry the
+    DNF/error string forward instead of raising TypeError and losing
+    the whole probe session's summary."""
+    a, b = cell.get(num), cell.get(den)
+    if isinstance(a, (int, float)) and isinstance(b, (int, float)) and b:
+        return round(a / b, 3)
+    return f"n/a ({num}={a!r}, {den}={b!r})"
 
 
 def probe_adaptive_ab(spark, sf_dir: str, summary: dict) -> None:
@@ -96,13 +63,13 @@ def probe_adaptive_ab(spark, sf_dir: str, summary: dict) -> None:
     cell: dict = {}
     for name in ("stream_dedup_ttl", "stream_dedup_adaptive",
                  "stream_dedup_salted"):
-        t, dnf = time_call_budgeted(
+        t, dnf, _ = time_call_budgeted(
             spark, lambda n=name: _run(spark, n, sf_dir))
         cell[name] = t if t is not None else dnf
         if name == "stream_dedup_adaptive":
             cell["decision"] = dict(jobs.LAST_DEDUP_SALT_DECISION)
-    cell["adaptive_over_unsalted"] = round(
-        cell["stream_dedup_adaptive"] / cell["stream_dedup_ttl"], 3)
+    cell["adaptive_over_unsalted"] = _ratio(
+        cell, "stream_dedup_adaptive", "stream_dedup_ttl")
     cells["uniform_sf0.1"] = cell
     print(f"adaptive A/B uniform: {json.dumps(cell)}", flush=True)
 
@@ -112,13 +79,13 @@ def probe_adaptive_ab(spark, sf_dir: str, summary: dict) -> None:
     cell = {"rows": n}
     for name in ("stream_dedup_ttl", "stream_dedup_adaptive",
                  "stream_dedup_salted"):
-        t, dnf = time_call_budgeted(
+        t, dnf, _ = time_call_budgeted(
             spark, lambda n_=name: _run(spark, n_, d))
         cell[name] = t if t is not None else dnf
         if name == "stream_dedup_adaptive":
             cell["decision"] = dict(jobs.LAST_DEDUP_SALT_DECISION)
-    cell["unsalted_over_adaptive"] = round(
-        cell["stream_dedup_ttl"] / cell["stream_dedup_adaptive"], 3)
+    cell["unsalted_over_adaptive"] = _ratio(
+        cell, "stream_dedup_ttl", "stream_dedup_adaptive")
     cells["skew16x"] = cell
     print(f"adaptive A/B 16x skew: {json.dumps(cell)}", flush=True)
     summary["adaptive_dedup_ab"] = cells
@@ -127,7 +94,7 @@ def probe_adaptive_ab(spark, sf_dir: str, summary: dict) -> None:
 def probe_ewma_64x(spark, sf_dir: str, summary: dict) -> None:
     d = tempfile.mkdtemp(prefix="ordspark_r13_skew64x_")
     n = build_skewed_events(spark, sf_dir, 64, d)
-    t, dnf = time_call_budgeted(
+    t, dnf, _ = time_call_budgeted(
         spark, lambda: _run(spark, "stream_ewma_stateful", d))
     cell = {"rows": n,
             "stream_ewma_stateful": t if t is not None else dnf}

@@ -194,7 +194,12 @@ def _env_count_min(spark, sf, df):
         "WHERE event_type IS NOT NULL GROUP BY event_type", sf)
     exact = {r.event_type: int(r.n) for r in ex_pd.itertuples()}
     n_total = sum(exact.values())
-    slack = max(10, 0.01 * n_total)
+    # the sketch is built with eps=0.001 (operators/aggregates.py),
+    # so w.h.p. overshoot <= 0.001*N — the envelope must match the
+    # sketch's OWN error model, not a looser one (a 10x-slack check
+    # would green-light a merge bug inflating estimates well past
+    # the documented bound); floor covers tiny-N integer slop
+    slack = max(10, 0.001 * n_total)
     ok = set(est) == set(exact) and all(
         exact[k] <= est[k] <= exact[k] + slack for k in exact)
     return ok, {"types": len(exact), "one_sided_slack": int(slack),
@@ -324,8 +329,20 @@ def main() -> int:
                           flush=True)
                     continue
                 if spec.oracle is None:
-                    n = df.count()
                     if name in ENVELOPE_CHECKS:
+                        # one execution: the envelope check collects
+                        # this same frame, so without the checkpoint
+                        # count() + collect() would run the full
+                        # scan+aggregate twice per cell
+                        df = df.localCheckpoint(eager=True)
+                    n = df.count()
+                    if name in ENVELOPE_CHECKS and n == 0:
+                        # vacuity outranks the envelope: exact==
+                        # estimate==empty would "pass" on sets that
+                        # verified nothing (same policy as the
+                        # oracled both-empty guard)
+                        cell = {"status": "vacuous", "rows": 0}
+                    elif name in ENVELOPE_CHECKS:
                         ok, detail = ENVELOPE_CHECKS[name](spark, sf, df)
                         cell = ({"status": "envelope_pass", "rows": n,
                                  "envelope": detail} if ok else

@@ -245,3 +245,10 @@ def test_cluster_profile_cc_reliable_checkpoint(spark, tmp_path,
     rdd_dirs = [name for _, dirs, _ in _os.walk(local_d)
                 for name in dirs if name.startswith("rdd-")]
     assert rdd_dirs, f"no reliable checkpoint data under {d}"
+    # bounded, not O(rounds): each round deletes the previous round's
+    # directory once the new checkpoint is materialized (a CC call
+    # over a diameter-3 chain runs ~4 rounds; without cleanup the
+    # walk would find one rdd-* dir per round). Only the final
+    # round's directory — the one the returned DataFrame reads —
+    # may remain.
+    assert len(rdd_dirs) == 1, rdd_dirs
