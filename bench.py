@@ -209,6 +209,17 @@ def main() -> None:
     # cached blocks can't accumulate across the ~60-query sweep and
     # perturb late queries via eviction pressure.
     spark.catalog.clearCache()
+    # Drained memory-sink views pin their full output on the driver
+    # heap (round-13 capacity finding; sweep/determinism harnesses
+    # already drop them between queries). The bench reaches its
+    # heaviest streaming queries LAST, after ~25 earlier drains, so
+    # without cleanup their timings carry the accumulated GC
+    # pressure — measured as 3× max-spikes on repeated ttl-dedup
+    # drains (OPTIMIZATION_r13.md, measurement fix #1). Dropped
+    # after every rep, OUTSIDE the timed window.
+    from open_reaction_database_web_scraper_spark.testing import (
+        drop_drained_memory_sinks)
+    drop_drained_memory_sinks(spark)
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Ambient host load has explained two rounds of bench drift by
     # narrative; record it as data (1-minute loadavg at the start and
@@ -239,6 +250,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            drop_drained_memory_sinks(spark)
         samples.sort()
         timings[name] = round(samples[len(samples) // 2], 3)
         spread[name] = {"min": round(samples[0], 3),
@@ -265,6 +277,7 @@ def main() -> None:
         except Exception:
             shuffle[name] = {"rows": -1, "bytes": -1}  # loud sentinel
         spark.catalog.clearCache()
+        drop_drained_memory_sinks(spark)
 
     total = round(sum(timings.values()), 3)
     full = {

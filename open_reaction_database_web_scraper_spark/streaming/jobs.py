@@ -96,20 +96,36 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
         Window.orderBy(F.asc_nulls_last("ts"), "event_id"))
     out = _tmpdir("ordspark_stream_src_")
     chunked = ev.withColumn("chunk", chunk)
-    # Parquet part files get UUID names, so chunk order can't be
-    # recovered from filenames afterwards — record which file each
-    # chunk produced as it lands, then stagger mtimes in CHUNK order
-    # (the file source replays by ascending mtime).
-    ordered: list[str] = []
-    for k in range(1, n_chunks + 1):
-        before = {f for f in os.listdir(out) if f.endswith(".parquet")}
-        (chunked.filter(F.col("chunk") == k).drop("chunk")
-         .coalesce(1).write.mode("append").parquet(out))
-        after = {f for f in os.listdir(out) if f.endswith(".parquet")}
-        ordered.extend(sorted(after - before))
+    # ONE pass (round-13 optimization; guide §2.4 "remove shuffles
+    # outright"): the previous form filtered chunk == k and wrote,
+    # k times — and each filter RECOMPUTED the global ntile window,
+    # so building the replay source cost 4 window sorts + 4 writes
+    # (~2.2 s of every dedup-family invocation at sf0.1, measured in
+    # scripts/probe_r13_stream.py). A partitionBy("chunk") write of
+    # the single-partition window output materializes the window once
+    # and emits exactly one part file per chunk value (one task, the
+    # dynamic-partition writer starts a new file per value); the
+    # files are then MOVED into the flat replay dir in chunk order.
+    # Chunk contents are bit-identical to the old form: same window,
+    # same assignment, same one-file-per-chunk layout.
+    stage = _tmpdir("ordspark_stream_stage_")
+    chunked.write.mode("overwrite").partitionBy("chunk").parquet(stage)
     now = time.time()
-    for i, f in enumerate(ordered):
-        os.utime(os.path.join(out, f), (now + i, now + i))
+    for k in range(1, n_chunks + 1):
+        cdir = os.path.join(stage, f"chunk={k}")
+        parts = sorted(f for f in os.listdir(cdir)
+                       if f.endswith(".parquet")) if os.path.isdir(cdir) \
+            else []
+        if len(parts) != 1:  # replay contract: 1 file == 1 micro-batch
+            raise RuntimeError(
+                f"chunk {k}: expected exactly 1 part file, got "
+                f"{len(parts)} — single-partition window write "
+                "produced an unexpected layout")
+        dst = os.path.join(out, f"chunk-{k:04d}.parquet")
+        shutil.move(os.path.join(cdir, parts[0]), dst)
+        os.utime(dst, (now + k, now + k))
+    shutil.rmtree(stage, ignore_errors=True)
+    _TMPDIRS.remove(stage)
     return out
 
 
