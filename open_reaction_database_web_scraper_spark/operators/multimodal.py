@@ -1278,8 +1278,16 @@ def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     including the KwKwK reconstruction and width-bump off-by-one
     that planted tests pin). Construction mirrors the PNG query:
     sha JVM-side, encode in an Arrow batch pass, decode under test
-    in ``extract_features``."""
-    docs = load(spark, sf_dir, "documents")
+    in ``extract_features``.
+
+    fanout (round-13 optimization, same rationale as the JPEG/AVI
+    queries at :func:`multimodal_decode_jpeg`): the LZW encode+decode
+    is the second-heaviest per-doc Python kernel in the codec family,
+    and the single-split local scan ran BOTH Arrow passes on one core
+    (bench: 1.34 s, zero shuffle). One metadata-cheap exchange
+    parallelizes them; a real multi-split layout makes it a no-op."""
+    from ..catalog import fanout
+    docs = fanout(load(spark, sf_dir, "documents"))
     raster = F.substring(
         F.sha2(F.coalesce(F.col("text"), F.lit("")), 256), 1,
         GIF_W * GIF_H)

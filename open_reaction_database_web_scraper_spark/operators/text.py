@@ -220,8 +220,16 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     on BOTH sides (a NULL doc fingerprints as md5('') — here, in the
     oracle, and on any future corpus), where the round-6 form would
     have diverged (Spark concat_ws over a NULL token array yields ''
-    while DuckDB string_split(NULL) stays NULL)."""
-    docs = load(spark, sf_dir, "documents")
+    while DuckDB string_split(NULL) stays NULL).
+
+    fanout (round-13 optimization): the per-doc work is ~100 md5s
+    over 8-token shingles — the heaviest pure-map text kernel — and
+    the documents table arrives as ONE input split locally, so the
+    whole ~500 k-md5 pass ran on one core (bench: 1.48 s with zero
+    shuffle). Round-robin fanout spreads it across the session's
+    cores for one exchange of the (small) input; on any real layout
+    with ≥ cores splits it is a no-op (catalog.fanout contract)."""
+    docs = fanout(load(spark, sf_dir, "documents"))
     toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
     w = FP_WINDOW
     n = F.greatest(F.size(toks) - (w - 1), F.lit(1))  # ≥1: short docs
