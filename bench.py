@@ -176,6 +176,24 @@ def sf_of(sf_dir: str) -> float:
     return float(base.replace("sf", "")) if base.startswith("sf") else -1.0
 
 
+def _steal_ticks() -> int:
+    """Hypervisor steal ticks from /proc/stat (8th cpu field) — the
+    noise source the loadavg gate CANNOT see: a noisy co-tenant VM
+    steals cycles from runnable tasks without raising this guest's
+    loadavg. Round-14 finding: a launch-loadavg-0.05 run measured a
+    uniform ~1.27× drift vs the round-13 idle capture on a box whose
+    accumulated steal was 26% of user ticks. Recorded as DATA next to
+    loadavg (not gated — steal is bursty and a gate would starve
+    promotion); cross-round comparisons read it to tell code drift
+    from tenancy drift. 0 on bare metal / non-Linux (field absent)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if len(parts) > 8 else 0
+    except Exception:
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # ambient load at process start, BEFORE any Spark work: the
@@ -226,6 +244,8 @@ def main() -> None:
     # end of the timed section) so cross-round comparisons can check
     # the claim instead of assuming it.
     load_start = round(os.getloadavg()[0], 2)
+    steal_start = _steal_ticks()
+    t_timed_start = time.perf_counter()
     # Peak 1-minute loadavg sampled after every query's reps: the
     # end-only reading lets a mid-run spike that decays more than a
     # minute before the last query finishes slip past the flat gate
@@ -324,6 +344,17 @@ def main() -> None:
     promoted = load_launch < 4.0 and flat and sf_of(sf_dir) == 0.1
     full["loadavg_1m"]["end"] = load_end
     full["loadavg_1m"]["peak"] = load_peak
+    # Steal share of the timed section: delta-ticks / (elapsed × HZ ×
+    # ncpu). HZ is USER_HZ=100 on Linux; a few % is normal tenancy,
+    # tens of % explains a cross-round drift by itself.
+    elapsed = max(time.perf_counter() - t_timed_start, 1e-9)
+    ncpu = os.cpu_count() or 1
+    steal_delta = _steal_ticks() - steal_start
+    full["cpu_steal"] = {
+        "ticks": steal_delta,
+        "pct_of_capacity": round(
+            100.0 * steal_delta / (elapsed * 100.0 * ncpu), 2),
+    }
     full["promoted_to_bench_local"] = promoted
     with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
         json.dump(full, fh)

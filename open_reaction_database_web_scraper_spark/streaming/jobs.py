@@ -106,8 +106,19 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
     # and emits exactly one part file per chunk value (one task, the
     # dynamic-partition writer starts a new file per value); the
     # files are then MOVED into the flat replay dir in chunk order.
-    # Chunk contents are bit-identical to the old form: same window,
-    # same assignment, same one-file-per-chunk layout.
+    # Chunks hold the same ROWS per chunk as the old per-filter form
+    # (same window, same ntile assignment); within-chunk row order is
+    # not guaranteed (the partition sort is by chunk only) — no
+    # consumer depends on intra-micro-batch order (ADVICE r13 #2).
+    # The 1-file-per-chunk contract additionally assumes
+    # spark.sql.files.maxRecordsPerFile is unset/0 (checked below):
+    # a records cap would split a chunk into several files and
+    # silently change the replay's batch boundaries.
+    if str(chunked.sparkSession.conf.get(
+            "spark.sql.files.maxRecordsPerFile", "0")) not in ("0", ""):
+        raise RuntimeError(
+            "replay builder requires spark.sql.files.maxRecordsPerFile "
+            "unset (one chunk must stay one file == one micro-batch)")
     stage = _tmpdir("ordspark_stream_stage_")
     chunked.write.mode("overwrite").partitionBy("chunk").parquet(stage)
     now = time.time()
@@ -116,6 +127,12 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
         parts = sorted(f for f in os.listdir(cdir)
                        if f.endswith(".parquet")) if os.path.isdir(cdir) \
             else []
+        if not parts:
+            # ntile leaves trailing chunks empty when rows < n_chunks;
+            # the old per-chunk-filter builder silently skipped them
+            # (an append of zero rows) — keep that behavior (ADVICE
+            # r13 #1) instead of blaming the writer's layout.
+            continue
         if len(parts) != 1:  # replay contract: 1 file == 1 micro-batch
             raise RuntimeError(
                 f"chunk {k}: expected exactly 1 part file, got "
@@ -130,12 +147,80 @@ def _chunked_events_dir(spark: SparkSession, sf_dir: str, copies: int = 1,
 
 
 def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
-    """Drain an availableNow stream into a memory sink, return it."""
+    """Drain an availableNow stream and return its output.
+
+    Default (local) path: memory sink — each micro-batch's output is
+    collected to the DRIVER and served from a temp view. That is the
+    measured local optimum (round-13 A/B: parquet streaming sink lost
+    1.5–7 s/query to 32 tiny files per batch plus _spark_metadata
+    commits — guide §6's small-files trap at bench output sizes), and
+    its driver-heap pinning is neutralized by the harnesses'
+    sink-view drops. But a driver-collecting sink is an OOM at the
+    declared 100 TB target (guide §5: the driver does no data work) —
+    the same local-vs-cluster split as the CC checkpoint — so under
+    ``SPARK_GRAFT_PROFILE=cluster`` APPEND-mode streams drain through
+    :func:`_run_to_files` instead (executor-parallel writes, nothing
+    on the driver). Complete/update modes stay on the memory sink in
+    both profiles: a file sink cannot express them (Spark restricts
+    the file sink to append), and their outputs are bounded aggregate
+    states (complete = the aggregate table, update = per-batch delta
+    rows), not the unbounded event-sized output append mode carries.
+    """
+    from ..profile import is_cluster
+
+    if mode == "append" and is_cluster():
+        return _run_to_files(stream_df)
     name = "s" + uuid.uuid4().hex[:12]
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return stream_df.sparkSession.table(name)
+
+
+def _run_to_files(stream_df: DataFrame) -> DataFrame:
+    """Cluster-profile drain: availableNow append stream →
+    executor-parallel parquet, read back lazily (round 14, VERDICT
+    r13 #2). ``foreachBatch`` + a plain batch write rather than the
+    parquet STREAMING sink: that sink pays a _spark_metadata commit
+    per micro-batch and its read-back lists the commit log — half of
+    the measured round-13 small-files cost — while a batch append
+    inside foreachBatch needs neither (the availableNow drain runs
+    once to completion; exactly-once replay of a half-written batch
+    is not a property this return-a-DataFrame contract needs).
+
+    File sizing (guide §6): each batch's output is coalesced to
+    ``SPARK_GRAFT_STREAM_SINK_TASKS`` write tasks when set. The
+    DEFAULT is no coalesce — state-partition-parallel writes — which
+    is the production posture: a real deployment sizes
+    spark.sql.shuffle.partitions (= state partitions) to its data, so
+    per-task batch output lands in the 128 MB–1 GB file band by
+    construction; coalescing below that would serialize the write of
+    exactly the large outputs the cluster profile exists for. The env
+    knob is the local/test lever (tiny per-partition outputs).
+    ``coalesce`` sits ABOVE the stateful operator, so state-store
+    partitioning (fixed by shuffle.partitions) is unchanged — it only
+    merges finished output partitions into fewer write tasks.
+    """
+    spark = stream_df.sparkSession
+    out = _tmpdir("ordspark_stream_fsink_")
+    ckpt = _tmpdir("ordspark_stream_fsink_ckpt_")
+    schema = stream_df.schema
+    tasks = int(os.environ.get("SPARK_GRAFT_STREAM_SINK_TASKS", "0"))
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if tasks > 0:
+            batch_df = batch_df.coalesce(tasks)
+        batch_df.write.mode("append").parquet(out)
+
+    q = (stream_df.writeStream.foreachBatch(write_batch)
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    if not any(f.endswith(".parquet") for f in os.listdir(out)):
+        # zero batches emitted rows: no part files to read — return
+        # an empty frame of the right schema instead of a scan error
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(out)
 
 
 @register(

@@ -24,12 +24,21 @@ from open_reaction_database_web_scraper_spark.streaming import (  # noqa: E402
 from open_reaction_database_web_scraper_spark.catalog import load  # noqa: E402
 
 
-def t(label, fn, n=3):
+def t(label, fn, n=3, spark=None):
+    # Drop drained memory-sink views between reps (ADVICE r13 #3):
+    # without this the FULL-job loop times later jobs against a
+    # driver heap pinning every earlier drain's rows — the exact
+    # bias the round-13 bench fix removed; probe_r13_drain.py
+    # already did the same cleanup.
+    from open_reaction_database_web_scraper_spark.testing import (
+        drop_drained_memory_sinks)
     samples = []
     for _ in range(n):
         t0 = time.perf_counter()
         fn()
         samples.append(time.perf_counter() - t0)
+        if spark is not None:
+            drop_drained_memory_sinks(spark)
     samples.sort()
     print(f"{label:44s} med={samples[len(samples)//2]:7.3f}  "
           f"min={samples[0]:7.3f} max={samples[-1]:7.3f}", flush=True)
@@ -45,9 +54,10 @@ def main():
     # warm each component once
     jobs._chunked_events_dir(spark, sf_dir, copies=2)
     t("chunk_dir copies=2 (dedup family)",
-      lambda: jobs._chunked_events_dir(spark, sf_dir, copies=2))
+      lambda: jobs._chunked_events_dir(spark, sf_dir, copies=2),
+      spark=spark)
     t("chunk_dir copies=1 (ewma/funnel/cdc)",
-      lambda: jobs._chunked_events_dir(spark, sf_dir))
+      lambda: jobs._chunked_events_dir(spark, sf_dir), spark=spark)
     ev = load(spark, sf_dir, "events")
     jobs.dedup_hot_users(ev)
     t("dedup_hot_users (adaptive detector)",
@@ -62,7 +72,7 @@ def main():
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         t(f"FULL {name}",
           lambda fn=fn: fn(spark, sf_dir)
-          .write.format("noop").mode("overwrite").save())
+          .write.format("noop").mode("overwrite").save(), spark=spark)
 
 
 if __name__ == "__main__":

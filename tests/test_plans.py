@@ -32,6 +32,22 @@ def plan_of(spark, sf_dir, name: str) -> str:
         df._jdf.queryExecution(), "formatted")
 
 
+def pinned_rows(m: dict, name: str) -> int:
+    """Shuffle-row reading for an exact pin, failing LOUD when the
+    measurement is retry-tainted (round 14, VERDICT r13 #7): a stage
+    retry makes shuffle_since under-count (partial attempts report
+    only re-run partitions), so a pin mismatch after one would blame
+    the plan for a measurement artifact. max_attempt > 0 never occurs
+    in healthy local[...] runs — when it does, the cause is named."""
+    import pytest as _pytest
+    if m.get("max_attempt", 0) > 0:
+        _pytest.fail(
+            f"{name}: shuffle measurement retry_tainted "
+            f"(max_attempt={m['max_attempt']}) — rows may read low; "
+            "re-run, and investigate why a local stage retried")
+    return m["rows"]
+
+
 def test_star_join_broadcasts_dims(spark, sf_dir):
     """The fixed-cardinality dims (region, nation) must be pinned
     broadcast joins at ANY scale; customer grows with the data, so
@@ -628,7 +644,7 @@ def test_headline_shuffle_rows_pinned(spark, sf_dir):
             spark,
             lambda: REGISTRY[name].fn(spark, sf_dir)
             .write.format("noop").mode("overwrite").save())
-        got[name] = m["rows"]
+        got[name] = pinned_rows(m, name)
     assert got == HEADLINE_SHUFFLE_ROWS
 
 
@@ -656,7 +672,7 @@ def test_dedup_family_shuffle_rows_pinned(spark, sf_dir):
             spark,
             lambda: REGISTRY[name].fn(spark, sf_dir)
             .write.format("noop").mode("overwrite").save())
-        got[name] = m["rows"]
+        got[name] = pinned_rows(m, name)
     assert got == DEDUP_SHUFFLE_ROWS
 
 
@@ -703,7 +719,7 @@ def test_shuffle_rows_pinned_sf001(spark):
             spark,
             lambda: REGISTRY[name].fn(spark, sf)
             .write.format("noop").mode("overwrite").save())
-        got[name] = m["rows"]
+        got[name] = pinned_rows(m, name)
     assert got == SHUFFLE_ROWS_SF001
 
 
@@ -746,7 +762,7 @@ def test_shuffle_rows_pinned_past_broadcast_threshold(spark):
                 spark,
                 lambda: REGISTRY[name].fn(spark, sf)
                 .write.format("noop").mode("overwrite").save())
-            got[(sf, name)] = m["rows"]
+            got[(sf, name)] = pinned_rows(m, name)
         want = {k: v for k, v in NOBROADCAST_SHUFFLE_ROWS.items()
                 if k in got}
         assert got == want and got
