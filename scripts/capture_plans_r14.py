@@ -55,6 +55,7 @@ def main() -> None:
     names = sys.argv[2:] or ["graph_pagerank", "graph_triangle_count",
                              "graph_bfs_levels"]
     os.makedirs(OUT, exist_ok=True)
+    load_all_operators()
     spark = get_session("capture_plans_r14")
     spark.sparkContext.setLogLevel("ERROR")
     for name in names:

@@ -772,3 +772,47 @@ def test_shuffle_rows_pinned_past_broadcast_threshold(spark):
                 spark.conf.unset(k)   # was unset: restore the default
             else:
                 spark.conf.set(k, v)
+
+
+# Round-14 (VERDICT r13 #3): the iterative graph family's unrolled
+# plans (3 iterations × the edges subtree) rely on AQE RUNTIME
+# exchange reuse — invisible in the compile-time explain
+# (isFinalPlan=false), so round 13's "AQE reuses it" was timing-only.
+# Two pins make it structural: (a) the executed plan must contain
+# ReusedExchange nodes; (b) exact shuffle rows at sf0.001 — measured
+# 8 881 / 10 970 / 7 373 WITH reuse vs 44 224 / 189 869 / 28 752 with
+# spark.sql.exchange.reuse=false (5×/17×/3.9×), so a silent loss of
+# reuse (version bump, config drift) trips the exact pin loudly.
+GRAPH_SHUFFLE_ROWS = {
+    "graph_pagerank": 8881,
+    "graph_triangle_count": 10970,
+    "graph_bfs_levels": 7373,
+}
+
+
+def test_graph_family_shuffle_rows_pin_runtime_reuse(spark, sf_dir):
+    from open_reaction_database_web_scraper_spark.shuffle_metrics import (
+        measure_shuffle)
+    got = {}
+    for name in GRAPH_SHUFFLE_ROWS:
+        spark.catalog.clearCache()
+        m = measure_shuffle(
+            spark,
+            lambda: REGISTRY[name].fn(spark, sf_dir)
+            .write.format("noop").mode("overwrite").save())
+        got[name] = pinned_rows(m, name)
+    assert got == GRAPH_SHUFFLE_ROWS
+
+
+def test_graph_pagerank_executed_plan_reuses_exchanges(spark, sf_dir):
+    """The EXECUTED adaptive plan (the only artifact that can show
+    runtime reuse) must be final and contain ReusedExchange nodes —
+    the edges subtree materializes once per distinct exchange, not
+    once per unrolled iteration. Committed dumps: plans/r14/
+    graph_*_final.txt."""
+    df = REGISTRY["graph_pagerank"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, plan[:2000]
