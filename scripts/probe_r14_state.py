@@ -14,6 +14,12 @@ StreamingQueryProgress so the state-commit claim is checked against
 the operator's own counters, not just wall clock.
 
 Usage: python scripts/probe_r14_state.py [sf_dir] [reps]
+
+NOTE: the winning binary encoding LANDED in dedup_ttl_updates after
+this probe ran (round 14), so a re-run now compares binary against
+binary — the recorded A/B (array med 14.300 / commit 31 575 ms vs
+binary med 13.125 / commit 17 815 ms, rows identical) was taken with
+the production fn still on the array encoding.
 """
 from __future__ import annotations
 
