@@ -218,12 +218,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (oriented.groupBy("src")
            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
            .withColumnRenamed("src", "node"))
-    au, av = adj.alias("au"), adj.alias("av")
-    tri = (oriented
-           .join(au, F.col("src") == F.col("au.node"))
+    # Round 14: ONE adjacency join, not two. The src-side join of the
+    # old form (oriented ⋈ adj ON src = node) was redundant — adj IS
+    # oriented grouped by src, so exploding each adjacency row
+    # regenerates exactly the oriented edge set with the tail's
+    # out-list already attached, as a NARROW op (no exchange, no
+    # sort-merge of |E| rows against adj). Only the head-side join
+    # remains; its probe side (adj keyed by node = its own groupBy
+    # partitioning) needs no new exchange either. Measured at sf1
+    # (scripts/probe_r14_triangle.py A/B, interleaved): full query
+    # med 17.4/14.3 s → 13.8/12.8 s, n_triangles bit-identical
+    # (18 844 880). Shuffle-row pin updated in tests/test_plans.py.
+    av = adj.alias("av")
+    edges_with_src = adj.select(
+        F.col("nbrs").alias("src_nbrs"), F.explode("nbrs").alias("dst"))
+    tri = (edges_with_src
            .join(av, F.col("dst") == F.col("av.node"))
            .select(F.size(F.array_intersect(
-               F.col("au.nbrs"), F.col("av.nbrs"))).alias("k"))
+               F.col("src_nbrs"), F.col("av.nbrs"))).alias("k"))
            # an edge whose head has no out-neighbors drops out of the
            # inner adjacency join (contributes 0 triangles); with NO
            # closable edge at all the sum is over zero rows — 0, not
