@@ -368,7 +368,15 @@ def vector_matryoshka_truncate(spark: SparkSession,
     partitioning and are pre-reduced by the inferred partial
     WindowGroupLimit.
     """
-    emb = load(spark, sf_dir, "embeddings").select(
+    # fanout (round 14, the VERDICT r13 #8 sweep continued into the
+    # nonzero-shuffle map): the heavy narrow work — 2 unit
+    # normalizations + 2 dot folds × 16 probes per vector — runs in
+    # the SCAN stage, and the local embeddings table is one split, so
+    # it all ran on one core (only the 32 post-window rows shuffle).
+    # Interleaved A/B at sf0.1: med 1.14/1.00 → 0.81/0.84 s, output
+    # identical. Same no-op-on-real-layouts contract as every other
+    # catalog.fanout call.
+    emb = fanout(load(spark, sf_dir, "embeddings")).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e64"))
     emb = emb.withColumn("e16", F.slice("e64", 1, TRUNC_DIM))
     from ..functions.vector_math import dot, unit_normalize
