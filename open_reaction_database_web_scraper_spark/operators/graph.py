@@ -34,6 +34,47 @@ from ..registry import register
 # Fixed-point scale for PageRank ranks: 1.0 == 10^12.
 _PR_SCALE = 1_000_000_000_000
 
+# graph_triangle_count's intersection stage has two provably
+# output-identical forms whose costs cross with data size (round-14
+# interleaved A/Bs; OPTIMIZATION_r14.md):
+# - BROADCAST regime (adjacency fits the planner's broadcast
+#   threshold): join the oriented edges to adjacency TWICE — both
+#   joins become broadcast hash probes, no extra exchange, and each
+#   edge pays two map lookups. The explode form is ~35% SLOWER here
+#   (sf0.1: 6.52 vs 4.77 s med) because Generate materializes a copy
+#   of the tail's out-list per edge row for no shuffle saving.
+# - SHUFFLE regime (adjacency exceeds broadcast): EXPLODE the
+#   adjacency — it regenerates the oriented edges with the tail's
+#   out-list attached as a narrow op, removing a full |E|-row
+#   sort-merge join and its exchange. Wins sf1 13.8 vs 17.4 s med
+#   and sf10 327/371 vs 627 s (1.7–1.9×).
+# The switch keys on the same quantity the planner's own broadcast
+# decision reads — estimated adjacency bytes — via the lineitem file
+# size: distinct co-purchase pairs per lineitem byte measured stable
+# across decades (0.111/B at sf0.1, 0.109/B at sf1), so adjacency
+# bytes ≈ 8 B × 0.11 × lineitem bytes ≈ 0.9 × lineitem bytes; the
+# 10 MB default broadcast threshold then sits at ~12 MB of lineitem.
+# 32 MB keeps a safety margin for the cliff (choosing the two-join
+# form just past broadcast costs ~25%, not the 1.9× of running the
+# explode form under it). Both branches are value-checked: the
+# 3-driver-SF sweep + shuffle-row pin exercise the broadcast branch,
+# the sf1 DuckDB diff + sf10 10×-identity the explode branch, and a
+# planted test pins branch-vs-branch equality on one corpus.
+_TRI_EXPLODE_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _tri_use_explode(sf_dir: str) -> bool:
+    import os
+    path = f"{sf_dir}/lineitem.parquet"
+    if os.path.isfile(path):
+        size = os.path.getsize(path)
+    elif os.path.isdir(path):
+        size = sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs)
+    else:
+        size = 0
+    return size >= _TRI_EXPLODE_MIN_BYTES
+
 
 def _bipartite_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric part–supplier edge list: distinct (part, supplier)
@@ -218,21 +259,24 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     adj = (oriented.groupBy("src")
            .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
            .withColumnRenamed("src", "node"))
-    # Round 14: ONE adjacency join, not two. The src-side join of the
-    # old form (oriented ⋈ adj ON src = node) was redundant — adj IS
-    # oriented grouped by src, so exploding each adjacency row
-    # regenerates exactly the oriented edge set with the tail's
-    # out-list already attached, as a NARROW op (no exchange, no
-    # sort-merge of |E| rows against adj). Only the head-side join
-    # remains; its probe side (adj keyed by node = its own groupBy
-    # partitioning) needs no new exchange either. Measured at sf1
-    # (scripts/probe_r14_triangle.py A/B, interleaved): full query
-    # med 17.4/14.3 s → 13.8/12.8 s, n_triangles bit-identical
-    # (18 844 880). Shuffle-row pin updated in tests/test_plans.py.
+    # Round 14: regime-adaptive intersection stage (rationale and
+    # measured crossover at _TRI_EXPLODE_MIN_BYTES above). Both
+    # branches compute Σ_{(u,v) oriented} |N⁺(u) ∩ N⁺(v)| over the
+    # SAME adj frame and are pinned output-identical.
     av = adj.alias("av")
-    edges_with_src = adj.select(
-        F.col("nbrs").alias("src_nbrs"), F.explode("nbrs").alias("dst"))
-    tri = (edges_with_src
+    if _tri_use_explode(sf_dir):
+        # shuffle regime: explode regenerates (src_nbrs, dst) per
+        # edge narrowly — no |E|-row src-side join, one less exchange
+        probe = adj.select(
+            F.col("nbrs").alias("src_nbrs"), F.explode("nbrs").alias("dst"))
+    else:
+        # broadcast regime: two broadcast hash probes, no Generate
+        # copy of the out-list per edge
+        au = adj.alias("au")
+        probe = (oriented
+                 .join(au, F.col("src") == F.col("au.node"))
+                 .select(F.col("au.nbrs").alias("src_nbrs"), "dst"))
+    tri = (probe
            .join(av, F.col("dst") == F.col("av.node"))
            .select(F.size(F.array_intersect(
                F.col("src_nbrs"), F.col("av.nbrs"))).alias("k"))

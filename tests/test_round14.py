@@ -95,3 +95,18 @@ def test_shuffle_measure_reports_retry_visibility(spark, sf_dir):
         .write.format("noop").mode("overwrite").save())
     assert m["max_attempt"] == 0
     assert m["rows"] >= 0 and m["bytes"] >= 0
+
+
+def test_triangle_both_forms_identical(spark, sf_dir, monkeypatch):
+    """graph_triangle_count picks its intersection-stage form by data
+    size (broadcast regime: two adjacency probes; shuffle regime:
+    explode — see graph._TRI_EXPLODE_MIN_BYTES). Pin: both branches
+    produce the identical single stats row on the same corpus."""
+    from open_reaction_database_web_scraper_spark.operators import graph
+
+    assert not graph._tri_use_explode(sf_dir)  # driver SFs: broadcast
+    small = run("graph_triangle_count", spark, sf_dir).collect()
+    monkeypatch.setattr(graph, "_TRI_EXPLODE_MIN_BYTES", 0)
+    assert graph._tri_use_explode(sf_dir)
+    big = run("graph_triangle_count", spark, sf_dir).collect()
+    assert small == big and len(small) == 1
