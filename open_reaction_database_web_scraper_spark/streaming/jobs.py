@@ -39,6 +39,12 @@ _EVENTS_SCHEMA = ("event_id bigint, ts timestamp_ntz, user_id bigint, "
 
 _TMPDIRS: list[str] = []
 
+# Names of every memory-sink temp view _run_to_memory has registered
+# in this process. testing.drop_drained_memory_sinks drops ONLY names
+# recorded here (ADVICE r13 #4): a colliding user temp view that
+# merely looks like a sink name is never touched.
+MEMORY_SINKS: set[str] = set()
+
 
 def _tmpdir(prefix: str) -> str:
     """mkdtemp that is actually cleaned up: every streaming job used
@@ -171,6 +177,7 @@ def _run_to_memory(stream_df: DataFrame, mode: str) -> DataFrame:
     if mode == "append" and is_cluster():
         return _run_to_files(stream_df)
     name = "s" + uuid.uuid4().hex[:12]
+    MEMORY_SINKS.add(name)
     q = (stream_df.writeStream.format("memory").queryName(name)
          .outputMode(mode).trigger(availableNow=True).start())
     q.awaitTermination()

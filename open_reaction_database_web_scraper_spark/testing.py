@@ -229,12 +229,21 @@ def drop_drained_memory_sinks(spark: SparkSession) -> int:
     round 13). Harnesses call this AFTER consuming a query's result;
     it must never run between producing and collecting a streaming
     DataFrame, which is why the cleanup lives here and not inside
-    ``_run_to_memory`` itself. Returns the number of views dropped
-    (matched by the sink namer's exact ``s<12 hex>`` shape).
+    ``_run_to_memory`` itself. Returns the number of views dropped.
+
+    Only views whose names ``_run_to_memory`` itself registered (in
+    ``streaming.jobs.MEMORY_SINKS``) are dropped — ADVICE r13 #4: a
+    user temp view that happens to match the ``s<12 hex>`` name shape
+    must never be silently dropped mid-run. The regex remains as a
+    belt-and-braces shape check on the recorded names.
     """
+    from .streaming.jobs import MEMORY_SINKS
+
     n = 0
     for t in spark.catalog.listTables():
-        if t.isTemporary and _SINK_NAME_RE.fullmatch(t.name):
+        if (t.isTemporary and t.name in MEMORY_SINKS
+                and _SINK_NAME_RE.fullmatch(t.name)):
             spark.catalog.dropTempView(t.name)
+            MEMORY_SINKS.discard(t.name)
             n += 1
     return n

@@ -110,3 +110,27 @@ def test_triangle_both_forms_identical(spark, sf_dir, monkeypatch):
     assert graph._tri_use_explode(sf_dir)
     big = run("graph_triangle_count", spark, sf_dir).collect()
     assert small == big and len(small) == 1
+
+
+def test_sink_drop_spares_colliding_user_view(spark, sf_dir):
+    """drop_drained_memory_sinks drops only the views _run_to_memory
+    itself registered (ADVICE r13 #4): a user temp view that merely
+    matches the s<12-hex> name shape survives the cleanup."""
+    from open_reaction_database_web_scraper_spark.testing import (
+        _SINK_NAME_RE, drop_drained_memory_sinks)
+
+    drop_drained_memory_sinks(spark)  # start clean of earlier tests'
+    impostor = "s" + "0123456789ab"
+    assert _SINK_NAME_RE.fullmatch(impostor)
+    spark.range(2).createOrReplaceTempView(impostor)
+    try:
+        run("stream_watermark_late", spark, sf_dir).count()
+        n = drop_drained_memory_sinks(spark)
+        assert n >= 1
+        left = {t.name for t in spark.catalog.listTables()}
+        assert impostor in left, "user view with sink-shaped name dropped"
+        from open_reaction_database_web_scraper_spark.streaming.jobs import (
+            MEMORY_SINKS)
+        assert not any(name in left for name in MEMORY_SINKS)
+    finally:
+        spark.catalog.dropTempView(impostor)
