@@ -19,7 +19,7 @@ import os
 import shutil
 import threading
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import fanout, load
@@ -864,26 +864,38 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         def _ckpt(df: DataFrame) -> DataFrame:
             return df.localCheckpoint(eager=True)
 
+    def _ckpt_observing_sum(df: DataFrame) -> tuple[DataFrame, object]:
+        # Round 14 (guide §1.2, don't compute twice): the convergence
+        # sum used to be a SECOND job per round — a full agg pass over
+        # the labels the eager checkpoint had just materialized. An
+        # Observation piggybacks the same DECIMAL(38,0) sum on the
+        # checkpoint's own materialization action (CollectMetrics is
+        # a pass-through node; the checkpointed plan is unchanged
+        # downstream because checkpoint truncates lineage), so each CC
+        # round is ONE job and labels are scanned once, not twice.
+        obs = Observation()
+        out = _ckpt(df.observe(
+            obs, F.sum(F.col("label").cast("decimal(38,0)")).alias("s")))
+        return out, obs.get["s"]
+
     sym = edges.select(F.col("src").cast("long").alias("src"),
                        F.col("dst").cast("long").alias("dst"))
     sym = sym.unionByName(sym.select(F.col("dst").alias("src"),
                                      F.col("src").alias("dst"))).cache()
-    labels = _ckpt(sym.select(F.col("src").alias("doc_id")).distinct()
-                   .withColumn("label", F.col("doc_id")))
-    prev_sum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    labels, prev_sum = _ckpt_observing_sum(
+        sym.select(F.col("src").alias("doc_id")).distinct()
+        .withColumn("label", F.col("doc_id")))
     for rounds in range(1, max_iter + 1):
         _DIAG.cc_rounds = rounds
         neigh = (sym.join(labels, sym.src == labels.doc_id)
                  .groupBy(F.col("dst").alias("doc_id"))
                  .agg(F.min("label").alias("neigh_label")))
-        labels = _ckpt(labels.join(neigh, "doc_id", "left")
-                       .select("doc_id",
-                               F.least("label",
-                                       F.coalesce("neigh_label", "label"))
-                               .alias("label")))
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+        labels, cur_sum = _ckpt_observing_sum(
+            labels.join(neigh, "doc_id", "left")
+            .select("doc_id",
+                    F.least("label",
+                            F.coalesce("neigh_label", "label"))
+                    .alias("label")))
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -134,3 +134,40 @@ def test_sink_drop_spares_colliding_user_view(spark, sf_dir):
         assert not any(name in left for name in MEMORY_SINKS)
     finally:
         spark.catalog.dropTempView(impostor)
+
+
+def test_cc_convergence_check_rides_checkpoint_action(spark, monkeypatch):
+    """Round 14: connected_components' per-round convergence sum is an
+    Observation on the eager checkpoint's own materialization — ONE
+    action and one labels scan per round, not a second collect job.
+    Pins: (a) no DataFrame.collect happens inside the loop at all,
+    (b) fixpoint detection still works (chain of diameter 5 converges
+    in exactly 6 rounds: 5 propagation + 1 confirm), (c) labels are
+    correct, (d) the CollectMetrics node does not leak into the
+    returned frame's plan (checkpoint truncates lineage)."""
+    from pyspark.sql import DataFrame
+
+    from open_reaction_database_web_scraper_spark.operators import dedup
+
+    calls = {"n": 0}
+    orig_collect = DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig_collect(self)
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (10, 11)],
+        "src long, dst long")
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    labels = dedup.connected_components(edges)
+    monkeypatch.undo()
+    assert calls["n"] == 0, (
+        f"{calls['n']} collect() calls inside connected_components — "
+        "the convergence sum no longer rides the checkpoint action")
+    assert dedup._DIAG.cc_rounds == 6
+    rows = sorted(map(tuple, labels.collect()))
+    assert rows == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0),
+                    (10, 10), (11, 10)]
+    plan = labels._jdf.queryExecution().toString()
+    assert "CollectMetrics" not in plan
